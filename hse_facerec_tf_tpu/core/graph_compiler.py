@@ -1,0 +1,335 @@
+"""GraphDef → JAX compiler.
+
+Replaces the reference's TF1 session runtime (``facerec_test.py:41-48,114-122``
+``load_graph``/``sess.run``; ``facial_analysis.py:319-351``) with an XLA-native
+path: a frozen GraphDef is compiled once into a pure, jittable JAX function
+``fn(params, feeds) -> outputs``. Everything downstream (MTCNN stages, the
+multi-head age/gender net, embedding extractors) runs as a single fused XLA:TPU
+program instead of an op-by-op TF session.
+
+Constants live in a ``params`` dict (pytree) rather than being baked into the
+trace, so the same compiled function serves quantization-folded or fine-tuned
+weights, and weights can be device_put / sharded explicitly.
+
+Supported ops cover the union of the shipped graphs (``mtcnn.pb``,
+``age_gender_tf2_new-01-0.14-0.92_quantized.pb`` — see SURVEY.md §2.2) plus
+what the missing ``vgg2_mobilenet.pb`` / ``vgg2_resnet.pb`` graphs need per
+their Keras architectures (BatchNorm folded at freeze time, Pad, ConcatV2...).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .graphdef import TFGraph, NodeDef, extract_constants
+
+
+def _tname(t: str) -> str:
+    """Strip the output index from a TF tensor name ('x:0' -> 'x')."""
+    return t.split(":")[0]
+
+
+def _out_index(t: str) -> int:
+    return int(t.split(":")[1]) if ":" in t else 0
+
+
+def _reduce_axes(idx_const: np.ndarray, rank: int) -> Tuple[int, ...]:
+    axes = np.atleast_1d(np.asarray(idx_const)).astype(int)
+    return tuple(int(a) % rank for a in axes)
+
+
+class CompiledGraph:
+    """A frozen TF graph compiled to a pure JAX function.
+
+    Attributes:
+      params: dict name -> np.ndarray of all (dequantize-folded) constants.
+      fn: jittable ``fn(params, feeds: dict) -> tuple`` evaluating ``outputs``.
+    """
+
+    # Input positions that must be compile-time constants (shapes, axes, pads).
+    _STATIC_ARGS = {
+        "Reshape": (1,),
+        "Mean": (1,),
+        "Sum": (1,),
+        "Max": (1,),
+        "Min": (1,),
+        "Pad": (1,),
+        "ExpandDims": (1,),
+        "StridedSlice": (1, 2, 3),
+    }
+
+    def __init__(self, graph: TFGraph, outputs: Sequence[str], consts: Dict[str, np.ndarray],
+                 precision: jax.lax.Precision = jax.lax.Precision.HIGHEST):
+        self.graph = graph
+        self.output_names = [_tname(o) for o in outputs]
+        self._consts = consts
+        self.precision = precision
+        self._needed = self._prune(self.output_names)
+        # Split constants into traced params vs static (shape-like) values. A
+        # const consumed only at static positions stays out of the jit trace.
+        static_only = set()
+        dynamic_used = set()
+        for node in self._needed:
+            static_pos = self._STATIC_ARGS.get(node.op, ())
+            if node.op == "ConcatV2":
+                static_pos = (len(node.inputs) - 1,)
+            for i, inp in enumerate(node.inputs):
+                if inp.startswith("^"):
+                    continue
+                name = _tname(inp)
+                if i in static_pos:
+                    static_only.add(name)
+                else:
+                    dynamic_used.add(name)
+        self.params = {
+            n.name: consts[n.name]
+            for n in self._needed
+            if n.op in ("Const", "Dequantize") and n.name in consts
+            and (n.name in dynamic_used or n.name not in static_only)
+        }
+        self.fn = self._build()
+
+    def static_const(self, tensor_name: str) -> np.ndarray:
+        return self._consts[_tname(tensor_name)]
+
+    def _prune(self, outputs: List[str]) -> List[NodeDef]:
+        """Topological list of nodes needed for the outputs (graph is already topo-sorted
+        in frozen pbs, but we re-sort defensively)."""
+        by_name = self.graph.by_name
+        needed: Dict[str, NodeDef] = {}
+        stack = [o for o in outputs]
+        while stack:
+            name = _tname(stack.pop())
+            if name in needed or name not in by_name:
+                continue
+            node = by_name[name]
+            needed[name] = node
+            if node.op == "Dequantize" and name in self._consts:
+                continue  # folded to a constant; don't pull in quint8 inputs
+            for inp in node.inputs:
+                if not inp.startswith("^"):
+                    stack.append(inp)
+        # topo sort
+        order: List[NodeDef] = []
+        seen: Dict[str, int] = {}
+
+        def visit(name: str):
+            if seen.get(name) == 2 or name not in needed:
+                return
+            if seen.get(name) == 1:
+                raise ValueError(f"cycle at {name}")
+            seen[name] = 1
+            node = needed[name]
+            if not (node.op == "Dequantize" and name in self._consts):
+                for inp in node.inputs:
+                    if not inp.startswith("^"):
+                        visit(_tname(inp))
+            seen[name] = 2
+            order.append(node)
+
+        for o in outputs:
+            visit(o)
+        return order
+
+    def _build(self) -> Callable:
+        nodes = self._needed
+        output_names = self.output_names
+
+        def fn(params: Dict[str, jnp.ndarray], feeds: Dict[str, jnp.ndarray]):
+            env: Dict[str, object] = {}
+
+            def get(t: str):
+                v = env[_tname(t)]
+                if isinstance(v, tuple):
+                    return v[_out_index(t)]
+                return v
+
+            for node in nodes:
+                env[node.name] = _eval_node(node, get, params, feeds, self.static_const, self.precision)
+            return tuple(env[o] for o in output_names)
+
+        return fn
+
+    def jit(self) -> Callable:
+        return jax.jit(self.fn)
+
+
+def _tf_same_pool_pads(size: int, k: int, s: int) -> Tuple[int, int]:
+    out = -(-size // s)
+    pad = max((out - 1) * s + k - size, 0)
+    return pad // 2, pad - pad // 2
+
+
+def _eval_node(node: NodeDef, get, params, feeds, static, precision):
+    op = node.op
+    if op == "Placeholder":
+        return feeds[node.name]
+    if op == "Const" or op == "Dequantize":
+        # Dequantize over const weights is pre-folded into params (graphdef.py).
+        if node.name in params:
+            return params[node.name]
+        return static(node.name)  # shape-like const kept static
+    if op == "Identity":
+        return get(node.inputs[0])
+    if op in ("Relu",):
+        return jax.nn.relu(get(node.inputs[0]))
+    if op == "Relu6":
+        return jnp.clip(get(node.inputs[0]), 0.0, 6.0)
+    if op == "Sigmoid":
+        return jax.nn.sigmoid(get(node.inputs[0]))
+    if op == "Softmax":
+        return jax.nn.softmax(get(node.inputs[0]), axis=-1)
+    if op == "Neg":
+        return -get(node.inputs[0])
+    if op == "Exp":
+        return jnp.exp(get(node.inputs[0]))
+    if op == "Abs":
+        return jnp.abs(get(node.inputs[0]))
+    if op == "Sqrt":
+        return jnp.sqrt(get(node.inputs[0]))
+    if op == "Rsqrt":
+        return jax.lax.rsqrt(get(node.inputs[0]))
+    if op == "Square":
+        return jnp.square(get(node.inputs[0]))
+    if op in ("Add", "AddV2"):
+        return get(node.inputs[0]) + get(node.inputs[1])
+    if op == "Sub":
+        return get(node.inputs[0]) - get(node.inputs[1])
+    if op == "Mul":
+        return get(node.inputs[0]) * get(node.inputs[1])
+    if op == "RealDiv":
+        return get(node.inputs[0]) / get(node.inputs[1])
+    if op == "Minimum":
+        return jnp.minimum(get(node.inputs[0]), get(node.inputs[1]))
+    if op == "Maximum":
+        return jnp.maximum(get(node.inputs[0]), get(node.inputs[1]))
+    if op == "BiasAdd":
+        return get(node.inputs[0]) + get(node.inputs[1])
+    if op == "MatMul":
+        a = get(node.inputs[0])
+        b = get(node.inputs[1])
+        if node.attrs.get("transpose_a") and node.attrs["transpose_a"].b:
+            a = a.T
+        if node.attrs.get("transpose_b") and node.attrs["transpose_b"].b:
+            b = b.T
+        return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=precision)
+    if op == "Conv2D":
+        x = get(node.inputs[0])
+        w = get(node.inputs[1])
+        strides = node.attrs["strides"].list_i
+        padding = node.attrs["padding"].s.decode()
+        return jax.lax.conv_general_dilated(
+            x, w,
+            window_strides=(strides[1], strides[2]),
+            padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=precision,
+        )
+    if op == "DepthwiseConv2dNative":
+        x = get(node.inputs[0])
+        w = get(node.inputs[1])  # (H, W, C_in, mult)
+        strides = node.attrs["strides"].list_i
+        padding = node.attrs["padding"].s.decode()
+        h, wd, cin, mult = w.shape
+        w = jnp.reshape(w, (h, wd, 1, cin * mult))
+        return jax.lax.conv_general_dilated(
+            x, w,
+            window_strides=(strides[1], strides[2]),
+            padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=cin,
+            precision=precision,
+        )
+    if op == "MaxPool":
+        x = get(node.inputs[0])
+        k = node.attrs["ksize"].list_i
+        s = node.attrs["strides"].list_i
+        padding = node.attrs["padding"].s.decode()
+        if padding == "SAME":
+            # TF MaxPool SAME pads with -inf (not zeros): use explicit pads.
+            ph = _tf_same_pool_pads(x.shape[1], k[1], s[1])
+            pw = _tf_same_pool_pads(x.shape[2], k[2], s[2])
+            pads = [(0, 0), ph, pw, (0, 0)]
+        else:
+            pads = [(0, 0)] * 4
+        return jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max,
+            window_dimensions=tuple(k), window_strides=tuple(s), padding=pads,
+        )
+    if op == "AvgPool":
+        x = get(node.inputs[0])
+        k = node.attrs["ksize"].list_i
+        s = node.attrs["strides"].list_i
+        padding = node.attrs["padding"].s.decode()
+        summed = jax.lax.reduce_window(
+            x, 0.0, jax.lax.add,
+            window_dimensions=tuple(k), window_strides=tuple(s), padding=padding,
+        )
+        return summed / (k[1] * k[2])
+    if op == "Mean":
+        x = get(node.inputs[0])
+        axes = _reduce_axes(static(node.inputs[1]), x.ndim)
+        keep = bool(node.attrs.get("keep_dims") and node.attrs["keep_dims"].b)
+        return jnp.mean(x, axis=axes, keepdims=keep)
+    if op == "Sum":
+        x = get(node.inputs[0])
+        axes = _reduce_axes(static(node.inputs[1]), x.ndim)
+        keep = bool(node.attrs.get("keep_dims") and node.attrs["keep_dims"].b)
+        return jnp.sum(x, axis=axes, keepdims=keep)
+    if op == "Max":
+        x = get(node.inputs[0])
+        axes = _reduce_axes(static(node.inputs[1]), x.ndim)
+        keep = bool(node.attrs.get("keep_dims") and node.attrs["keep_dims"].b)
+        return jnp.max(x, axis=axes, keepdims=keep)
+    if op == "Reshape":
+        x = get(node.inputs[0])
+        shape = [int(v) for v in np.asarray(static(node.inputs[1])).reshape(-1)]
+        return jnp.reshape(x, shape)
+    if op == "Squeeze":
+        x = get(node.inputs[0])
+        dims = node.attrs.get("squeeze_dims")
+        axes = tuple(dims.list_i) if dims is not None and dims.list_i else None
+        return jnp.squeeze(x, axis=axes)
+    if op == "ConcatV2":
+        xs = [get(i) for i in node.inputs[:-1]]
+        axis = int(np.asarray(static(node.inputs[-1])))
+        return jnp.concatenate(xs, axis=axis)
+    if op == "Pad":
+        x = get(node.inputs[0])
+        pads = np.asarray(static(node.inputs[1])).astype(int)
+        return jnp.pad(x, [(int(a), int(b)) for a, b in pads])
+    if op == "Shape":
+        return jnp.asarray(get(node.inputs[0]).shape, dtype=jnp.int32)
+    if op == "Pack":
+        axis = node.attrs["axis"].i if "axis" in node.attrs and node.attrs["axis"].i else 0
+        return jnp.stack([get(i) for i in node.inputs], axis=axis)
+    if op == "StridedSlice":
+        x = get(node.inputs[0])
+        begin = np.asarray(static(node.inputs[1])).astype(int)
+        end = np.asarray(static(node.inputs[2])).astype(int)
+        strides = np.asarray(static(node.inputs[3])).astype(int)
+        slices = tuple(slice(int(b), int(e), int(s)) for b, e, s in zip(begin, end, strides))
+        out = x[slices]
+        shrink = node.attrs.get("shrink_axis_mask")
+        if shrink is not None and shrink.i:
+            axes = tuple(i for i in range(len(begin)) if (shrink.i >> i) & 1)
+            out = jnp.squeeze(out, axis=axes)
+        return out
+    raise NotImplementedError(f"TF op not supported by graph_compiler: {op} (node {node.name})")
+
+
+def compile_graph(graph: TFGraph, outputs: Sequence[str],
+                  precision: jax.lax.Precision = jax.lax.Precision.HIGHEST) -> CompiledGraph:
+    consts = extract_constants(graph)
+    return CompiledGraph(graph, outputs, consts, precision=precision)
+
+
+def compile_pb(path: str, outputs: Sequence[str],
+               precision: jax.lax.Precision = jax.lax.Precision.HIGHEST) -> CompiledGraph:
+    from .graphdef import load_graphdef
+
+    return compile_graph(load_graphdef(path), outputs, precision=precision)
