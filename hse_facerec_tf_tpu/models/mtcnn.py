@@ -1,0 +1,128 @@
+"""Native JAX MTCNN: P-Net / R-Net / O-Net.
+
+TPU-first reimplementation of the three-stage cascade whose frozen weights the
+reference ships in ``age_gender_identity/mtcnn.pb`` (tensor taps in reference
+``facial_analysis.py:336-351``; architecture verified from the GraphDef —
+SURVEY.md §2.2). All three nets are pure functions over explicit param pytrees
+imported from the pb, fully batched, jit/vmap/pjit-compatible.
+
+Network shapes (from the shipped weights):
+  P-Net: conv 3x3x10 VALID → PReLU → maxpool 2/2 SAME → conv 3x3x16 VALID →
+         PReLU → conv 3x3x32 VALID → PReLU → heads: cls conv1x1x2 (softmax),
+         reg conv1x1x4. Fully convolutional, any input size.
+  R-Net: input 24²; convs 28/48/64, pools (3,2,SAME)/(3,2,VALID), FC 128 →
+         PReLU → heads cls 2 / reg 4.
+  O-Net: input 48²; convs 32/64/64/128, pools (3,2,SAME)/(3,2,VALID)/(2,2,SAME),
+         FC 256 → PReLU → heads cls 2 / reg 4 / landmarks 10.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.graphdef import load_graphdef, extract_constants
+from .layers import conv2d, dense, prelu, max_pool
+
+Params = Dict[str, Dict[str, jnp.ndarray]]
+
+
+def _conv_block(x, p, *, padding="VALID", stride=1, precision):
+    x = conv2d(x, p["kernel"], stride=stride, padding=padding, precision=precision)
+    return x + p["bias"]
+
+
+def pnet(params: Params, x, *, precision=jax.lax.Precision.HIGHEST):
+    """P-Net forward. x: (N, H, W, 3) normalized (x-127.5)/128, transposed
+    convention (see pipelines/detector.py). Returns (reg (N,h,w,4), prob (N,h,w,2))."""
+    x = _conv_block(x, params["conv1"], precision=precision)
+    x = prelu(x, params["prelu1"]["alpha"])
+    x = max_pool(x, 2, 2, "SAME")
+    x = _conv_block(x, params["conv2"], precision=precision)
+    x = prelu(x, params["prelu2"]["alpha"])
+    x = _conv_block(x, params["conv3"], precision=precision)
+    x = prelu(x, params["prelu3"]["alpha"])
+    cls = _conv_block(x, params["cls"], padding="SAME", precision=precision)
+    reg = _conv_block(x, params["reg"], padding="SAME", precision=precision)
+    return reg, jax.nn.softmax(cls, axis=-1)
+
+
+def rnet(params: Params, x, *, precision=jax.lax.Precision.HIGHEST):
+    """R-Net forward. x: (N, 24, 24, 3). Returns (reg (N,4), prob (N,2))."""
+    x = _conv_block(x, params["conv1"], precision=precision)
+    x = prelu(x, params["prelu1"]["alpha"])
+    x = max_pool(x, 3, 2, "SAME")
+    x = _conv_block(x, params["conv2"], precision=precision)
+    x = prelu(x, params["prelu2"]["alpha"])
+    x = max_pool(x, 3, 2, "VALID")
+    x = _conv_block(x, params["conv3"], precision=precision)
+    x = prelu(x, params["prelu3"]["alpha"])
+    x = jnp.reshape(x, (x.shape[0], -1))
+    x = dense(x, params["fc"]["kernel"], params["fc"]["bias"], precision=precision)
+    x = prelu(x, params["prelu4"]["alpha"])
+    cls = dense(x, params["cls"]["kernel"], params["cls"]["bias"], precision=precision)
+    reg = dense(x, params["reg"]["kernel"], params["reg"]["bias"], precision=precision)
+    return reg, jax.nn.softmax(cls, axis=-1)
+
+
+def onet(params: Params, x, *, precision=jax.lax.Precision.HIGHEST):
+    """O-Net forward. x: (N, 48, 48, 3). Returns (reg (N,4), landmarks (N,10), prob (N,2))."""
+    x = _conv_block(x, params["conv1"], precision=precision)
+    x = prelu(x, params["prelu1"]["alpha"])
+    x = max_pool(x, 3, 2, "SAME")
+    x = _conv_block(x, params["conv2"], precision=precision)
+    x = prelu(x, params["prelu2"]["alpha"])
+    x = max_pool(x, 3, 2, "VALID")
+    x = _conv_block(x, params["conv3"], precision=precision)
+    x = prelu(x, params["prelu3"]["alpha"])
+    x = max_pool(x, 2, 2, "SAME")
+    x = _conv_block(x, params["conv4"], precision=precision)
+    x = prelu(x, params["prelu4"]["alpha"])
+    x = jnp.reshape(x, (x.shape[0], -1))
+    x = dense(x, params["fc"]["kernel"], params["fc"]["bias"], precision=precision)
+    x = prelu(x, params["prelu5"]["alpha"])
+    cls = dense(x, params["cls"]["kernel"], params["cls"]["bias"], precision=precision)
+    reg = dense(x, params["reg"]["kernel"], params["reg"]["bias"], precision=precision)
+    lmk = dense(x, params["lmk"]["kernel"], params["lmk"]["bias"], precision=precision)
+    return reg, lmk, jax.nn.softmax(cls, axis=-1)
+
+
+def import_mtcnn_params(pb_path: str) -> Dict[str, Params]:
+    """Load {pnet, rnet, onet} param pytrees from the frozen mtcnn.pb."""
+    consts = extract_constants(load_graphdef(pb_path))
+
+    def cb(prefix, name):  # conv/fc block
+        return {
+            "kernel": jnp.asarray(consts[f"{prefix}/{name}/weights"]),
+            "bias": jnp.asarray(consts[f"{prefix}/{name}/biases"]),
+        }
+
+    def al(prefix, name):  # prelu alpha
+        return {"alpha": jnp.asarray(consts[f"{prefix}/{name}/alpha"])}
+
+    p = {
+        "conv1": cb("pnet", "conv1"), "prelu1": al("pnet", "PReLU1"),
+        "conv2": cb("pnet", "conv2"), "prelu2": al("pnet", "PReLU2"),
+        "conv3": cb("pnet", "conv3"), "prelu3": al("pnet", "PReLU3"),
+        "cls": cb("pnet", "conv4-1"), "reg": cb("pnet", "conv4-2"),
+    }
+    r = {
+        "conv1": cb("rnet", "conv1"), "prelu1": al("rnet", "prelu1"),
+        "conv2": cb("rnet", "conv2"), "prelu2": al("rnet", "prelu2"),
+        "conv3": cb("rnet", "conv3"), "prelu3": al("rnet", "prelu3"),
+        "fc": cb("rnet", "conv4"), "prelu4": al("rnet", "prelu4"),
+        "cls": cb("rnet", "conv5-1"), "reg": cb("rnet", "conv5-2"),
+    }
+    o = {
+        "conv1": cb("onet", "conv1"), "prelu1": al("onet", "prelu1"),
+        "conv2": cb("onet", "conv2"), "prelu2": al("onet", "prelu2"),
+        "conv3": cb("onet", "conv3"), "prelu3": al("onet", "prelu3"),
+        "conv4": cb("onet", "conv4"), "prelu4": al("onet", "prelu4"),
+        "fc": cb("onet", "conv5"), "prelu5": al("onet", "prelu5"),
+        "cls": cb("onet", "conv6-1"), "reg": cb("onet", "conv6-2"),
+        "lmk": cb("onet", "conv6-3"),
+    }
+    return {"pnet": p, "rnet": r, "onet": o}
