@@ -1,0 +1,153 @@
+"""TPU-native image resize kernels with cv2/PIL-compatible semantics.
+
+The reference depends on three distinct resize semantics (SURVEY.md §2.4, §7):
+  - ``cv2.resize(..., INTER_AREA)``  — MTCNN pyramid & stage crops
+    (reference ``facial_analysis.py:505,547,577``)
+  - ``cv2.resize(...)`` INTER_LINEAR — age/gender face crops
+    (``facial_analysis.py:95,144,175``; ``process_photos.py:38``)
+  - ``scipy.misc.imresize(..., 'bilinear')`` (PIL triangle filter) —
+    embedding preprocessing (``facerec_test.py:84,93``)
+
+Design: for static output shapes, each 1-D resampling is a sparse
+source→target weight matrix computed at trace time in NumPy and applied as a
+dense matmul (separable: rows then cols). On TPU this runs on the MXU and
+fuses with surrounding normalize ops — no gather in the hot path. The weight
+matrices are tiny ((H_out, H_in)) and constant-folded by XLA.
+
+All functions accept (..., H, W, C) arrays and are batch-polymorphic.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=256)
+def _linear_weights_cv2(src: int, dst: int) -> np.ndarray:
+    """cv2.INTER_LINEAR 1-D weights: half-pixel centers, edge clamp."""
+    w = np.zeros((dst, src), dtype=np.float32)
+    scale = src / dst
+    for i in range(dst):
+        f = (i + 0.5) * scale - 0.5
+        i0 = int(np.floor(f))
+        a = f - i0
+        i0c = min(max(i0, 0), src - 1)
+        i1c = min(max(i0 + 1, 0), src - 1)
+        w[i, i0c] += 1.0 - a
+        w[i, i1c] += a
+    return w
+
+
+@functools.lru_cache(maxsize=256)
+def _area_weights_cv2(src: int, dst: int) -> np.ndarray:
+    """cv2.INTER_AREA 1-D weights: pixel-area overlap averaging.
+
+    Each target cell i covers source interval [i*s, (i+1)*s), s = src/dst;
+    source pixels contribute proportionally to their overlap. For upscale
+    (s < 1) this degenerates to nearest — same as cv2's area path."""
+    w = np.zeros((dst, src), dtype=np.float32)
+    s = src / dst
+    for i in range(dst):
+        lo = i * s
+        hi = (i + 1) * s
+        j0 = int(np.floor(lo))
+        j1 = min(int(np.ceil(hi)), src)
+        for j in range(j0, j1):
+            overlap = min(hi, j + 1) - max(lo, j)
+            if overlap > 0:
+                w[i, j] = overlap / s
+    return w
+
+
+@functools.lru_cache(maxsize=256)
+def _triangle_weights_pil(src: int, dst: int) -> np.ndarray:
+    """PIL (Pillow ≥2.7) BILINEAR 1-D weights: triangle filter with support
+    scaled by the downscale factor, weights normalized. Matches
+    ``scipy.misc.imresize(interp='bilinear')`` which wraps PIL."""
+    w = np.zeros((dst, src), dtype=np.float32)
+    scale = src / dst
+    filterscale = max(scale, 1.0)
+    support = 1.0 * filterscale
+    for i in range(dst):
+        center = (i + 0.5) * scale
+        xmin = max(int(center - support + 0.5), 0)
+        xmax = min(int(center + support + 0.5), src)
+        xs = np.arange(xmin, xmax)
+        dist = (xs + 0.5 - center) / filterscale
+        k = np.clip(1.0 - np.abs(dist), 0.0, None)
+        tot = k.sum()
+        if tot > 0:
+            w[i, xmin:xmax] = k / tot
+    return w
+
+
+_WEIGHT_FNS = {
+    "cv2_linear": _linear_weights_cv2,
+    "cv2_area": _area_weights_cv2,
+    "pil_bilinear": _triangle_weights_pil,
+}
+
+
+def resize(img: jnp.ndarray, out_hw: Tuple[int, int], method: str = "cv2_linear",
+           precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+    """Resize (..., H, W, C) to (..., out_h, out_w, C) with the given semantics.
+
+    method: 'cv2_linear' | 'cv2_area' | 'pil_bilinear'.
+    """
+    h, w = img.shape[-3], img.shape[-2]
+    oh, ow = out_hw
+    wfn = _WEIGHT_FNS[method]
+    mh = jnp.asarray(wfn(h, oh))          # (oh, h)
+    mw = jnp.asarray(wfn(w, ow))          # (ow, w)
+    x = img.astype(jnp.float32)
+    # rows: contract source H with mh -> out rows
+    x = jnp.einsum("oh,...hwc->...owc", mh, x, precision=precision)
+    x = jnp.einsum("pw,...owc->...opc", mw, x, precision=precision)
+    return x
+
+
+def crop_resize_bilinear(img: jnp.ndarray, boxes: jnp.ndarray, out_size: int,
+                         supersample: int = 2) -> jnp.ndarray:
+    """Batched dynamic crop + resize with area-approximating bilinear sampling.
+
+    img:   (H, W, C) source image (float32).
+    boxes: (N, 4) [y1, x1, y2, x2] pixel coords (may be traced values).
+    out:   (N, out_size, out_size, C).
+
+    Sampling grid uses cv2 half-pixel convention. ``supersample`` s produces an
+    (s*out)² bilinear sample grid averaged s×s — approximating INTER_AREA for
+    the MTCNN stage crops (reference ``facial_analysis.py:547,577``) while
+    remaining jit-compatible with traced box coordinates.
+    """
+    img = jnp.asarray(img, jnp.float32)
+    H, W = img.shape[0], img.shape[1]
+    s = supersample * out_size
+
+    def one(box):
+        y1, x1, y2, x2 = box[0], box[1], box[2], box[3]
+        bh = y2 - y1
+        bw = x2 - x1
+        ys = y1 + (jnp.arange(s, dtype=jnp.float32) + 0.5) * bh / s - 0.5
+        xs = x1 + (jnp.arange(s, dtype=jnp.float32) + 0.5) * bw / s - 0.5
+        y0 = jnp.clip(jnp.floor(ys), 0, H - 1)
+        x0 = jnp.clip(jnp.floor(xs), 0, W - 1)
+        wy = jnp.clip(ys - y0, 0.0, 1.0)
+        wx = jnp.clip(xs - x0, 0.0, 1.0)
+        y0i = y0.astype(jnp.int32)
+        x0i = x0.astype(jnp.int32)
+        y1i = jnp.minimum(y0i + 1, H - 1)
+        x1i = jnp.minimum(x0i + 1, W - 1)
+        # gather rows then columns (separable bilinear)
+        top = img[y0i][:, x0i] * (1 - wx)[None, :, None] + img[y0i][:, x1i] * wx[None, :, None]
+        bot = img[y1i][:, x0i] * (1 - wx)[None, :, None] + img[y1i][:, x1i] * wx[None, :, None]
+        out = top * (1 - wy)[:, None, None] + bot * wy[:, None, None]
+        if supersample > 1:
+            out = out.reshape(out_size, supersample, out_size, supersample, -1).mean(axis=(1, 3))
+        return out
+
+    return jax.vmap(one)(boxes.astype(jnp.float32))
