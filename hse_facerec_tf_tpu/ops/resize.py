@@ -112,7 +112,7 @@ def resize(img: jnp.ndarray, out_hw: Tuple[int, int], method: str = "cv2_linear"
 
 
 def crop_resize_bilinear(img: jnp.ndarray, boxes: jnp.ndarray, out_size: int,
-                         supersample: int = 2) -> jnp.ndarray:
+                         supersample: int = 2, outside: str = "clamp") -> jnp.ndarray:
     """Batched dynamic crop + resize with area-approximating bilinear sampling.
 
     img:   (H, W, C) source image (float32).
@@ -123,10 +123,24 @@ def crop_resize_bilinear(img: jnp.ndarray, boxes: jnp.ndarray, out_size: int,
     (s*out)² bilinear sample grid averaged s×s — approximating INTER_AREA for
     the MTCNN stage crops (reference ``facial_analysis.py:547,577``) while
     remaining jit-compatible with traced box coordinates.
+
+    outside: 'clamp' replicates border pixels; 'zero' reproduces the
+    reference's zero-padded crop buffers (``facial_analysis.py:545-547``:
+    out-of-image regions of a box read as black).
     """
     img = jnp.asarray(img, jnp.float32)
     H, W = img.shape[0], img.shape[1]
     s = supersample * out_size
+
+    if outside == "zero":
+        # one zero ring; far-outside taps clamp into the ring and read 0
+        img_p = jnp.pad(img, ((1, 1), (1, 1), (0, 0)))
+        off = 1
+        Hc, Wc = H + 2, W + 2
+    else:
+        img_p = img
+        off = 0
+        Hc, Wc = H, W
 
     def one(box):
         y1, x1, y2, x2 = box[0], box[1], box[2], box[3]
@@ -134,17 +148,17 @@ def crop_resize_bilinear(img: jnp.ndarray, boxes: jnp.ndarray, out_size: int,
         bw = x2 - x1
         ys = y1 + (jnp.arange(s, dtype=jnp.float32) + 0.5) * bh / s - 0.5
         xs = x1 + (jnp.arange(s, dtype=jnp.float32) + 0.5) * bw / s - 0.5
-        y0 = jnp.clip(jnp.floor(ys), 0, H - 1)
-        x0 = jnp.clip(jnp.floor(xs), 0, W - 1)
-        wy = jnp.clip(ys - y0, 0.0, 1.0)
-        wx = jnp.clip(xs - x0, 0.0, 1.0)
-        y0i = y0.astype(jnp.int32)
-        x0i = x0.astype(jnp.int32)
-        y1i = jnp.minimum(y0i + 1, H - 1)
-        x1i = jnp.minimum(x0i + 1, W - 1)
+        yf = jnp.floor(ys)
+        xf = jnp.floor(xs)
+        wy = jnp.clip(ys - yf, 0.0, 1.0)
+        wx = jnp.clip(xs - xf, 0.0, 1.0)
+        y0i = jnp.clip(yf.astype(jnp.int32) + off, 0, Hc - 1)
+        x0i = jnp.clip(xf.astype(jnp.int32) + off, 0, Wc - 1)
+        y1i = jnp.clip(yf.astype(jnp.int32) + 1 + off, 0, Hc - 1)
+        x1i = jnp.clip(xf.astype(jnp.int32) + 1 + off, 0, Wc - 1)
         # gather rows then columns (separable bilinear)
-        top = img[y0i][:, x0i] * (1 - wx)[None, :, None] + img[y0i][:, x1i] * wx[None, :, None]
-        bot = img[y1i][:, x0i] * (1 - wx)[None, :, None] + img[y1i][:, x1i] * wx[None, :, None]
+        top = img_p[y0i][:, x0i] * (1 - wx)[None, :, None] + img_p[y0i][:, x1i] * wx[None, :, None]
+        bot = img_p[y1i][:, x0i] * (1 - wx)[None, :, None] + img_p[y1i][:, x1i] * wx[None, :, None]
         out = top * (1 - wy)[:, None, None] + bot * wy[:, None, None]
         if supersample > 1:
             out = out.reshape(out_size, supersample, out_size, supersample, -1).mean(axis=(1, 3))

@@ -1,0 +1,85 @@
+"""End-to-end detector pipeline vs host golden cascade on the shipped fixture."""
+
+import cv2
+import numpy as np
+import pytest
+
+from hse_facerec_tf_tpu.models.mtcnn import import_mtcnn_params
+from hse_facerec_tf_tpu.pipelines.detector import MTCNNDetector, pyramid_scales
+
+from .conftest import MTCNN_PB, TEST_IMAGE
+from .golden_mtcnn import detect_golden
+
+
+@pytest.fixture(scope="module")
+def params():
+    return import_mtcnn_params(str(MTCNN_PB))
+
+
+@pytest.fixture(scope="module")
+def test_img():
+    img = cv2.imread(str(TEST_IMAGE))
+    img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    # downscale like the reference demo (≤640×480, facial_analysis.py:653-655)
+    h, w = img.shape[:2]
+    scale = min(640 / w, 480 / h, 1.0)
+    return cv2.resize(img, (int(w * scale), int(h * scale)))
+
+
+def _iou(a, b):
+    x1 = max(a[0], b[0]); y1 = max(a[1], b[1])
+    x2 = min(a[2], b[2]); y2 = min(a[3], b[3])
+    inter = max(0.0, x2 - x1 + 1) * max(0.0, y2 - y1 + 1)
+    area = lambda r: (r[2] - r[0] + 1) * (r[3] - r[1] + 1)
+    return inter / (area(a) + area(b) - inter)
+
+
+def test_pyramid_scales():
+    scales = pyramid_scales(480, 640, minsize=40)
+    assert scales[0] == pytest.approx(12.0 / 40)
+    assert all(scales[i + 1] == pytest.approx(scales[i] * 0.709) for i in range(len(scales) - 1))
+    # terminates when min-side support < 12px
+    assert 480 * scales[-1] >= 12 > 480 * scales[-1] * 0.709
+
+
+def test_detector_vs_golden_on_fixture(params, test_img):
+    golden_boxes, golden_points = detect_golden(params, test_img, minsize=40)
+    det = MTCNNDetector(params, minsize=40)
+    boxes, points = det.detect(test_img)
+
+    assert len(golden_boxes) > 0, "fixture should contain at least one face"
+    assert len(boxes) == len(golden_boxes)
+
+    # match each golden box to a detected box with high IoU and close score
+    used = set()
+    for gb in golden_boxes:
+        best, best_iou = None, 0.0
+        for i, bb in enumerate(boxes):
+            if i in used:
+                continue
+            iou = _iou(gb, bb)
+            if iou > best_iou:
+                best, best_iou = i, iou
+        assert best_iou > 0.8, f"golden box {gb} unmatched (best IoU {best_iou})"
+        assert abs(boxes[best][4] - gb[4]) < 0.05
+        used.add(best)
+
+    # landmarks within a few pixels of golden
+    for j, gp in enumerate(golden_points.T):
+        dists = np.abs(points.T - gp).max(axis=1)
+        assert dists.min() < 4.0
+
+
+def test_detector_no_faces(params, rng):
+    noise = (rng.rand(160, 160, 3) * 255).astype(np.uint8)
+    det = MTCNNDetector(params, minsize=40)
+    boxes, points = det.detect(noise)
+    assert boxes.shape[1] == 5
+    assert points.shape[0] == 10
+
+
+def test_detector_small_image(params):
+    det = MTCNNDetector(params, minsize=40)
+    tiny = np.zeros((20, 20, 3), dtype=np.uint8)
+    boxes, _ = det.detect(tiny)  # pyramid empty -> no faces, no crash
+    assert len(boxes) == 0
