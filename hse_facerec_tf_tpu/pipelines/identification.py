@@ -1,0 +1,139 @@
+"""Face identification: on-device 1-NN / k-NN and the reference's protocols.
+
+TPU-native replacement for the reference's sklearn-based evaluation
+(``facerec_test.py:200-207,269-288,401-432``): features are L2-normalized on
+device, the gallery×probe distance matrix is one MXU matmul, and prediction is
+argmin/top-k + majority vote — no per-pair Python.
+
+Protocol reproduction (for accuracy parity with BASELINE.md):
+  - 50 % StratifiedShuffleSplit, seed 0, 1 split (``classifier_tester`` :200-207)
+  - singleton-class removal before splitting (:408-414)
+  - single-gallery-image-per-class protocol (``get_single_image_per_class_cv``
+    :177-198, seeds 0, 10 splits)
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.distance import l2_normalize, nearest_neighbor, top_k_neighbors
+
+
+class KNNIdentifier:
+    """k-NN classifier over L2-normalized embeddings, fully on device."""
+
+    def __init__(self, k: int = 1, metric: str = "euclidean", normalize: bool = True):
+        self.k = k
+        self.metric = metric
+        self.normalize = normalize
+        self._gallery = None
+        self._labels = None
+
+    def fit(self, features: np.ndarray, labels: np.ndarray) -> "KNNIdentifier":
+        g = jnp.asarray(features, jnp.float32)
+        if self.normalize:
+            g = l2_normalize(g)
+        self._gallery = g
+        self._labels = jnp.asarray(labels)
+        return self
+
+    def predict(self, probes: np.ndarray) -> np.ndarray:
+        p = jnp.asarray(probes, jnp.float32)
+        if self.normalize:
+            p = l2_normalize(p)
+        if self.k == 1:
+            pred, _ = nearest_neighbor(self._gallery, self._labels, p, self.metric)
+            return np.asarray(pred)
+        idx, _ = top_k_neighbors(self._gallery, p, self.k, self.metric)
+        votes = np.asarray(self._labels)[np.asarray(idx)]  # (M, k)
+        out = np.empty(len(votes), dtype=votes.dtype)
+        for i, row in enumerate(votes):
+            vals, counts = np.unique(row, return_counts=True)
+            out[i] = vals[np.argmax(counts)]
+        return out
+
+    def score(self, probes: np.ndarray, labels: np.ndarray) -> float:
+        return float(np.mean(self.predict(probes) == np.asarray(labels)))
+
+
+def pca_project(train: np.ndarray, test: np.ndarray, n_components: int,
+                ) -> Tuple[np.ndarray, np.ndarray]:
+    """PCA fit on train, project both — on device via SVD (the reference's
+    1-NN+PCA pipeline, ``facerec_test.py:418-424``)."""
+    x = jnp.asarray(train, jnp.float32)
+    mean = jnp.mean(x, axis=0, keepdims=True)
+    _, _, vt = jnp.linalg.svd(x - mean, full_matrices=False)
+    comps = vt[:n_components].T
+    proj = lambda a: np.asarray((jnp.asarray(a, jnp.float32) - mean) @ comps)
+    return proj(train), proj(test)
+
+
+def drop_singleton_classes(features: np.ndarray, labels: np.ndarray
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+    """Remove classes with a single sample and re-encode labels 0..C-1
+    (reference ``facerec_test.py:408-414``)."""
+    labels = np.asarray(labels)
+    vals, counts = np.unique(labels, return_counts=True)
+    keep_classes = set(vals[counts > 1].tolist())
+    mask = np.array([l in keep_classes for l in labels])
+    kept = labels[mask]
+    remap = {v: i for i, v in enumerate(np.unique(kept))}
+    return features[mask], np.array([remap[l] for l in kept])
+
+
+def stratified_split_eval(features: np.ndarray, labels: np.ndarray,
+                          classifier: Optional[KNNIdentifier] = None,
+                          test_size: float = 0.5, seed: int = 0,
+                          n_splits: int = 1) -> Tuple[float, float]:
+    """The reference's ``classifier_tester`` protocol: StratifiedShuffleSplit
+    (sklearn, same seed → same split), accuracy mean/std."""
+    from sklearn.model_selection import StratifiedShuffleSplit
+
+    classifier = classifier or KNNIdentifier(k=1)
+    sss = StratifiedShuffleSplit(n_splits=n_splits, test_size=test_size,
+                                 random_state=seed)
+    accs = []
+    for tr, te in sss.split(features, labels):
+        classifier.fit(features[tr], labels[tr])
+        accs.append(classifier.score(features[te], labels[te]))
+    return float(np.mean(accs)), float(np.std(accs))
+
+
+def single_image_per_class_splits(labels: np.ndarray, n_splits: int = 10,
+                                  seed: int = 0):
+    """Gallery = 1 random image per class, probe = rest
+    (reference ``get_single_image_per_class_cv`` :177-198)."""
+    labels = np.asarray(labels)
+    inds = np.arange(len(labels))
+    rng = np.random.RandomState(seed)
+    np.random.seed(seed)
+    for _ in range(n_splits):
+        tr, te = [], []
+        for lbl in np.unique(labels):
+            tmp = inds[labels == lbl].copy()
+            np.random.shuffle(tmp)
+            tr.extend(tmp[:1])
+            te.extend(tmp[1:])
+        yield np.asarray(tr), np.asarray(te)
+
+
+def single_image_eval(features: np.ndarray, labels: np.ndarray,
+                      n_splits: int = 10, seed: int = 0) -> Tuple[float, float]:
+    accs = []
+    knn = KNNIdentifier(k=1)
+    for tr, te in single_image_per_class_splits(labels, n_splits, seed):
+        knn.fit(features[tr], labels[tr])
+        accs.append(knn.score(features[te], labels[te]))
+    return float(np.mean(accs)), float(np.std(accs))
+
+
+def gallery_probe_eval(gallery_features, gallery_labels, probe_features,
+                       probe_labels, k: int = 1) -> float:
+    """Separate Gallery/Probe directory protocol
+    (``tf_train_test_recognition`` :220-288)."""
+    knn = KNNIdentifier(k=k).fit(gallery_features, gallery_labels)
+    return knn.score(probe_features, probe_labels)

@@ -1,0 +1,99 @@
+"""Host-side image/video IO: decode, EXIF/rotation probing, dataset walking.
+
+Replaces the reference's cv2/scipy/PIL decode calls and its ``exiftool.exe``
+subprocess for video rotation (``facial_analysis.py:619-635``) with
+pure-Python probes. Decode stays on host (TPUs don't decode JPEG); everything
+after decode runs on device.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+def imread_rgb(path: str) -> np.ndarray:
+    """Decode an image file to RGB uint8 (H, W, 3)."""
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    if img is None:
+        raise IOError(f"cannot decode image: {path}")
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
+def get_files(db_dir: str, extensions=(".jpg", ".jpeg", ".png", ".bmp")) -> List[Tuple[str, str]]:
+    """[(class_dir, relative_path)] for a directory-per-class dataset
+    (reference ``facerec_test.py:38-39``)."""
+    out = []
+    for d in sorted(os.listdir(db_dir)):
+        full = os.path.join(db_dir, d)
+        if not os.path.isdir(full):
+            continue
+        for f in sorted(os.listdir(full)):
+            if f.lower().endswith(extensions):
+                out.append((d, os.path.join(d, f)))
+    return out
+
+
+def exif_orientation(path: str) -> int:
+    """EXIF orientation tag (1 = upright). Pure-Python probe via PIL."""
+    try:
+        from PIL import Image
+
+        with Image.open(path) as im:
+            exif = im.getexif()
+            return int(exif.get(0x0112, 1))
+    except Exception:
+        return 1
+
+
+def apply_orientation(img: np.ndarray, orientation: int) -> np.ndarray:
+    """Apply an EXIF orientation to a decoded RGB array."""
+    if orientation == 3:
+        return np.rot90(img, 2).copy()
+    if orientation == 6:
+        return np.rot90(img, 3).copy()
+    if orientation == 8:
+        return np.rot90(img, 1).copy()
+    return img
+
+
+def video_rotation(path: str) -> int:
+    """Rotation metadata (degrees cw) for MP4/MOV files.
+
+    Pure-Python replacement for the reference's ``exiftool`` subprocess
+    (``facial_analysis.py:619-635``): walks the MP4 box structure and decodes
+    the track ``tkhd`` rotation matrix. Returns 0 / 90 / 180 / 270."""
+    try:
+        with open(path, "rb") as f:
+            data = f.read(4 * 1024 * 1024)
+        idx = data.find(b"tkhd")
+        if idx < 0:
+            return 0
+        # tkhd: 4cc + version/flags(4) + times + ... matrix at fixed offset
+        version = data[idx + 4]
+        base = idx + 4 + 4 + (8 * 4 if version == 1 else 4 * 4) + 8 + 2 * 4
+        matrix = struct.unpack(">9i", data[base : base + 36])
+        a, b = matrix[0] / 65536.0, matrix[1] / 65536.0
+        if abs(a - 1) < 0.01 and abs(b) < 0.01:
+            return 0
+        if abs(a) < 0.01 and abs(b - 1) < 0.01:
+            return 90
+        if abs(a + 1) < 0.01 and abs(b) < 0.01:
+            return 180
+        if abs(a) < 0.01 and abs(b + 1) < 0.01:
+            return 270
+        return 0
+    except Exception:
+        return 0
+
+
+def rotate_image(img: np.ndarray, degrees_cw: int) -> np.ndarray:
+    """Rotate a frame by the video rotation metadata
+    (reference ``show_video`` :643-651)."""
+    k = (degrees_cw // 90) % 4
+    return np.rot90(img, -k).copy() if k else img

@@ -1,0 +1,112 @@
+"""Embedding extraction + identification pipeline tests, incl. 8-device mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from hse_facerec_tf_tpu.models.multihead import import_multihead_params, multihead_apply
+from hse_facerec_tf_tpu.parallel.sharding import make_mesh
+from hse_facerec_tf_tpu.pipelines.embedder import EmbeddingExtractor
+from hse_facerec_tf_tpu.pipelines import identification as ident
+
+from .conftest import AGEGENDER_PB
+
+
+@pytest.fixture(scope="module")
+def mh_params():
+    return import_multihead_params(str(AGEGENDER_PB))
+
+
+def identity_fn(params, x):
+    return multihead_apply(params, x).identity
+
+
+def test_extract_batch_matches_single(mh_params, rng):
+    ex = EmbeddingExtractor(identity_fn, mh_params, (224, 224),
+                            normalization="vggface2", resize_method="cv2_linear",
+                            batch_size=4)
+    imgs = (rng.rand(6, 112, 112, 3) * 255).astype(np.uint8)
+    feats = ex.extract_batch(imgs)
+    assert feats.shape == (6, 1024)
+    one = ex.extract_batch(imgs[2:3])
+    np.testing.assert_allclose(feats[2], one[0], atol=1e-3)
+
+
+def test_extract_sharded_mesh(mh_params, rng):
+    mesh = make_mesh()  # 8 virtual CPU devices (conftest)
+    assert mesh.devices.size == 8
+    ex = EmbeddingExtractor(identity_fn, mh_params, (224, 224),
+                            normalization="vggface2", resize_method="cv2_linear",
+                            batch_size=8, mesh=mesh)
+    imgs = (rng.rand(8, 96, 96, 3) * 255).astype(np.uint8)
+    feats = ex.extract_batch(imgs)
+    ex1 = EmbeddingExtractor(identity_fn, mh_params, (224, 224),
+                             normalization="vggface2", resize_method="cv2_linear",
+                             batch_size=8)
+    feats1 = ex1.extract_batch(imgs)
+    np.testing.assert_allclose(feats, feats1, atol=1e-3)
+
+
+def _synthetic_classes(rng, n_classes=12, per_class=6, dim=64, noise=0.15):
+    centers = rng.randn(n_classes, dim).astype(np.float32)
+    feats, labels = [], []
+    for c in range(n_classes):
+        for _ in range(per_class):
+            feats.append(centers[c] + noise * rng.randn(dim).astype(np.float32))
+            labels.append(c)
+    return np.stack(feats), np.asarray(labels)
+
+
+def test_knn_identifier_vs_sklearn(rng):
+    from sklearn.neighbors import KNeighborsClassifier
+    from sklearn.preprocessing import normalize
+
+    feats, labels = _synthetic_classes(rng)
+    tr = np.arange(len(labels)) % 2 == 0
+    te = ~tr
+    ours = ident.KNNIdentifier(k=1).fit(feats[tr], labels[tr])
+    got = ours.predict(feats[te])
+    sk = KNeighborsClassifier(n_neighbors=1, p=2).fit(normalize(feats[tr]), labels[tr])
+    want = sk.predict(normalize(feats[te]))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_knn3_majority(rng):
+    feats, labels = _synthetic_classes(rng, noise=0.05)
+    knn = ident.KNNIdentifier(k=3).fit(feats, labels)
+    assert knn.score(feats, labels) == 1.0
+
+
+def test_drop_singletons():
+    feats = np.arange(10, dtype=np.float32).reshape(5, 2)
+    labels = np.array([0, 0, 1, 2, 2])
+    f2, l2 = ident.drop_singleton_classes(feats, labels)
+    assert len(l2) == 4
+    assert set(l2.tolist()) == {0, 1}
+
+
+def test_stratified_eval_protocol(rng):
+    feats, labels = _synthetic_classes(rng, noise=0.05)
+    mean, std = ident.stratified_split_eval(feats, labels)
+    assert mean > 0.95
+
+
+def test_single_image_protocol(rng):
+    feats, labels = _synthetic_classes(rng, noise=0.05)
+    mean, std = ident.single_image_eval(feats, labels, n_splits=3)
+    assert mean > 0.9
+
+
+def test_pca_projection(rng):
+    feats, labels = _synthetic_classes(rng)
+    tr_p, te_p = ident.pca_project(feats, feats, 8)
+    assert tr_p.shape == (len(feats), 8)
+    from sklearn.decomposition import PCA
+
+    want = PCA(n_components=8).fit_transform(feats)
+    # PCA components defined up to sign
+    for j in range(8):
+        col = tr_p[:, j]
+        assert (np.allclose(col, want[:, j], atol=1e-2)
+                or np.allclose(col, -want[:, j], atol=1e-2))
