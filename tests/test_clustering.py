@@ -1,0 +1,124 @@
+"""Clustering pipeline + metrics tests."""
+
+import numpy as np
+import pytest
+
+from hse_facerec_tf_tpu.eval.clustering_metrics import bcubed, clustering_statistics
+from hse_facerec_tf_tpu.ops.distance import pairwise_euclidean
+from hse_facerec_tf_tpu.pipelines.clustering import (clusters_to_labels,
+                                                     get_facial_clusters)
+
+
+def _blobs(rng, n_classes=5, per_class=8, dim=16, spread=0.05):
+    centers = rng.randn(n_classes, dim).astype(np.float32) * 3
+    feats, labels = [], []
+    for c in range(n_classes):
+        feats.extend(centers[c] + spread * rng.randn(per_class, dim).astype(np.float32))
+        labels.extend([c] * per_class)
+    feats = np.stack(feats)
+    return feats, np.asarray(labels)
+
+
+@pytest.fixture(scope="module")
+def blob_data(rng):
+    feats, labels = _blobs(rng)
+    dist = np.array(pairwise_euclidean(feats, feats))
+    np.fill_diagonal(dist, 0.0)
+    return dist, labels
+
+
+@pytest.mark.parametrize("method", ["scipy", "rankorder", "dbscan"])
+def test_clusters_recover_blobs(blob_data, method):
+    dist, labels = blob_data
+    clusters = get_facial_clusters(dist, distance_threshold=1.0, method=method)
+    assert len(clusters) == len(np.unique(labels))
+    for cluster in clusters:
+        assert len(set(labels[cluster])) == 1
+    # sorted by size, descending
+    sizes = [len(c) for c in clusters]
+    assert sizes == sorted(sizes, reverse=True)
+
+
+def test_scipy_matches_reference_hac(blob_data):
+    """Our scipy path == direct scipy single-linkage fcluster (the reference's
+    exact code path, facial_clustering.py:240-243)."""
+    import scipy.cluster.hierarchy as hac
+    from scipy.spatial.distance import squareform
+
+    dist, labels = blob_data
+    clusters = get_facial_clusters(dist, 1.0, method="scipy")
+    z = hac.linkage(squareform(dist, checks=False), method="single")
+    want = hac.fcluster(z, 1.0, "distance")
+    got = clusters_to_labels(clusters, len(labels))
+    # same partition (label values may differ)
+    from sklearn.metrics import adjusted_rand_score
+    assert adjusted_rand_score(want, got) == 1.0
+
+
+def test_same_photo_constraint(rng):
+    """Two faces from the same photo must end in different clusters
+    (facial_clustering.py:244-259)."""
+    feats, labels = _blobs(rng, n_classes=2, per_class=4, spread=0.01)
+    dist = np.array(pairwise_euclidean(feats, feats))
+    np.fill_diagonal(dist, 0.0)
+    # faces 0 and 1 (same class) came from the same photo
+    photo_idx = np.arange(len(labels))
+    photo_idx[1] = photo_idx[0]
+    clusters = get_facial_clusters(dist, 1.0, all_indices=photo_idx, method="scipy")
+    for cluster in clusters:
+        assert not (0 in cluster and 1 in cluster)
+    # without the constraint they cluster together
+    clusters2 = get_facial_clusters(dist, 1.0, method="scipy")
+    assert any(0 in c and 1 in c for c in clusters2)
+
+
+def test_dbscan_min_samples(blob_data):
+    dist, labels = blob_data
+    clusters = get_facial_clusters(dist, 1.0, no_images_in_cluster=3, method="dbscan")
+    assert all(len(c) >= 3 for c in clusters)
+
+
+def test_bcubed_perfect_and_degenerate():
+    y = np.array([0, 0, 1, 1, 2])
+    p, r, f = bcubed(y, y)
+    assert p == r == f == 1.0
+    # all-in-one-cluster: in the reference's argument orientation
+    # (BCubed_stat(y_true, y_pred), facial_clustering_test.py:353-359)
+    # "precision" averages over same-true pairs -> 1.0 here, and "recall"
+    # averages over same-pred pairs -> mean class share.
+    pred = np.zeros_like(y)
+    p, r, f = bcubed(y, pred)
+    assert p == 1.0
+    assert r == pytest.approx(np.mean([2 / 5, 2 / 5, 2 / 5, 2 / 5, 1 / 5]))
+
+
+def test_bcubed_matches_reference_formula(rng):
+    """Vectorized bcubed == the reference's O(N²) loop implementation."""
+    y_true = rng.randint(0, 4, size=30)
+    y_pred = rng.randint(0, 5, size=30)
+
+    def ref_bcubed(y_t, y_p):
+        cdict = {i: {v} for i, v in enumerate(y_t)}
+        ldict = {i: {v} for i, v in enumerate(y_p)}
+        def mp(e1, e2):
+            return min(len(cdict[e1] & cdict[e2]), len(ldict[e1] & ldict[e2])) / len(cdict[e1] & cdict[e2])
+        def mr(e1, e2):
+            return min(len(cdict[e1] & cdict[e2]), len(ldict[e1] & ldict[e2])) / len(ldict[e1] & ldict[e2])
+        p = np.mean([np.mean([mp(e1, e2) for e2 in cdict if cdict[e1] & cdict[e2]]) for e1 in cdict])
+        r = np.mean([np.mean([mr(e1, e2) for e2 in cdict if ldict[e1] & ldict[e2]]) for e1 in cdict])
+        return p, r
+
+    p_ref, r_ref = ref_bcubed(y_true, y_pred)
+    p, r, _ = bcubed(y_true, y_pred)
+    assert p == pytest.approx(p_ref)
+    assert r == pytest.approx(r_ref)
+
+
+def test_clustering_statistics(blob_data):
+    dist, labels = blob_data
+    clusters = get_facial_clusters(dist, 1.0, method="scipy")
+    y_pred = clusters_to_labels(clusters, len(labels))
+    stats = clustering_statistics(labels, y_pred)
+    assert stats["ari"] == 1.0
+    assert stats["v_measure"] == 1.0
+    assert stats["bcubed_f"] == 1.0
