@@ -1,0 +1,305 @@
+"""Photo/video album organizer: detect → analyze → cluster by person → output.
+
+End-to-end product pipeline with the reference's semantics
+(``age_gender_identity/process_photos.py``):
+  - per photo: faces via the fused analyzer; 90°/270° retry when none found
+    (:241-247); per-face born-year estimate ``photo_year - (age - 0.5)``
+    (:257-258); "private" flag when a face is wide enough (:41-42);
+  - per video: frame sampling with adaptive skip 5→3 (:118), rotation fix from
+    container metadata, per-cluster median gender/born-year and mean feature
+    (:145-153), minimum frame count per cluster;
+  - clustering over all faces with the fused distance
+    ``L2(features) + 0.1 · χ²-age-penalty`` (:46-51), same-photo constraint,
+    cluster size + date-span filters (:66-75);
+  - Dempster-Shafer gender fusion per cluster (:327);
+  - outputs: ``clusters/<i> <gender> <age>/<face>.jpg`` crops (:333-342) and
+    ``clusters/public/`` downscaled copies of unclustered photos (:344-358).
+
+Feature extraction is cached per album (``features.npz`` — the reference's
+``features.dump`` pickle, :220-273 — but in a safe format).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import shutil
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import AlbumConfig
+from ..ops.distance import pairwise_sqeuclidean
+from ..utils.image_io import imread_rgb, rotate_image, video_rotation
+from .analyzer import FacialAnalyzer
+from .clustering import get_facial_clusters
+from .fusion import dempster_shafer_gender
+
+IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".bmp")
+VIDEO_EXTS = (".mov", ".avi", ".mp4", ".mpg", ".mpeg", ".wmv")
+
+
+def is_image(f: str) -> bool:
+    return f.lower().endswith(IMAGE_EXTS)
+
+
+def is_video(f: str) -> bool:
+    return f.lower().endswith(VIDEO_EXTS)
+
+
+@dataclasses.dataclass
+class AlbumFaces:
+    """Flat per-face arrays for one album (the reference's ``all_*`` lists)."""
+    files: List[str]
+    mdates: List[time.struct_time]
+    facial_images: List[np.ndarray]      # 224² RGB crops
+    born_years: np.ndarray
+    genders: np.ndarray
+    features: np.ndarray                 # L2-normalized
+    indices: List[int]                   # photo index per face
+    private_photo_indices: List[int]
+
+
+def _photo_year(mdate: time.struct_time) -> float:
+    return mdate.tm_year + (mdate.tm_mon - 1) / 12.0
+
+
+def fused_distance_matrix(features: np.ndarray, born_years: np.ndarray,
+                          indices: Sequence[int],
+                          mdates: Sequence[time.struct_time],
+                          age_weight: float = 0.1) -> np.ndarray:
+    """L2 feature distance + weighted age penalty (reference :46-58), with the
+    O(N²) feature part on device as one matmul."""
+    d_feat = np.sqrt(np.array(pairwise_sqeuclidean(features, features)))
+    years = np.array([mdates[i].tm_year for i in indices], dtype=np.float64)
+    max_year = np.maximum(years[:, None], years[None, :])
+    age_i = max_year - born_years[:, None]
+    age_j = max_year - born_years[None, :]
+    s = age_i + age_j
+    age_pen = np.where(s != 0, (age_i - age_j) ** 2 / np.where(s != 0, s, 1.0), 0.0)
+    return np.clip(d_feat + age_weight * age_pen, 0.0, None)
+
+
+class AlbumOrganizer:
+    def __init__(self, analyzer: FacialAnalyzer, config: Optional[AlbumConfig] = None):
+        self.analyzer = analyzer
+        self.config = config or AlbumConfig()
+
+    # ---------- per-item processing ----------
+
+    def _process_photo(self, img: np.ndarray):
+        """One photo -> (face_crops_224, ages, genders, normed_features,
+        has_big_face). Mirrors reference ``process_image`` (:30-42)."""
+        faces, _ = self.analyzer.analyze_with_rotations(img)
+        width = img.shape[1]
+        crops, ages, genders, feats = [], [], [], []
+        has_center_face = False
+        for f in faces:
+            x1, y1, x2, y2 = f.bbox
+            if x2 <= x1 or y2 <= y1:
+                continue
+            import cv2
+
+            crops.append(cv2.resize(img[y1:y2, x1:x2], (self.analyzer.face_size,) * 2))
+            ages.append(f.age)
+            genders.append(f.gender_prob)
+            feats.append(f.identity / max(np.linalg.norm(f.identity), 1e-12))
+            if (x2 - x1) / width >= self.config.min_face_width_percent:
+                has_center_face = True
+        return crops, ages, genders, feats, has_center_face
+
+    def process_video(self, path: str, mdate: time.struct_time):
+        """Frame loop with adaptive skip; cluster within the clip; return
+        per-person medians (reference ``process_video`` :80-156)."""
+        import cv2
+
+        video_year = _photo_year(mdate)
+        rotation = video_rotation(path)
+        video = cv2.VideoCapture(path)
+        counter, delta = 0, 5
+        crops, born_years, genders, feats, normed, indices = [], [], [], [], [], []
+        frame_count = 0
+        while video.isOpened():
+            if not video.grab():
+                break
+            counter += 1
+            if counter % delta != 0:
+                continue
+            _, frame = video.retrieve()
+            frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            frame = rotate_image(frame, rotation)
+            c, ages, g, f, _ = self._process_photo(frame)
+            crops.extend(c)
+            genders.extend(g)
+            feats.extend(f)
+            normed.extend(f)
+            indices.extend([frame_count] * len(ages))
+            born_years.extend([video_year - (a - 0.5) for a in ages])
+            frame_count += 1
+            delta = 5 if len(ages) == 0 else 3
+        video.release()
+
+        if not feats:
+            return [], [], [], [], False
+        born_years = np.asarray(born_years)
+        genders = np.asarray(genders)
+        feats = np.asarray(feats)
+        mdates = [mdate] * frame_count
+        dist = fused_distance_matrix(np.asarray(normed), born_years, indices, mdates,
+                                     self.config.age_penalty_weight)
+        clusters = get_facial_clusters(dist, self.config.distance_threshold, indices,
+                                       self.config.min_no_frames,
+                                       method=self.config.clustering_method)
+        clusters = [c for c in clusters if len(c) >= self.config.min_no_frames]
+        out_crops, out_ages, out_genders, out_feats = [], [], [], []
+        for cluster in clusters:
+            out_crops.append(crops[cluster[0]])
+            out_genders.append(float(np.median(genders[cluster])))
+            avg_year = float(np.median(born_years[cluster]))
+            out_ages.append(int(video_year - (avg_year - 0.5)))
+            out_feats.append(feats[cluster].mean(axis=0))
+        return out_crops, out_ages, out_genders, out_feats, len(clusters) > 0
+
+    # ---------- album scan ----------
+
+    def scan_album(self, album_dir: str, use_cache: bool = True) -> AlbumFaces:
+        cache = os.path.join(album_dir, "features.npz")
+        files = sorted(f for f in next(os.walk(album_dir))[2] if is_image(f))
+        if use_cache and os.path.exists(cache):
+            d = np.load(cache, allow_pickle=True)
+            return AlbumFaces(
+                files=list(d["files"]), mdates=[time.gmtime(t) for t in d["mtimes"]],
+                facial_images=list(d["facial_images"]),
+                born_years=d["born_years"], genders=d["genders"],
+                features=d["features"], indices=list(d["indices"]),
+                private_photo_indices=list(d["private"]))
+
+        mtimes = [os.path.getmtime(os.path.join(album_dir, f)) for f in files]
+        mdates = [time.gmtime(t) for t in mtimes]
+        facial_images, born_years, genders, features, indices, private = \
+            [], [], [], [], [], []
+        for i, f in enumerate(files):
+            img = imread_rgb(os.path.join(album_dir, f))
+            crops, ages, g, feats, big_face = self._process_photo(img)
+            if big_face:
+                private.append(i)
+            facial_images.extend(crops)
+            genders.extend(g)
+            features.extend(feats)
+            indices.extend([i] * len(ages))
+            year = _photo_year(mdates[i])
+            born_years.extend([year - (a - 0.5) for a in ages])
+
+        out = AlbumFaces(files, mdates, facial_images,
+                         np.asarray(born_years), np.asarray(genders),
+                         np.asarray(features) if features else np.zeros((0, 1024)),
+                         indices, private)
+        if use_cache:
+            np.savez(cache, files=files, mtimes=mtimes,
+                     facial_images=np.asarray(facial_images, dtype=object),
+                     born_years=out.born_years, genders=out.genders,
+                     features=out.features, indices=np.asarray(indices),
+                     private=np.asarray(private))
+        return out
+
+    def perform_clustering(self, faces: AlbumFaces, min_size: int,
+                           check_dates: bool = True) -> List[List[int]]:
+        """Cluster + size/date-span filter (reference :45-77)."""
+        if len(faces.indices) < min_size:
+            return []
+        dist = fused_distance_matrix(faces.features, faces.born_years, faces.indices,
+                                     faces.mdates, self.config.age_penalty_weight)
+        clusters = get_facial_clusters(dist, self.config.distance_threshold,
+                                       faces.indices, min_size,
+                                       method=self.config.clustering_method)
+
+        def good(cluster):
+            if len(cluster) < min_size:
+                return False
+            if not check_dates:
+                return True
+            ts = [time.mktime(faces.mdates[faces.indices[i]]) for i in cluster]
+            days = (max(ts) - min(ts)) / 86400.0
+            return days >= self.config.min_days_difference
+
+        return [c for c in clusters if good(c)]
+
+    def process_album(self, album_dir: str, use_cache: bool = True,
+                      write_outputs: bool = True) -> Dict:
+        """Full pipeline; returns a summary dict and (optionally) writes the
+        cluster/public directories."""
+        faces = self.scan_album(album_dir, use_cache=use_cache)
+        n_image_files = len(faces.files)
+
+        video_files = sorted(f for f in next(os.walk(album_dir))[2] if is_video(f))
+        for vi, vf in enumerate(video_files):
+            path = os.path.join(album_dir, vf)
+            mdate = time.gmtime(os.path.getmtime(path))
+            crops, ages, genders, feats, has_faces = self.process_video(path, mdate)
+            idx = n_image_files + vi
+            if has_faces:
+                faces.private_photo_indices.append(idx)
+            faces.facial_images.extend(crops)
+            faces.genders = np.concatenate([faces.genders, genders])
+            if feats:
+                normed = [f / max(np.linalg.norm(f), 1e-12) for f in feats]
+                faces.features = np.concatenate([faces.features, np.asarray(normed)])
+            faces.indices.extend([idx] * len(ages))
+            year = _photo_year(mdate)
+            faces.born_years = np.concatenate(
+                [faces.born_years, [year - (a - 0.5) for a in ages]])
+            faces.files.append(vf)
+            faces.mdates.append(mdate)
+
+        clusters = self.perform_clustering(faces, self.config.min_no_photos)
+
+        cluster_genders, cluster_ages = [], []
+        for cluster in clusters:
+            avg_year = float(np.median(faces.born_years[cluster]))
+            ds = dempster_shafer_gender(faces.genders[cluster])
+            cluster_genders.append("male" if ds == 0 else "female")
+            cluster_ages.append(int(avg_year))
+
+        result = {
+            "n_photos": n_image_files,
+            "n_videos": len(video_files),
+            "n_faces": len(faces.indices),
+            "clusters": clusters,
+            "cluster_genders": cluster_genders,
+            "cluster_born_years": cluster_ages,
+        }
+        if write_outputs:
+            self._write_outputs(album_dir, faces, clusters, cluster_genders,
+                                cluster_ages, n_image_files)
+        return result
+
+    def _write_outputs(self, album_dir, faces, clusters, cluster_genders,
+                       cluster_ages, n_image_files):
+        import cv2
+
+        res_dir = os.path.join(album_dir, "clusters")
+        if os.path.exists(res_dir):
+            shutil.rmtree(res_dir, ignore_errors=True)
+        for i, cluster in enumerate(clusters):
+            cdir = os.path.join(res_dir, f"{i} {cluster_genders[i]} {cluster_ages[i]}")
+            os.makedirs(cdir, exist_ok=True)
+            for ind in cluster:
+                bgr = cv2.cvtColor(faces.facial_images[ind], cv2.COLOR_RGB2BGR)
+                cv2.imwrite(os.path.join(cdir, f"{ind}.jpg"), bgr)
+        # "public" = photos with no clustered face and no big face (:344-358)
+        private = {faces.indices[e] for c in clusters for e in c}
+        private |= set(faces.private_photo_indices)
+        pub_dir = os.path.join(res_dir, "public")
+        os.makedirs(pub_dir, exist_ok=True)
+        for i, f in enumerate(faces.files):
+            if i in private:
+                continue
+            src = os.path.join(album_dir, f)
+            if i < n_image_files:
+                photo = cv2.imread(src)
+                r = 200.0 / photo.shape[1]
+                photo = cv2.resize(photo, (200, int(photo.shape[0] * r)))
+                cv2.imwrite(os.path.join(pub_dir, f), photo)
+            else:
+                shutil.copy(src, pub_dir)

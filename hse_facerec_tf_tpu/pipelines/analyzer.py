@@ -1,0 +1,128 @@
+"""FacialAnalyzer: detect → crop → age/gender/identity, one fused device program.
+
+The TPU-native counterpart of the reference's ``FacialImageProcessing``
+engine (``facial_analysis.py:35-72,225-294``): where the reference runs MTCNN,
+then loops over faces calling ``sess.run`` per crop (:264-284), here the
+detector output feeds a batched crop+resize and a single multi-head forward —
+detection and analysis execute as one jit-compiled XLA program per image-shape
+bucket.
+
+Per-face semantics match ``process_image`` (:233-294): boxes dilated by 10 px,
+clipped to the image; crop resized to 224² (bilinear), BGR + Caffe-ImageNet
+mean subtraction (:102-107); age = 1 + expectation over the renormalized top-2
+age-softmax bins (:113-124); gender probability thresholded at 0.6 by
+``is_male`` (:76-81).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.multihead import import_multihead_params, multihead_apply, expected_age_top_k
+from ..ops.preprocess import IMAGENET_MEANS_BGR
+from ..ops.resize import crop_resize_bilinear
+from .detector import MTCNNDetector
+
+
+@dataclasses.dataclass
+class FaceResult:
+    bbox: Tuple[int, int, int, int]       # dilated+clipped [x1, y1, x2, y2]
+    raw_bbox: Tuple[float, float, float, float]
+    score: float
+    age: float
+    gender_prob: float                    # P(male)
+    identity: np.ndarray                  # (1024,) embedding
+    landmarks: np.ndarray                 # (10,) [x0..x4, y0..y4]
+
+    def is_male(self, threshold: float = 0.6) -> bool:
+        return self.gender_prob >= threshold
+
+
+class FacialAnalyzer:
+    """Fused detection + multi-head analysis engine."""
+
+    def __init__(self, mtcnn_params, multihead_params, minsize: int = 40,
+                 face_size: int = 224, bbox_dilation: int = 10, **detector_kwargs):
+        self.detector = MTCNNDetector(mtcnn_params, minsize=minsize, **detector_kwargs)
+        self.mh_params = multihead_params
+        self.face_size = face_size
+        self.bbox_dilation = bbox_dilation
+        self._jitted: Dict[Tuple[int, int], object] = {}
+
+    @classmethod
+    def from_reference_models(cls, mtcnn_pb: str, agegender_pb: str, **kwargs):
+        from ..models.mtcnn import import_mtcnn_params
+
+        return cls(import_mtcnn_params(mtcnn_pb), import_multihead_params(agegender_pb),
+                   **kwargs)
+
+    def _analyze_fn(self, h: int, w: int):
+        key = (h, w)
+        if key in self._jitted:
+            return self._jitted[key]
+
+        detect = self.detector.detect_fn(h, w)
+        dil = float(self.bbox_dilation)
+        means = jnp.asarray(IMAGENET_MEANS_BGR, dtype=jnp.float32)
+
+        def fn(params, img):
+            boxes, scores, points, valid = detect(img)
+            img_f = img.astype(jnp.float32)
+            # dilate + clip (reference :240-263); box coords here are float
+            x1 = jnp.clip(jnp.floor(boxes[:, 0]) - dil, 0, w)
+            y1 = jnp.clip(jnp.floor(boxes[:, 1]) - dil, 0, h)
+            x2 = jnp.clip(jnp.floor(boxes[:, 2]) + dil, 0, w)
+            y2 = jnp.clip(jnp.floor(boxes[:, 3]) + dil, 0, h)
+            crop_rect = jnp.stack([y1, x1, y2, x2], axis=1)
+            crops = crop_resize_bilinear(img_f, crop_rect, self.face_size,
+                                         supersample=1, outside="clamp")
+            x = crops[..., ::-1] - means
+            out = multihead_apply(params, x)
+            ages = 1.0 + expected_age_top_k(out.age_probs, k=2)
+            dilated = jnp.stack([x1, y1, x2, y2], axis=1)
+            return (boxes, dilated, scores, points, valid, ages,
+                    out.gender_prob, out.identity)
+
+        self._jitted[key] = jax.jit(fn)
+        return self._jitted[key]
+
+    def analyze(self, img: np.ndarray) -> List[FaceResult]:
+        """RGB uint8/float (H, W, 3) -> per-face results."""
+        h, w = img.shape[:2]
+        fn = self._analyze_fn(h, w)
+        (boxes, dilated, scores, points, valid, ages, genders, identity) = \
+            [np.asarray(a) for a in fn(self.mh_params, jnp.asarray(img))]
+        results = []
+        for i in np.where(valid)[0]:
+            x1, y1, x2, y2 = boxes[i, :4]
+            if not (x2 > x1 and y2 > y1):
+                continue  # reference skips zero-area boxes (:237)
+            results.append(FaceResult(
+                bbox=tuple(int(v) for v in dilated[i]),
+                raw_bbox=tuple(float(v) for v in boxes[i, :4]),
+                score=float(scores[i]),
+                age=float(ages[i]),
+                gender_prob=float(genders[i]),
+                identity=identity[i],
+                landmarks=points[i],
+            ))
+        return results
+
+    def analyze_with_rotations(self, img: np.ndarray) -> Tuple[List[FaceResult], int]:
+        """Retry at 90°/270° when no face is found (reference
+        ``process_photos.py:241-247``). Returns (faces, rotation_applied)."""
+        faces = self.analyze(img)
+        if faces:
+            return faces, 0
+        for rot in (90, 270):
+            k = 3 if rot == 90 else 1  # np.rot90 is counter-clockwise
+            rotated = np.ascontiguousarray(np.rot90(img, k))
+            faces = self.analyze(rotated)
+            if faces:
+                return faces, rot
+        return [], 0

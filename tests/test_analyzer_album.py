@@ -1,0 +1,126 @@
+"""Fused analyzer + album organizer end-to-end tests on the shipped fixture."""
+
+import os
+import shutil
+import time
+
+import cv2
+import numpy as np
+import pytest
+
+from hse_facerec_tf_tpu.config import AlbumConfig
+from hse_facerec_tf_tpu.pipelines.album import AlbumOrganizer
+from hse_facerec_tf_tpu.pipelines.analyzer import FacialAnalyzer
+from hse_facerec_tf_tpu.pipelines.fusion import dempster_shafer_gender
+
+from .conftest import AGEGENDER_PB, MTCNN_PB, TEST_IMAGE
+
+
+@pytest.fixture(scope="module")
+def analyzer():
+    return FacialAnalyzer.from_reference_models(str(MTCNN_PB), str(AGEGENDER_PB),
+                                                minsize=40)
+
+
+@pytest.fixture(scope="module")
+def fixture_img():
+    img = cv2.cvtColor(cv2.imread(str(TEST_IMAGE)), cv2.COLOR_BGR2RGB)
+    h, w = img.shape[:2]
+    scale = min(640 / w, 480 / h, 1.0)
+    return cv2.resize(img, (int(w * scale), int(h * scale)))
+
+
+def test_analyzer_finds_faces(analyzer, fixture_img):
+    faces = analyzer.analyze(fixture_img)
+    assert len(faces) >= 1
+    for f in faces:
+        x1, y1, x2, y2 = f.bbox
+        assert 0 <= x1 < x2 <= fixture_img.shape[1]
+        assert 0 <= y1 < y2 <= fixture_img.shape[0]
+        assert 1.0 <= f.age <= 101.0
+        assert 0.0 <= f.gender_prob <= 1.0
+        assert f.identity.shape == (1024,)
+        assert np.linalg.norm(f.identity) > 0
+
+
+def test_analyzer_matches_host_crop_path(analyzer, fixture_img):
+    """Fused on-device crop+multihead ≈ host cv2 crop + direct model call
+    (the reference's two-step path, facial_analysis.py:264-284)."""
+    import jax
+
+    from hse_facerec_tf_tpu.models.multihead import (expected_age_top_k,
+                                                     multihead_apply)
+
+    faces = analyzer.analyze(fixture_img)
+    f = faces[0]
+    x1, y1, x2, y2 = f.bbox
+    crop = fixture_img[y1:y2, x1:x2]
+    resized = cv2.resize(crop, (224, 224)).astype(np.float32)
+    x = resized[..., ::-1] - np.array([103.939, 116.779, 123.68], np.float32)
+    out = jax.jit(multihead_apply)(analyzer.mh_params, x[None])
+    age = 1.0 + float(expected_age_top_k(out.age_probs, 2)[0])
+    a = f.identity / np.linalg.norm(f.identity)
+    b = np.asarray(out.identity[0])
+    b = b / np.linalg.norm(b)
+    assert float(a @ b) > 0.98
+    assert abs(age - f.age) < 3.0
+    assert abs(float(out.gender_prob[0]) - f.gender_prob) < 0.1
+
+
+def test_analyzer_rotation_retry(analyzer, fixture_img):
+    rotated = np.ascontiguousarray(np.rot90(fixture_img, 1))  # 90° ccw
+    faces, rot = analyzer.analyze_with_rotations(rotated)
+    assert len(faces) >= 1
+    assert rot in (90, 270)
+
+
+def test_dempster_shafer_gender():
+    assert dempster_shafer_gender([0.95, 0.9, 0.85]) == 0   # male evidence
+    assert dempster_shafer_gender([0.05, 0.1, 0.15]) == 1   # female evidence
+
+
+def test_album_organizer(analyzer, fixture_img, tmp_path_factory, rng):
+    album = tmp_path_factory.mktemp("album")
+    # two photos containing the same people + one no-face photo
+    img2 = fixture_img.copy()
+    img2[:, :, :] = np.clip(img2.astype(np.int16) + 8, 0, 255).astype(np.uint8)
+    noise = (rng.rand(240, 320, 3) * 255).astype(np.uint8)
+    cv2.imwrite(str(album / "a.jpg"), cv2.cvtColor(fixture_img, cv2.COLOR_RGB2BGR))
+    cv2.imwrite(str(album / "b.jpg"), cv2.cvtColor(img2, cv2.COLOR_RGB2BGR))
+    cv2.imwrite(str(album / "c.jpg"), cv2.cvtColor(noise, cv2.COLOR_RGB2BGR))
+    # distinct mtimes 3 days apart (date-span filter needs >= 2 days)
+    now = time.time()
+    os.utime(album / "a.jpg", (now - 3 * 86400, now - 3 * 86400))
+    os.utime(album / "b.jpg", (now, now))
+
+    cfg = AlbumConfig(min_no_photos=2, min_days_difference=2, distance_threshold=0.9)
+    org = AlbumOrganizer(analyzer, cfg)
+    result = org.process_album(str(album), use_cache=False)
+
+    assert result["n_photos"] == 3
+    assert result["n_faces"] >= 2
+    assert len(result["clusters"]) >= 1
+    assert all(g in ("male", "female") for g in result["cluster_genders"])
+
+    res_dir = album / "clusters"
+    cluster_dirs = [d for d in os.listdir(res_dir) if d != "public"]
+    assert len(cluster_dirs) == len(result["clusters"])
+    for d in cluster_dirs:
+        parts = d.split(" ")
+        assert len(parts) == 3 and parts[1] in ("male", "female")
+        assert len(os.listdir(res_dir / d)) >= 2
+    # the noise photo has no clustered/big face -> public, downscaled to width 200
+    pub = res_dir / "public"
+    assert "c.jpg" in os.listdir(pub)
+    assert cv2.imread(str(pub / "c.jpg")).shape[1] == 200
+
+
+def test_album_cache_roundtrip(analyzer, fixture_img, tmp_path_factory):
+    album = tmp_path_factory.mktemp("album_cache")
+    cv2.imwrite(str(album / "a.jpg"), cv2.cvtColor(fixture_img, cv2.COLOR_RGB2BGR))
+    org = AlbumOrganizer(analyzer, AlbumConfig())
+    first = org.scan_album(str(album), use_cache=True)
+    assert os.path.exists(album / "features.npz")
+    second = org.scan_album(str(album), use_cache=True)
+    np.testing.assert_allclose(first.features, second.features)
+    assert first.indices == second.indices
