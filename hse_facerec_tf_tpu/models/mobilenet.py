@@ -29,10 +29,19 @@ MOBILENET_V1_BLOCKS: List[Tuple[int, int]] = [
 ]
 
 
-def _affine_or_bn(x, p, training: bool = False):
+def _affine_or_bn(x, p, train: bool = False, stats_out: Optional[Dict] = None,
+                  layer: str = "", eps: float = 1e-3):
     if "bn" in p:
         bn = p["bn"]
-        return batch_norm(x, bn["gamma"], bn["beta"], bn["mean"], bn["var"])
+        if train:
+            # batch-stats BN: normalize with the batch moments and record them
+            # so the caller can update running statistics (Keras semantics).
+            mean = jnp.mean(x, axis=(0, 1, 2))
+            var = jnp.var(x, axis=(0, 1, 2))
+            if stats_out is not None:
+                stats_out[layer] = {"mean": mean, "var": var}
+            return batch_norm(x, bn["gamma"], bn["beta"], mean, var, eps=eps)
+        return batch_norm(x, bn["gamma"], bn["beta"], bn["mean"], bn["var"], eps=eps)
     if "scale" in p:
         x = x * p["scale"]
     if "bias" in p:
@@ -41,8 +50,12 @@ def _affine_or_bn(x, p, training: bool = False):
 
 
 def mobilenet_v1_backbone(params: Dict, x, *, precision=jax.lax.Precision.HIGHEST,
-                          compute_dtype=jnp.float32):
-    """(N, H, W, 3) -> (N, H/32, W/32, 1024) feature map."""
+                          compute_dtype=jnp.float32, train: bool = False,
+                          stats_out: Optional[Dict] = None):
+    """(N, H, W, 3) -> (N, H/32, W/32, 1024) feature map.
+
+    With ``train=True`` BN layers use batch moments; pass ``stats_out={}`` to
+    collect them (per-layer {"mean","var"}) for running-average updates."""
     x = x.astype(compute_dtype)
 
     def cast(k):
@@ -50,16 +63,29 @@ def mobilenet_v1_backbone(params: Dict, x, *, precision=jax.lax.Precision.HIGHES
 
     p = cast("conv1")
     x = conv2d(x, p["kernel"], stride=2, padding="SAME", precision=precision)
-    x = relu6(_affine_or_bn(x, p))
+    x = relu6(_affine_or_bn(x, p, train, stats_out, "conv1"))
     for i, (stride, _) in enumerate(MOBILENET_V1_BLOCKS, start=1):
         pdw = cast(f"dw{i}")
         x = depthwise_conv2d(x, pdw["kernel"], stride=stride, padding="SAME",
                              precision=precision)
-        x = relu6(_affine_or_bn(x, pdw))
+        x = relu6(_affine_or_bn(x, pdw, train, stats_out, f"dw{i}"))
         ppw = cast(f"pw{i}")
         x = conv2d(x, ppw["kernel"], stride=1, padding="SAME", precision=precision)
-        x = relu6(_affine_or_bn(x, ppw))
+        x = relu6(_affine_or_bn(x, ppw, train, stats_out, f"pw{i}"))
     return x
+
+
+def update_bn_stats(params: Dict, stats: Dict, momentum: float = 0.99) -> Dict:
+    """Fold collected batch moments into the running BN statistics."""
+    new = dict(params)
+    for layer, s in stats.items():
+        p = dict(new[layer])
+        bn = dict(p["bn"])
+        bn["mean"] = momentum * bn["mean"] + (1 - momentum) * s["mean"]
+        bn["var"] = momentum * bn["var"] + (1 - momentum) * s["var"]
+        p["bn"] = bn
+        new[layer] = p
+    return new
 
 
 def mobilenet_embed(params: Dict, x, *, precision=jax.lax.Precision.HIGHEST,

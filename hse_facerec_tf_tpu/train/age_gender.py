@@ -1,0 +1,172 @@
+"""Multi-task age + gender head training over a face-embedding backbone.
+
+The reference trains its multi-output net in an unusual *alternating-batch*
+loop because the age labels (IMDB-wiki year dirs) and gender labels live in
+different directory trees (``age_gender_train.py:139-159,194-232``): each
+optimization step consumes either an age batch (100-way softmax head) or a
+gender batch (sigmoid head), both updating the shared trunk. A two-phase
+schedule freezes the backbone first (3 epochs @1e-3) then fine-tunes
+everything (30 epochs @1e-4) (:240-269).
+
+This module reproduces that training scheme TPU-first: two jitted donated
+steps (age / gender) over one shared param pytree, backbone freezing via a
+masked optimizer, dropout on device, bf16 backbone compute.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import TrainConfig
+from ..models.layers import dense, global_avg_pool
+from ..models.mobilenet import (init_mobilenet_params, mobilenet_v1_backbone,
+                                update_bn_stats)
+
+N_AGE_BINS = 100
+FEATS_DIM = 256
+
+
+def init_head_params(rng: jax.Array, backbone_dim: int = 1024) -> Dict:
+    k1, k2, k3 = jax.random.split(rng, 3)
+
+    def glorot(key, shape):
+        limit = np.sqrt(6.0 / (shape[0] + shape[1]))
+        return jax.random.uniform(key, shape, jnp.float32, -limit, limit)
+
+    return {
+        "feats": {"kernel": glorot(k1, (backbone_dim, FEATS_DIM)),
+                  "bias": jnp.zeros((FEATS_DIM,))},
+        "age": {"kernel": glorot(k2, (FEATS_DIM, N_AGE_BINS)),
+                "bias": jnp.zeros((N_AGE_BINS,))},
+        "gender": {"kernel": glorot(k3, (FEATS_DIM, 1)),
+                   "bias": jnp.zeros((1,))},
+    }
+
+
+def forward(params: Dict, images, *, train: bool = False, dropout_key=None,
+            dropout_rate: float = 0.5, precision=jax.lax.Precision.DEFAULT):
+    """Shared trunk -> (age_logits, gender_logit, bn_stats)."""
+    stats: Dict = {}
+    h = mobilenet_v1_backbone(params["backbone"], images, precision=precision,
+                              compute_dtype=jnp.bfloat16, train=train,
+                              stats_out=stats if train else None)
+    emb = global_avg_pool(h).astype(jnp.float32)
+    if train and dropout_key is not None:
+        k1, k2 = jax.random.split(dropout_key)
+        keep = 1.0 - dropout_rate
+        emb = emb * jax.random.bernoulli(k1, keep, emb.shape) / keep
+    f = jax.nn.relu(dense(emb, params["feats"]["kernel"], params["feats"]["bias"],
+                          precision=precision))
+    if train and dropout_key is not None:
+        f = f * jax.random.bernoulli(k2, 1.0 - dropout_rate, f.shape) / (1.0 - dropout_rate)
+    age_logits = dense(f, params["age"]["kernel"], params["age"]["bias"],
+                       precision=precision)
+    gender_logit = dense(f, params["gender"]["kernel"], params["gender"]["bias"],
+                         precision=precision)[:, 0]
+    return age_logits, gender_logit, stats
+
+
+def make_optimizer(lr: float, freeze_backbone: bool) -> optax.GradientTransformation:
+    if not freeze_backbone:
+        return optax.adam(lr)
+    # zero out backbone updates during the frozen phase (:240-247)
+    def label_tree(params):
+        return {k: ("frozen" if k == "backbone" else "train") for k in params}
+
+    return optax.multi_transform(
+        {"train": optax.adam(lr), "frozen": optax.set_to_zero()}, label_tree)
+
+
+def make_steps(optimizer: optax.GradientTransformation, bn_momentum: float = 0.99):
+    """Two donated jitted steps sharing the param pytree."""
+
+    def age_step(params, opt_state, key, images, ages):
+        def loss(p):
+            age_logits, _, stats = forward(p, images, train=True, dropout_key=key)
+            ce = optax.softmax_cross_entropy_with_integer_labels(age_logits, ages).mean()
+            acc = jnp.mean(jnp.argmax(age_logits, -1) == ages)
+            return ce, (stats, acc)
+
+        (l, (stats, acc)), grads = jax.value_and_grad(loss, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        params = {**params, "backbone": update_bn_stats(params["backbone"], stats,
+                                                        bn_momentum)}
+        return params, opt_state, {"age_loss": l, "age_acc": acc}
+
+    def gender_step(params, opt_state, key, images, genders):
+        def loss(p):
+            _, gender_logit, stats = forward(p, images, train=True, dropout_key=key)
+            bce = optax.sigmoid_binary_cross_entropy(gender_logit,
+                                                     genders.astype(jnp.float32)).mean()
+            acc = jnp.mean((gender_logit > 0) == (genders > 0.5))
+            return bce, (stats, acc)
+
+        (l, (stats, acc)), grads = jax.value_and_grad(loss, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        params = {**params, "backbone": update_bn_stats(params["backbone"], stats,
+                                                        bn_momentum)}
+        return params, opt_state, {"gender_loss": l, "gender_acc": acc}
+
+    return (jax.jit(age_step, donate_argnums=(0, 1)),
+            jax.jit(gender_step, donate_argnums=(0, 1)))
+
+
+class AgeGenderTrainer:
+    def __init__(self, backbone_params: Optional[Dict] = None, seed: int = 0,
+                 cfg: Optional[TrainConfig] = None):
+        self.cfg = cfg or TrainConfig()
+        key = jax.random.PRNGKey(seed)
+        kb, kh = jax.random.split(key)
+        if backbone_params is None:
+            backbone_params = init_mobilenet_params(kb)
+        backbone_params = {k: v for k, v in backbone_params.items()
+                           if k != "classifier"}
+        self.params = {"backbone": backbone_params, **init_head_params(kh)}
+        self.key = jax.random.PRNGKey(seed + 2)
+        self._configure(self.cfg.learning_rate, freeze_backbone=True)
+
+    def _configure(self, lr: float, freeze_backbone: bool):
+        self.optimizer = make_optimizer(lr, freeze_backbone)
+        self.opt_state = self.optimizer.init(self.params)
+        self._age_step, self._gender_step = make_steps(self.optimizer)
+
+    def unfreeze(self, lr: Optional[float] = None):
+        """Phase 2: fine-tune the whole network (:249-269)."""
+        self._configure(lr or self.cfg.finetune_learning_rate, freeze_backbone=False)
+
+    def train_alternating(self, age_batches: Iterator, gender_batches: Iterator,
+                          steps: int) -> Dict[str, float]:
+        """Interleave age and gender batches 1:1 (:194-232)."""
+        metrics: Dict[str, float] = {}
+        for s in range(steps):
+            self.key, sub = jax.random.split(self.key)
+            if s % 2 == 0:
+                images, ages = next(age_batches)
+                self.params, self.opt_state, m = self._age_step(
+                    self.params, self.opt_state, sub,
+                    jnp.asarray(images, jnp.float32), jnp.asarray(ages))
+            else:
+                images, genders = next(gender_batches)
+                self.params, self.opt_state, m = self._gender_step(
+                    self.params, self.opt_state, sub,
+                    jnp.asarray(images, jnp.float32), jnp.asarray(genders))
+            metrics = {**metrics, **{k: float(v) for k, v in m.items()}}
+        return metrics
+
+    def evaluate(self, images: np.ndarray, ages: np.ndarray, genders: np.ndarray,
+                 batch_size: int = 64) -> Dict[str, float]:
+        age_ok = gender_ok = 0
+        fwd = jax.jit(lambda p, x: forward(p, x)[:2])
+        for i in range(0, len(images), batch_size):
+            al, gl = fwd(self.params, jnp.asarray(images[i:i + batch_size], jnp.float32))
+            age_ok += int((np.argmax(np.asarray(al), -1) == ages[i:i + batch_size]).sum())
+            gender_ok += int(((np.asarray(gl) > 0) == (genders[i:i + batch_size] > 0.5)).sum())
+        n = len(images)
+        return {"age_acc": age_ok / n, "gender_acc": gender_ok / n}

@@ -1,0 +1,145 @@
+"""Training loops, augmentation, checkpoints, h5 import/export, ResNet-50."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from hse_facerec_tf_tpu.config import TrainConfig
+from hse_facerec_tf_tpu.core.h5_import import (load_keras_h5,
+                                               mobilenet_params_from_h5,
+                                               save_mobilenet_h5)
+from hse_facerec_tf_tpu.models.mobilenet import (init_mobilenet_params,
+                                                 mobilenet_embed)
+from hse_facerec_tf_tpu.train.age_gender import AgeGenderTrainer
+from hse_facerec_tf_tpu.train.augment import AugmentConfig, augment_batch
+from hse_facerec_tf_tpu.train.checkpoints import (BestCheckpoint, load_pytree,
+                                                  save_pytree)
+from hse_facerec_tf_tpu.train.face_id import FaceIdTrainer
+
+
+def _toy_face_data(rng, n_classes=4, per_class=8, size=64):
+    """Distinguishable per-class patterns."""
+    images, labels = [], []
+    for c in range(n_classes):
+        base = rng.rand(size, size, 3).astype(np.float32)
+        for _ in range(per_class):
+            img = base + 0.05 * rng.randn(size, size, 3).astype(np.float32)
+            images.append(np.clip(img, 0, 1) * 2 - 1)
+            labels.append(c)
+    return np.stack(images), np.asarray(labels)
+
+
+def test_augment_batch_shapes_and_variation(rng):
+    imgs = rng.rand(4, 32, 32, 3).astype(np.float32)
+    out = np.asarray(augment_batch(jax.random.PRNGKey(0), imgs))
+    assert out.shape == imgs.shape
+    assert not np.allclose(out, imgs)  # something moved
+    out2 = np.asarray(augment_batch(jax.random.PRNGKey(1), imgs))
+    assert not np.allclose(out, out2)  # different key, different warp
+    # no augmentation config produces identity
+    ident = AugmentConfig(rotation_deg=0, shear=0, zoom=0, shift=0,
+                          horizontal_flip=False)
+    out3 = np.asarray(augment_batch(jax.random.PRNGKey(0), imgs, ident))
+    np.testing.assert_allclose(out3, imgs, atol=1e-5)
+
+
+def test_face_id_training_learns(rng):
+    images, labels = _toy_face_data(rng)
+    cfg = TrainConfig(batch_size=8, learning_rate=3e-3)
+    # fast BN momentum so running stats converge within this tiny run
+    trainer = FaceIdTrainer(n_classes=4, cfg=cfg, augment=None, bn_momentum=0.7)
+    first_loss = None
+    for epoch in range(15):
+        perm = rng.permutation(len(images))
+        for i in range(0, len(images), 8):
+            idx = perm[i:i + 8]
+            m = trainer.train_batch(images[idx], labels[idx])
+            if first_loss is None:
+                first_loss = m["loss"]
+    assert m["loss"] < first_loss
+    acc = trainer.eval_accuracy(images, labels)
+    assert acc > 0.8
+    emb = trainer.embed(images[:2])
+    assert emb.shape == (2, 1024)
+
+
+def test_age_gender_alternating_training(rng):
+    n = 16
+    imgs = rng.rand(n, 64, 64, 3).astype(np.float32) * 2 - 1
+    ages = rng.randint(0, 100, n)
+    genders = (rng.rand(n) > 0.5).astype(np.float32)
+
+    def age_iter():
+        while True:
+            idx = rng.randint(0, n, 8)
+            yield imgs[idx], ages[idx]
+
+    def gender_iter():
+        while True:
+            idx = rng.randint(0, n, 8)
+            yield imgs[idx], genders[idx]
+
+    trainer = AgeGenderTrainer(seed=0)
+    frozen_before = jax.tree.map(np.asarray, trainer.params["backbone"]["conv1"]["kernel"])
+    m = trainer.train_alternating(age_iter(), gender_iter(), steps=4)
+    assert "age_loss" in m and "gender_loss" in m
+    # phase 1: backbone frozen (only BN running stats may drift)
+    np.testing.assert_allclose(
+        np.asarray(trainer.params["backbone"]["conv1"]["kernel"]), frozen_before)
+    trainer.unfreeze()
+    m = trainer.train_alternating(age_iter(), gender_iter(), steps=4)
+    assert not np.allclose(np.asarray(trainer.params["backbone"]["conv1"]["kernel"]),
+                           frozen_before)
+    stats = trainer.evaluate(imgs, ages, genders)
+    assert 0.0 <= stats["gender_acc"] <= 1.0
+
+
+def test_checkpoint_save_best_early_stop(tmp_path):
+    ck = BestCheckpoint(str(tmp_path), mode="max", patience=2)
+    params = {"a": np.arange(3.0), "b": {"c": np.ones((2, 2))}}
+    assert ck.update(0.5, params, epoch=0)
+    assert ck.update(0.7, params, epoch=1)
+    assert ck.update(0.6, params, epoch=2)      # worse: patience 1/2
+    assert not ck.update(0.6, params, epoch=3)  # worse: stop
+    best = ck.load_best()
+    np.testing.assert_allclose(best["a"], params["a"])
+    np.testing.assert_allclose(best["b"]["c"], params["b"]["c"])
+    assert "0.7000" in os.path.basename(ck.best_path)
+
+
+def test_pytree_roundtrip(tmp_path):
+    tree = {"x": np.random.rand(4), "nested": {"y": np.int32(3), "z": np.random.rand(2, 2)}}
+    p = str(tmp_path / "t")
+    save_pytree(tree, p)
+    back = load_pytree(p)
+    np.testing.assert_allclose(back["x"], tree["x"])
+    np.testing.assert_allclose(back["nested"]["z"], tree["nested"]["z"])
+
+
+def test_h5_roundtrip(tmp_path, rng):
+    params = init_mobilenet_params(jax.random.PRNGKey(3), n_classes=11)
+    path = str(tmp_path / "model.h5")
+    save_mobilenet_h5(params, path)
+    flat = load_keras_h5(path)
+    assert "conv1/kernel" in flat
+    assert "conv_dw_3/depthwise_kernel" in flat
+    back = mobilenet_params_from_h5(path, n_classes=11)
+    x = rng.rand(1, 64, 64, 3).astype(np.float32)
+    a = np.asarray(mobilenet_embed(params, x))
+    b = np.asarray(mobilenet_embed(back, x))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_resnet50_shapes(rng):
+    from hse_facerec_tf_tpu.models.resnet import (init_resnet50_params,
+                                                  resnet50_classify,
+                                                  resnet50_embed)
+
+    params = init_resnet50_params(jax.random.PRNGKey(0), n_classes=7)
+    x = rng.rand(2, 96, 96, 3).astype(np.float32)
+    emb = resnet50_embed(params, x, precision=jax.lax.Precision.DEFAULT)
+    assert emb.shape == (2, 2048)
+    logits = resnet50_classify(params, x, precision=jax.lax.Precision.DEFAULT)
+    assert logits.shape == (2, 7)
