@@ -1,0 +1,108 @@
+"""Model zoo: named configurations mirroring the reference's model selectors.
+
+The reference chooses models via commented-out constructor lines
+(``facerec_test.py:209-218``) and module flags (``facial_analysis.py:29-33``).
+Here each entry is a declarative spec: builder + input size + preprocessing
+(normalization scheme and resize flavor per the reference's per-model
+settings), resolved into an ``EmbeddingExtractor`` or analyzer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+
+REFERENCE_ROOT = "/root/reference"
+MTCNN_PB = os.path.join(REFERENCE_ROOT, "age_gender_identity", "mtcnn.pb")
+AGEGENDER_PB = os.path.join(REFERENCE_ROOT, "age_gender_identity",
+                            "age_gender_tf2_new-01-0.14-0.92_quantized.pb")
+VGG2_MOBILENET_H5 = os.path.join(REFERENCE_ROOT, "models", "vgg2_mobilenet.h5")
+VGG2_RESNET_PB = os.path.join(REFERENCE_ROOT, "models", "vgg2_resnet.pb")
+
+
+@dataclasses.dataclass
+class ModelSpec:
+    name: str
+    input_size: Tuple[int, int]
+    normalization: str       # ops.preprocess.NORMALIZERS key
+    resize_method: str
+    embedding_dim: int
+    build_params: Callable[[], Dict]
+    model_fn: Callable
+
+
+def _multihead_identity_fn(precision=jax.lax.Precision.HIGHEST):
+    from .multihead import multihead_apply
+
+    def fn(params, x):
+        return multihead_apply(params, x, precision=precision).identity
+
+    return fn
+
+
+def _mobilenet_fn(precision=jax.lax.Precision.HIGHEST):
+    from .mobilenet import mobilenet_embed
+
+    return lambda params, x: mobilenet_embed(params, x, precision=precision)
+
+
+def _resnet_fn(precision=jax.lax.Precision.HIGHEST):
+    from .resnet import resnet50_embed
+
+    return lambda params, x: resnet50_embed(params, x, precision=precision)
+
+
+def _agegender_params():
+    from .multihead import import_multihead_params
+
+    return import_multihead_params(AGEGENDER_PB)
+
+
+def _vgg2_mobilenet_params():
+    """vgg2_mobilenet.h5 if present (missing upstream: .MISSING_LARGE_BLOBS);
+    falls back to random init so the pipeline stays runnable."""
+    from ..core.h5_import import mobilenet_params_from_h5
+    from .mobilenet import init_mobilenet_params
+
+    if os.path.exists(VGG2_MOBILENET_H5):
+        return mobilenet_params_from_h5(VGG2_MOBILENET_H5)
+    return init_mobilenet_params(jax.random.PRNGKey(0))
+
+
+def _vgg2_resnet_params():
+    from .resnet import init_resnet50_params
+
+    return init_resnet50_params(jax.random.PRNGKey(0))
+
+
+MODEL_ZOO: Dict[str, ModelSpec] = {
+    # multi-head identity tap — the reference's default age/gender/id model
+    # (facial_analysis.py:29-33, facerec_test.py:210 commented variant)
+    "agegender_identity": ModelSpec(
+        "agegender_identity", (224, 224), "caffe", "cv2_linear", 1024,
+        _agegender_params, _multihead_identity_fn()),
+    # MobileNet-192 VGGFace2 embedder (facerec_test.py:212: convert2BGR=True,
+    # imageNetUtilsMean=True; 13 MB / 92.1% LFW∩YTF row in BASELINE.md)
+    "vgg2_mobilenet": ModelSpec(
+        "vgg2_mobilenet", (192, 192), "caffe", "pil_bilinear", 1024,
+        _vgg2_mobilenet_params, _mobilenet_fn()),
+    # ResNet-50 VGGFace2 embedder (facerec_test.py:213: VGGFace2 means;
+    # 95 MB / 97.8% row)
+    "vgg2_resnet": ModelSpec(
+        "vgg2_resnet", (224, 224), "vggface2", "pil_bilinear", 2048,
+        _vgg2_resnet_params, _resnet_fn()),
+}
+
+
+def build_extractor(name: str, batch_size: int = 64, mesh=None,
+                    precision=jax.lax.Precision.HIGHEST):
+    from ..pipelines.embedder import EmbeddingExtractor
+
+    spec = MODEL_ZOO[name]
+    return EmbeddingExtractor(spec.model_fn, spec.build_params(), spec.input_size,
+                              normalization=spec.normalization,
+                              resize_method=spec.resize_method,
+                              batch_size=batch_size, mesh=mesh)

@@ -1,0 +1,100 @@
+"""Multi-chip sharded training step (data parallel × tensor parallel).
+
+The framework's models are small (13-95 MB, SURVEY.md §2.3), so the honest
+distributed design is batch data parallelism; the one tensor dimension worth
+sharding is the identity classifier (VGGFace2 trains 9131-way softmax over a
+1024/2048-d embedding — ``facerec_keras_train.py:46-57``), whose logits matmul
+and softmax shard cleanly over a 'model' axis. GSPMD inserts the collectives
+(psum for the softmax normalizer, all-gathers at boundaries) from the sharding
+annotations — no hand-written communication.
+
+Mesh layout: ('data', 'model'); batch → 'data', classifier kernel columns →
+'model', everything else replicated.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import TrainConfig
+from ..models.mobilenet import init_mobilenet_params
+from ..train.face_id import make_optimizer, make_train_step
+
+
+def face_id_param_shardings(mesh: Mesh, params: Dict):
+    """Sharding pytree: classifier kernel (D, C) → P(None, 'model'),
+    classifier bias (C,) → P('model'), all backbone weights replicated."""
+    repl = NamedSharding(mesh, P())
+
+    def assign(path_params, is_classifier):
+        if not is_classifier:
+            return jax.tree.map(lambda _: repl, path_params)
+        return {
+            "kernel": NamedSharding(mesh, P(None, "model")),
+            "bias": NamedSharding(mesh, P("model")),
+        }
+
+    return {k: assign(v, k == "classifier") for k, v in params.items()}
+
+
+def make_sharded_face_id_trainer(mesh: Mesh, n_classes: int,
+                                 cfg: TrainConfig = None, seed: int = 0):
+    """Returns (params, opt_state, step_fn) with dp×tp shardings applied.
+
+    step_fn(params, opt_state, key, images, labels) -> (params, opt_state,
+    metrics); images are sharded over 'data', the classifier over 'model'.
+    """
+    cfg = cfg or TrainConfig()
+    params = init_mobilenet_params(jax.random.PRNGKey(seed), n_classes=n_classes)
+    optimizer = make_optimizer(cfg)
+    opt_state = optimizer.init(params)
+    step = make_train_step(cfg, optimizer, augment=None)
+
+    p_shard = face_id_param_shardings(mesh, params)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    # optimizer state mirrors the param tree structure per transform; shard the
+    # adam moments like their params, scalars replicated.
+    def opt_shardings(state):
+        return jax.tree.map(
+            lambda leaf: (p_shard["classifier"]["kernel"]
+                          if getattr(leaf, "ndim", 0) == 2 and leaf.shape[-1] == n_classes
+                          else (p_shard["classifier"]["bias"]
+                                if getattr(leaf, "ndim", 0) == 1 and leaf.shape[0] == n_classes
+                                else repl)),
+            state)
+
+    o_shard = opt_shardings(opt_state)
+    params = jax.device_put(params, p_shard)
+    opt_state = jax.device_put(opt_state, o_shard)
+
+    step_fn = jax.jit(
+        step,
+        in_shardings=(p_shard, o_shard, repl, data, data),
+        out_shardings=(p_shard, o_shard, repl),
+        donate_argnums=(0, 1),
+    )
+    return params, opt_state, step_fn
+
+
+def run_one_sharded_step(mesh: Mesh, n_classes: int = 64, batch: int = None,
+                         image_size: int = 32, seed: int = 0):
+    """Initialize + execute exactly one sharded train step on tiny shapes.
+    Used by the driver's multi-chip dry run and by tests."""
+    dp = mesh.shape["data"]
+    batch = batch or max(2 * dp, dp)
+    params, opt_state, step_fn = make_sharded_face_id_trainer(mesh, n_classes)
+    rng = np.random.RandomState(seed)
+    images = jnp.asarray(rng.rand(batch, image_size, image_size, 3)
+                         .astype(np.float32) * 2 - 1)
+    labels = jnp.asarray(rng.randint(0, n_classes, batch))
+    key = jax.random.PRNGKey(seed)
+    params, opt_state, metrics = step_fn(params, opt_state, key, images, labels)
+    jax.block_until_ready(metrics["loss"])
+    return {k: float(v) for k, v in metrics.items()}

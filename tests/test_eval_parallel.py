@@ -1,0 +1,119 @@
+"""Eval protocols (LFW/UTKFace), model zoo, sharded train step."""
+
+import os
+
+import cv2
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from hse_facerec_tf_tpu.eval import lfw, utkface
+from hse_facerec_tf_tpu.models.zoo import MODEL_ZOO, build_extractor
+from hse_facerec_tf_tpu.parallel.train_step import run_one_sharded_step
+
+
+def test_utkface_filename_parsing():
+    assert utkface.parse_utkface_filename("25_0_1_20170113.jpg") == (25, 0)
+    assert utkface.parse_utkface_filename("3_1_0_x.jpg") == (3, 1)
+    assert utkface.parse_utkface_filename("badname.jpg") is None
+
+
+def test_age_buckets():
+    assert utkface.age_to_bucket(1) == 0
+    assert utkface.age_to_bucket(30) == 4
+    assert utkface.age_to_bucket(70) == 7
+    assert utkface.age_to_bucket(22) in (3, 4)  # nearest-bound fallback
+
+
+def test_utkface_eval_with_synthetic_predictor(tmp_path, rng):
+    # fabricate a tiny UTKFace-style dir
+    paths = []
+    truths = [(25, 0), (40, 1), (8, 0), (60, 1)]
+    for i, (age, gender) in enumerate(truths):
+        img = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+        p = str(tmp_path / f"{age}_{gender}_0_2017{i:04d}.jpg")
+        cv2.imwrite(p, img)
+        paths.append(p)
+
+    lookup = {os.path.basename(p): t for p, t in zip(paths, truths)}
+
+    class Oracle:
+        def __init__(self):
+            self.batch_paths = paths
+
+        def __call__(self, batch):
+            # perfect predictions in file order (single uniform-size batch)
+            ages = np.array([t[0] for t in truths], dtype=np.float32)
+            males = np.array([1.0 if t[1] == 0 else 0.0 for t in truths])
+            return ages[: len(batch)], males[: len(batch)]
+
+    stats = utkface.evaluate_age_gender(Oracle(), paths)
+    assert stats["n"] == 4
+    assert stats["gender_accuracy"] == 1.0
+    assert stats["age_mae"] == 0.0
+    assert stats["age_within5_accuracy"] == 1.0
+
+    # age-range filter (CORAL subset protocol)
+    stats2 = utkface.evaluate_age_gender(Oracle(), paths, age_range=(21, 60))
+    assert stats2["n"] == 3
+
+
+def test_lfw_protocol_with_synthetic_dataset(tmp_path, rng):
+    # directory-per-class dataset of colored squares
+    for c in range(4):
+        d = tmp_path / f"person_{c}"
+        d.mkdir()
+        base = (rng.rand(40, 40, 3) * 255).astype(np.uint8)
+        for j in range(4):
+            img = np.clip(base.astype(int) + rng.randint(-6, 6, base.shape), 0, 255)
+            cv2.imwrite(str(d / f"{j}.jpg"), img.astype(np.uint8))
+
+    class MeanColorExtractor:
+        def extract_files(self, paths):
+            from hse_facerec_tf_tpu.utils.image_io import imread_rgb
+
+            return np.stack([imread_rgb(p).reshape(-1, 3).mean(0) for p in paths])
+
+    feats, labels, names = lfw.extract_dataset_features(
+        str(tmp_path), MeanColorExtractor(),
+        cache_file=str(tmp_path / "cache.npz"))
+    assert len(names) == 4 and len(labels) == 16
+    res = lfw.identification_benchmark(feats, labels, "split50")
+    assert res["accuracy"] > 0.9
+    res2 = lfw.identification_benchmark(feats, labels, "single")
+    assert res2["accuracy"] > 0.9
+    # cache hit path
+    feats2, labels2, _ = lfw.extract_dataset_features(
+        str(tmp_path), None, cache_file=str(tmp_path / "cache.npz"))
+    np.testing.assert_allclose(feats, feats2)
+
+    suite = lfw.classifier_suite(feats, labels, pca_components=2)
+    assert set(suite) == {"1nn", "1nn_pca2", "3nn", "3nn_pca2"}
+
+
+def test_zoo_specs():
+    assert set(MODEL_ZOO) >= {"agegender_identity", "vgg2_mobilenet", "vgg2_resnet"}
+    spec = MODEL_ZOO["vgg2_mobilenet"]
+    assert spec.input_size == (192, 192)
+    assert spec.normalization == "caffe"
+    spec_r = MODEL_ZOO["vgg2_resnet"]
+    assert spec_r.normalization == "vggface2"
+    assert spec_r.embedding_dim == 2048
+
+
+def test_sharded_train_step_2d_mesh():
+    devices = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devices, axis_names=("data", "model"))
+    metrics = run_one_sharded_step(mesh, n_classes=32, image_size=32)
+    assert np.isfinite(metrics["loss"])
+
+
+def test_sharded_matches_single_device():
+    """dp×tp sharded step computes the same loss as an unsharded step."""
+    devices = np.asarray(jax.devices()[:4]).reshape(2, 2)
+    mesh2 = Mesh(devices, axis_names=("data", "model"))
+    m_sharded = run_one_sharded_step(mesh2, n_classes=16, image_size=32, seed=7, batch=8)
+    mesh1 = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1), ("data", "model"))
+    m_single = run_one_sharded_step(mesh1, n_classes=16, image_size=32, seed=7, batch=8)
+    assert abs(m_sharded["loss"] - m_single["loss"]) < 1e-3
