@@ -1,0 +1,199 @@
+"""Command-line interface.
+
+The reference had no CLI framework — entry points were ``__main__`` blocks
+dispatching on bare argv (``facial_analysis.py:694-701``,
+``process_photos.py:373-387``) and edit-to-configure constants. This CLI
+exposes the same surfaces as subcommands:
+
+  analyze  — annotate one image (the notebook/demo flow)
+  images   — annotate a directory of images (process_all_images)
+  video    — annotate a video file (show_video)
+  album    — organize a photo/video album (process_photos)
+  identify — gallery/probe 1-NN identification (tf_train_test_recognition)
+  utkface  — age/gender benchmark on a UTKFace-style directory
+
+Usage: ``python -m hse_facerec_tf_tpu.cli <subcommand> ...``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _build_analyzer(args):
+    from .models import zoo
+    from .pipelines.analyzer import FacialAnalyzer
+
+    return FacialAnalyzer.from_reference_models(
+        args.mtcnn_pb or zoo.MTCNN_PB, args.agegender_pb or zoo.AGEGENDER_PB,
+        minsize=args.minsize)
+
+
+def _add_model_args(p):
+    p.add_argument("--mtcnn-pb", default=None)
+    p.add_argument("--agegender-pb", default=None)
+    p.add_argument("--minsize", type=int, default=40)
+
+
+def cmd_analyze(args):
+    import cv2
+
+    from .utils.draw import draw_faces
+    from .utils.image_io import imread_rgb
+
+    if not os.path.exists(args.image):
+        sys.exit(f"error: image not found: {args.image}")
+    analyzer = _build_analyzer(args)
+    img = imread_rgb(args.image)
+    faces, rotation = analyzer.analyze_with_rotations(img)
+    for f in faces:
+        print(json.dumps({
+            "bbox": list(f.bbox), "score": round(f.score, 4),
+            "age": round(f.age, 1), "gender_prob": round(f.gender_prob, 4),
+            "is_male": bool(f.is_male()),
+        }))
+    if args.out:
+        annotated = draw_faces(img if rotation == 0 else img, faces)
+        cv2.imwrite(args.out, cv2.cvtColor(annotated, cv2.COLOR_RGB2BGR))
+        print(f"annotated -> {args.out}", file=sys.stderr)
+
+
+def cmd_images(args):
+    import cv2
+
+    from .pipelines.video import process_image_dir
+
+    analyzer = _build_analyzer(args)
+    os.makedirs(args.out_dir, exist_ok=True)
+    for name, annotated, faces in process_image_dir(analyzer, args.image_dir):
+        out = os.path.join(args.out_dir, name)
+        cv2.imwrite(out, cv2.cvtColor(annotated, cv2.COLOR_RGB2BGR))
+        print(f"{name}: {len(faces)} faces")
+
+
+def cmd_video(args):
+    import cv2
+
+    from .pipelines.video import annotated_video_frames
+
+    analyzer = _build_analyzer(args)
+    writer = None
+    n = 0
+    for annotated, faces in annotated_video_frames(analyzer, args.video,
+                                                   frame_skip=args.frame_skip):
+        if args.out and writer is None:
+            h, w = annotated.shape[:2]
+            writer = cv2.VideoWriter(args.out, cv2.VideoWriter_fourcc(*"mp4v"),
+                                     30 // args.frame_skip, (w, h))
+        if writer is not None:
+            writer.write(cv2.cvtColor(annotated, cv2.COLOR_RGB2BGR))
+        n += 1
+        print(f"frame {n}: {len(faces)} faces", end="\r", file=sys.stderr)
+    if writer is not None:
+        writer.release()
+    print(f"\nprocessed {n} frames", file=sys.stderr)
+
+
+def cmd_album(args):
+    from .config import AlbumConfig
+    from .pipelines.album import AlbumOrganizer
+
+    cfg = AlbumConfig.from_file(args.config) if args.config else AlbumConfig()
+    if args.threshold is not None:
+        cfg.distance_threshold = args.threshold
+    analyzer = _build_analyzer(args)
+    organizer = AlbumOrganizer(analyzer, cfg)
+    result = organizer.process_album(args.album_dir, use_cache=not args.no_cache)
+    print(json.dumps({k: v for k, v in result.items() if k != "clusters"}, indent=2))
+    print(f"{len(result['clusters'])} clusters -> {args.album_dir}/clusters/")
+
+
+def cmd_identify(args):
+    from .eval import lfw
+    from .models.zoo import build_extractor
+    from .pipelines.identification import gallery_probe_eval
+
+    extractor = build_extractor(args.model, batch_size=args.batch_size)
+    g_feats, g_labels, names = lfw.extract_dataset_features(
+        args.gallery, extractor, cache_file=args.cache and args.cache + "_gallery.npz")
+    p_feats, p_labels, _ = lfw.extract_dataset_features(
+        args.probe, extractor, cache_file=args.cache and args.cache + "_probe.npz")
+    acc = gallery_probe_eval(g_feats, g_labels, p_feats, p_labels, k=args.k)
+    print(json.dumps({"accuracy": acc, "n_gallery": len(g_labels),
+                      "n_probe": len(p_labels), "n_classes": len(names)}))
+
+
+def cmd_utkface(args):
+    from .eval.utkface import evaluate_age_gender, multihead_predict_fn
+    from .models.multihead import import_multihead_params
+    from .models.zoo import AGEGENDER_PB
+
+    params = import_multihead_params(args.agegender_pb or AGEGENDER_PB)
+    predict = multihead_predict_fn(params)
+    paths = [os.path.join(args.dataset_dir, f)
+             for f in sorted(os.listdir(args.dataset_dir))
+             if f.lower().endswith((".jpg", ".jpeg", ".png"))]
+    age_range = (21, 60) if args.coral_subset else None
+    print(json.dumps(evaluate_age_gender(predict, paths, age_range=age_range),
+                     indent=2))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="hse_facerec_tf_tpu",
+                                description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    a = sub.add_parser("analyze", help="detect + age/gender/identity on one image")
+    a.add_argument("image")
+    a.add_argument("--out", default=None, help="write annotated image")
+    _add_model_args(a)
+    a.set_defaults(fn=cmd_analyze)
+
+    i = sub.add_parser("images", help="annotate a directory of images")
+    i.add_argument("image_dir")
+    i.add_argument("out_dir")
+    _add_model_args(i)
+    i.set_defaults(fn=cmd_images)
+
+    v = sub.add_parser("video", help="annotate a video file")
+    v.add_argument("video")
+    v.add_argument("--out", default=None, help="write annotated mp4")
+    v.add_argument("--frame-skip", type=int, default=5)
+    _add_model_args(v)
+    v.set_defaults(fn=cmd_video)
+
+    al = sub.add_parser("album", help="organize a photo/video album by person")
+    al.add_argument("album_dir")
+    al.add_argument("--config", default=None, help="reference-format config.txt")
+    al.add_argument("--threshold", type=float, default=None)
+    al.add_argument("--no-cache", action="store_true")
+    _add_model_args(al)
+    al.set_defaults(fn=cmd_album)
+
+    idn = sub.add_parser("identify", help="gallery/probe 1-NN identification")
+    idn.add_argument("gallery")
+    idn.add_argument("probe")
+    idn.add_argument("--model", default="agegender_identity",
+                     choices=["agegender_identity", "vgg2_mobilenet", "vgg2_resnet"])
+    idn.add_argument("--k", type=int, default=1)
+    idn.add_argument("--batch-size", type=int, default=64)
+    idn.add_argument("--cache", default=None)
+    idn.set_defaults(fn=cmd_identify)
+
+    u = sub.add_parser("utkface", help="age/gender benchmark (UTKFace layout)")
+    u.add_argument("dataset_dir")
+    u.add_argument("--agegender-pb", default=None)
+    u.add_argument("--coral-subset", action="store_true",
+                   help="restrict to ages 21-60 (CORAL protocol)")
+    u.set_defaults(fn=cmd_utkface)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""Live / file video demos: frame loop → analyze → annotate.
+
+The reference's L6 demo surface (``facial_analysis.py:607-691``):
+``show_webcam`` (:607-617), ``show_video`` with frame-skip 5, ≤640×480
+downscale and rotation fix (:637-669), and ``process_all_images`` (:671-691).
+Here as composable generators over the fused analyzer; display/write-out is
+the caller's choice (the CLI wires cv2.imshow / VideoWriter)."""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from ..utils.draw import draw_faces
+from ..utils.image_io import imread_rgb, rotate_image, video_rotation
+from .analyzer import FacialAnalyzer
+
+
+def _downscale(frame: np.ndarray, max_w: int = 640, max_h: int = 480) -> np.ndarray:
+    import cv2
+
+    h, w = frame.shape[:2]
+    if w <= max_w and h <= max_h:
+        return frame
+    return cv2.resize(frame, (min(w, max_w), min(h, max_h)))
+
+
+def annotated_video_frames(analyzer: FacialAnalyzer, video_path: str,
+                           frame_skip: int = 5,
+                           max_size: Tuple[int, int] = (640, 480)
+                           ) -> Iterator[Tuple[np.ndarray, list]]:
+    """Yields (annotated RGB frame, faces) every ``frame_skip`` frames with the
+    reference's downscale + rotation semantics."""
+    import cv2
+
+    rotation = video_rotation(video_path)
+    video = cv2.VideoCapture(video_path)
+    counter = 0
+    try:
+        while video.isOpened():
+            if not video.grab():
+                break
+            counter += 1
+            if counter % frame_skip != 0:
+                continue
+            _, frame = video.retrieve()
+            frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            frame = rotate_image(frame, rotation)
+            frame = _downscale(frame, *max_size)
+            faces = analyzer.analyze(frame)
+            yield draw_faces(frame, faces), faces
+    finally:
+        video.release()
+
+
+def annotated_camera_frames(analyzer: FacialAnalyzer, camera_index: int = 0,
+                            max_size: Tuple[int, int] = (640, 480)
+                            ) -> Iterator[Tuple[np.ndarray, list]]:
+    """Webcam loop (reference ``show_webcam`` :607-617)."""
+    import cv2
+
+    cam = cv2.VideoCapture(camera_index)
+    try:
+        while True:
+            ok, frame = cam.read()
+            if not ok:
+                break
+            frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            frame = _downscale(frame, *max_size)
+            faces = analyzer.analyze(frame)
+            yield draw_faces(frame, faces), faces
+    finally:
+        cam.release()
+
+
+def process_image_dir(analyzer: FacialAnalyzer, image_dir: str,
+                      max_size: Tuple[int, int] = (640, 480)
+                      ) -> Iterator[Tuple[str, np.ndarray, list]]:
+    """Annotate every image in a directory (reference ``process_all_images``)."""
+    from .album import is_image
+
+    for f in sorted(os.listdir(image_dir)):
+        if not is_image(f):
+            continue
+        img = _downscale(imread_rgb(os.path.join(image_dir, f)), *max_size)
+        faces = analyzer.analyze(img)
+        yield f, draw_faces(img, faces), faces

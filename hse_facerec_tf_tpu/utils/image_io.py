@@ -74,9 +74,11 @@ def video_rotation(path: str) -> int:
         idx = data.find(b"tkhd")
         if idx < 0:
             return 0
-        # tkhd: 4cc + version/flags(4) + times + ... matrix at fixed offset
+        # tkhd: 4cc + version/flags(4) + times/id/duration (v0: 20 B, v1: 32 B)
+        # + reserved(8) + layer(2) + alt_group(2) + volume(2) + reserved(2)
+        # + matrix(36)
         version = data[idx + 4]
-        base = idx + 4 + 4 + (8 * 4 if version == 1 else 4 * 4) + 8 + 2 * 4
+        base = idx + 4 + 4 + (32 if version == 1 else 20) + 8 + 2 + 2 + 2 + 2
         matrix = struct.unpack(">9i", data[base : base + 36])
         a, b = matrix[0] / 65536.0, matrix[1] / 65536.0
         if abs(a - 1) < 0.01 and abs(b) < 0.01:

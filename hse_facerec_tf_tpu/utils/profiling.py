@@ -1,0 +1,91 @@
+"""Tracing / profiling subsystem.
+
+The reference's only observability is ad-hoc ``time.time()`` prints gated by a
+``print_stat`` flag (``facial_analysis.py:37-39,227-231,269-284``;
+``facerec_test.py:238-240``). Here it is a first-class subsystem: named stage
+timers with aggregate stats (p50/p95), a context manager that blocks on device
+work so device time is actually measured, and an opt-in hook into
+``jax.profiler`` for full XLA traces.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import defaultdict
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+
+class StageTimer:
+    """Accumulates wall-clock samples per named stage."""
+
+    def __init__(self, enabled: bool = True):
+        self.enabled = enabled
+        self.samples: Dict[str, List[float]] = defaultdict(list)
+
+    @contextlib.contextmanager
+    def stage(self, name: str, block_on=None) -> Iterator[None]:
+        """Time a stage. Pass the stage's output (pytree of jax arrays) via
+        ``block_on`` setter ``timer.block(x)`` or use jax.block_until_ready in
+        the body — otherwise async dispatch makes the number meaningless."""
+        if not self.enabled:
+            yield
+            return
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.samples[name].append(time.perf_counter() - t0)
+
+    def timed(self, name: str):
+        """Decorator: times the call and blocks on the jax output."""
+        def wrap(fn):
+            def inner(*a, **kw):
+                if not self.enabled:
+                    return fn(*a, **kw)
+                import jax
+
+                t0 = time.perf_counter()
+                out = fn(*a, **kw)
+                jax.block_until_ready(out)
+                self.samples[name].append(time.perf_counter() - t0)
+                return out
+            return inner
+        return wrap
+
+    def stats(self) -> Dict[str, Dict[str, float]]:
+        out = {}
+        for name, xs in self.samples.items():
+            a = np.asarray(xs)
+            out[name] = {
+                "count": int(a.size),
+                "total_s": float(a.sum()),
+                "mean_ms": float(a.mean() * 1e3),
+                "p50_ms": float(np.percentile(a, 50) * 1e3),
+                "p95_ms": float(np.percentile(a, 95) * 1e3),
+            }
+        return out
+
+    def report(self) -> str:
+        lines = [f"{'stage':30s} {'count':>6s} {'mean':>9s} {'p50':>9s} {'p95':>9s}"]
+        for name, s in sorted(self.stats().items()):
+            lines.append(f"{name:30s} {s['count']:6d} {s['mean_ms']:8.2f}m "
+                         f"{s['p50_ms']:8.2f}m {s['p95_ms']:8.2f}m")
+        return "\n".join(lines)
+
+    def reset(self):
+        self.samples.clear()
+
+
+@contextlib.contextmanager
+def xla_trace(log_dir: str) -> Iterator[None]:
+    """Capture a full device trace viewable in TensorBoard/XProf."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
