@@ -165,6 +165,15 @@ def get_facial_clusters(dist_matrix: np.ndarray, distance_threshold: float = 1.0
     if method == "scipy":
         clusters = _hac_clusters(dist_matrix, distance_threshold, all_indices)
     elif method == "rankorder":
+        # native C++ core when the toolchain is available (same semantics,
+        # interpreted-Python-free inner loops); see native/rankorder.cc
+        from ..native import rankorder as native_ro
+
+        if native_ro.available():
+            clusters = native_ro.rank_order_cluster_native(dist_matrix)
+        else:
+            clusters = _rank_order_clusters(dist_matrix)
+    elif method == "rankorder_py":
         clusters = _rank_order_clusters(dist_matrix)
     elif method == "dbscan":
         from sklearn.cluster import DBSCAN

@@ -122,3 +122,36 @@ def test_clustering_statistics(blob_data):
     assert stats["ari"] == 1.0
     assert stats["v_measure"] == 1.0
     assert stats["bcubed_f"] == 1.0
+
+
+def test_rankorder_native_matches_python(rng):
+    """C++ rank-order core == pure-Python implementation on random geometry."""
+    from hse_facerec_tf_tpu.native import rankorder as native_ro
+    from hse_facerec_tf_tpu.pipelines.clustering import _rank_order_clusters
+
+    if not native_ro.available():
+        pytest.skip("no g++ toolchain")
+    feats, labels = _blobs(rng, n_classes=6, per_class=7, spread=0.4)
+    dist = np.array(pairwise_euclidean(feats, feats))
+    np.fill_diagonal(dist, 0.0)
+    want = _rank_order_clusters(dist)
+    got = native_ro.rank_order_cluster_native(dist)
+    canon = lambda cs: sorted(tuple(sorted(c)) for c in cs)
+    assert canon(got) == canon(want)
+
+
+def test_rankorder_native_speed(rng):
+    """Native core should beat the Python loop comfortably at N=300."""
+    import time
+
+    from hse_facerec_tf_tpu.native import rankorder as native_ro
+    from hse_facerec_tf_tpu.pipelines.clustering import _rank_order_clusters
+
+    if not native_ro.available():
+        pytest.skip("no g++ toolchain")
+    feats, _ = _blobs(rng, n_classes=30, per_class=10, spread=0.3)
+    dist = np.array(pairwise_euclidean(feats, feats))
+    np.fill_diagonal(dist, 0.0)
+    t0 = time.perf_counter(); native_ro.rank_order_cluster_native(dist); t_n = time.perf_counter() - t0
+    t0 = time.perf_counter(); _rank_order_clusters(dist); t_p = time.perf_counter() - t0
+    assert t_n < t_p, (t_n, t_p)
