@@ -84,18 +84,21 @@ def warp_affine(img: jnp.ndarray, m: jnp.ndarray, out_hw: Tuple[int, int]
     y0 = jnp.floor(sy)
     wx = sx - x0
     wy = sy - y0
-    valid = (sx >= 0) & (sx <= W - 1) & (sy >= 0) & (sy <= H - 1)
+
+    # zero ring: out-of-image taps read 0, so boundary pixels blend partially
+    # with black exactly like cv2's BORDER_CONSTANT bilinear.
+    img_p = jnp.pad(img, ((1, 1), (1, 1), (0, 0)))
 
     def at(yi, xi):
-        yi = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
-        xi = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
-        return img[yi, xi]
+        yi = jnp.clip(yi.astype(jnp.int32) + 1, 0, H + 1)
+        xi = jnp.clip(xi.astype(jnp.int32) + 1, 0, W + 1)
+        return img_p[yi, xi]
 
     out = (at(y0, x0) * ((1 - wx) * (1 - wy))[..., None]
            + at(y0, x0 + 1) * (wx * (1 - wy))[..., None]
            + at(y0 + 1, x0) * ((1 - wx) * wy)[..., None]
            + at(y0 + 1, x0 + 1) * (wx * wy)[..., None])
-    return jnp.where(valid[..., None], out, 0.0)
+    return out
 
 
 def align_faces(img: jnp.ndarray, landmarks: jnp.ndarray, out_size: int = 112

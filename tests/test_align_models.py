@@ -15,8 +15,13 @@ from hse_facerec_tf_tpu.ops.align import (align_faces, arcface_template,
 def test_estimate_similarity_vs_cv2(rng):
     """cv2.estimateAffinePartial2D (full least squares) as the golden for the
     Umeyama similarity estimate (what skimage SimilarityTransform computes)."""
-    src = rng.rand(5, 2).astype(np.float32) * 100
+    # noisy-but-consistent correspondences (LMEDS degenerates on uncorrelated
+    # random points); src = template under a known similarity + small noise
     dst = arcface_template(112)
+    theta, scale = 0.2, 1.3
+    r = np.array([[np.cos(theta), -np.sin(theta)],
+                  [np.sin(theta), np.cos(theta)]], np.float32)
+    src = (dst - 56.0) @ r.T / scale + 56.0 + rng.randn(5, 2).astype(np.float32) * 0.5
     want, _ = cv2.estimateAffinePartial2D(src.reshape(-1, 1, 2),
                                           dst.reshape(-1, 1, 2),
                                           method=cv2.LMEDS)
