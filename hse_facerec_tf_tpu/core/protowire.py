@@ -93,3 +93,37 @@ def decode_packed_varints(buf: bytes) -> list:
 
 def decode_packed_floats(buf: bytes) -> list:
     return list(struct.unpack(f"<{len(buf) // 4}f", buf))
+
+
+# ---------------------------------------------------------------------------
+# Encoding (for frozen-graph export; see core/graphdef_export.py)
+# ---------------------------------------------------------------------------
+
+def encode_varint(value: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = value & 0x7F
+        value >>= 7
+        if value:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def encode_tag(field: int, wire_type: int) -> bytes:
+    return encode_varint((field << 3) | wire_type)
+
+
+def encode_bytes_field(field: int, payload: bytes) -> bytes:
+    return encode_tag(field, LENGTH_DELIMITED) + encode_varint(len(payload)) + payload
+
+
+def encode_string_field(field: int, s: str) -> bytes:
+    return encode_bytes_field(field, s.encode("utf-8"))
+
+
+def encode_varint_field(field: int, value: int) -> bytes:
+    if value < 0:
+        value += 1 << 64
+    return encode_tag(field, VARINT) + encode_varint(value)
