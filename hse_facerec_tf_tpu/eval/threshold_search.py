@@ -1,0 +1,66 @@
+"""Clustering-threshold model selection with early stopping.
+
+Reproduces the reference's grid search
+(``facial_clustering_test.py:447-499``): sweep the distance threshold over
+validation datasets, score each setting (B-Cubed precision by default, as the
+reference uses for the scipy path; V-measure for rank-order), stop early when
+the score drops or exceeds a target, return the best threshold + scores.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..pipelines.clustering import clusters_to_labels, get_facial_clusters
+from .clustering_metrics import bcubed
+
+
+def clustering_score(dist_matrix: np.ndarray, y_true: np.ndarray,
+                     threshold: float, method: str = "scipy",
+                     statistic: str = "bcubed_precision") -> float:
+    clusters = get_facial_clusters(dist_matrix, threshold, method=method)
+    y_pred = clusters_to_labels(clusters, len(y_true))
+    if statistic == "bcubed_precision":
+        return bcubed(y_true, y_pred)[0]
+    if statistic == "bcubed_f":
+        return bcubed(y_true, y_pred)[2]
+    if statistic == "v_measure":
+        from sklearn import metrics
+
+        return metrics.homogeneity_completeness_v_measure(y_true, y_pred)[2]
+    raise ValueError(statistic)
+
+
+def search_distance_threshold(datasets: Sequence[Tuple[np.ndarray, np.ndarray]],
+                              method: str = "scipy",
+                              thresholds: Optional[np.ndarray] = None,
+                              statistic: str = "bcubed_precision",
+                              early_stop_drop: float = 0.01,
+                              early_stop_target: float = 0.85
+                              ) -> Dict[str, object]:
+    """datasets: [(dist_matrix, y_true)] validation sets.
+
+    Returns {"best_threshold", "best_score", "trace": [(thr, score)]}.
+    Early-stop rules follow the reference (:491-495): stop when the running
+    score falls more than ``early_stop_drop`` below the previous step, or
+    exceeds ``early_stop_target``.
+    """
+    if thresholds is None:
+        thresholds = np.linspace(0.6, 1.3, 71)  # reference :476
+    best_thr, best_score, prev = None, -np.inf, -np.inf
+    trace: List[Tuple[float, float]] = []
+    for thr in thresholds:
+        score = float(np.mean([
+            clustering_score(d, y, float(thr), method, statistic)
+            for d, y in datasets]))
+        trace.append((float(thr), score))
+        if score > best_score:
+            best_score, best_thr = score, float(thr)
+        if score < prev - early_stop_drop:
+            break
+        if score > early_stop_target:
+            break
+        prev = score
+    return {"best_threshold": best_thr, "best_score": best_score, "trace": trace}

@@ -105,6 +105,12 @@ class MTCNNDetector:
         scores = jnp.concatenate(all_scores)
         regs = jnp.concatenate(all_regs)
         valid = jnp.concatenate(all_valid)
+        # bound the global-NMS candidate set: the overlap matrix is O(N^2) and
+        # per-level NMS already thinned each level, so the top max_global
+        # survivors by score lose nothing in practice.
+        max_global = min(boxes.shape[0], 4 * self.max_stage2)
+        boxes, scores, valid, regs = B.select_top(boxes, scores, valid, regs,
+                                                  max_global)
         keep = nms_mask(boxes, scores, valid, 0.7, "union")
         boxes, scores, valid, regs = B.select_top(boxes, scores, valid & keep, regs,
                                                   self.max_stage2)

@@ -117,3 +117,26 @@ def test_sharded_matches_single_device():
     mesh1 = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1), ("data", "model"))
     m_single = run_one_sharded_step(mesh1, n_classes=16, image_size=32, seed=7, batch=8)
     assert abs(m_sharded["loss"] - m_single["loss"]) < 1e-3
+
+
+def test_threshold_search(rng):
+    from hse_facerec_tf_tpu.eval.threshold_search import search_distance_threshold
+    from hse_facerec_tf_tpu.ops.distance import pairwise_euclidean
+
+    def blobs(seed):
+        r = np.random.RandomState(seed)
+        centers = r.randn(4, 8).astype(np.float32) * 3
+        feats = np.concatenate([c + 0.1 * r.randn(6, 8).astype(np.float32)
+                                for c in centers])
+        labels = np.repeat(np.arange(4), 6)
+        d = np.array(pairwise_euclidean(feats, feats))
+        np.fill_diagonal(d, 0)
+        return d, labels
+
+    result = search_distance_threshold([blobs(0), blobs(1)],
+                                       thresholds=np.linspace(0.2, 3.0, 15),
+                                       statistic="bcubed_f",
+                                       early_stop_target=2.0)  # no target stop
+    assert result["best_score"] > 0.95
+    assert 0.2 < result["best_threshold"] < 3.0
+    assert len(result["trace"]) >= 2

@@ -143,3 +143,44 @@ def test_resnet50_shapes(rng):
     assert emb.shape == (2, 2048)
     logits = resnet50_classify(params, x, precision=jax.lax.Precision.DEFAULT)
     assert logits.shape == (2, 7)
+
+
+def test_directory_dataset(tmp_path, rng):
+    import cv2
+
+    from hse_facerec_tf_tpu.train.data import (DirectoryDataset,
+                                               LabeledDirDataset,
+                                               age_label_from_dirname,
+                                               gender_label_from_dirname)
+
+    for c in ("alice", "bob"):
+        (tmp_path / c).mkdir()
+        for j in range(5):
+            img = (rng.rand(32, 40, 3) * 255).astype(np.uint8)
+            cv2.imwrite(str(tmp_path / c / f"{j}.jpg"), img)
+
+    ds = DirectoryDataset(str(tmp_path), image_size=(24, 24))
+    assert len(ds) == 10 and ds.n_classes == 2
+    batches = list(ds.batches(4, epochs=1, seed=1))
+    assert len(batches) == 2  # 10 // 4 with drop_remainder
+    imgs, labels = batches[0]
+    assert imgs.shape == (4, 24, 24, 3) and imgs.dtype == np.float32
+    assert imgs.min() >= -1.0 and imgs.max() <= 1.0  # 'tf' normalization
+    assert set(np.unique(np.concatenate([b[1] for b in batches]))) <= {0, 1}
+
+
+def test_labeled_dir_dataset(tmp_path, rng):
+    import cv2
+
+    from hse_facerec_tf_tpu.train.data import (LabeledDirDataset,
+                                               age_label_from_dirname)
+
+    for age_dir in ("25", "60", "notanage"):
+        (tmp_path / age_dir).mkdir()
+        img = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+        cv2.imwrite(str(tmp_path / age_dir / "a.jpg"), img)
+
+    ds = LabeledDirDataset(str(tmp_path), age_label_from_dirname,
+                           image_size=(16, 16))
+    assert len(ds.paths) == 2
+    assert set(ds.labels.tolist()) == {25, 60}
