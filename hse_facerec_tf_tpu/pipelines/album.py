@@ -272,7 +272,35 @@ class AlbumOrganizer:
         if write_outputs:
             self._write_outputs(album_dir, faces, clusters, cluster_genders,
                                 cluster_ages, n_image_files)
+            self.write_montage(album_dir, faces, clusters)
         return result
+
+    def write_montage(self, album_dir: str, faces: AlbumFaces,
+                      clusters, max_clusters: int = 10) -> Optional[str]:
+        """Per-cluster face-crop grid (the reference's matplotlib montage,
+        ``process_photos.py:360-370`` — saved to a file instead of plt.show)."""
+        if not clusters:
+            return None
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        n_clusters = min(max_clusters, len(clusters))
+        per_row = max(self.config.min_no_photos, 2)
+        fig, axes = plt.subplots(n_clusters, per_row,
+                                 figsize=(2 * per_row, 2 * n_clusters),
+                                 squeeze=False)
+        for i in range(n_clusters):
+            for j in range(per_row):
+                ax = axes[i][j]
+                ax.axis("off")
+                if j < len(clusters[i]):
+                    ax.imshow(faces.facial_images[clusters[i][j]])
+        out = os.path.join(album_dir, "clusters", "montage.png")
+        fig.savefig(out, bbox_inches="tight")
+        plt.close(fig)
+        return out
 
     def _write_outputs(self, album_dir, faces, clusters, cluster_genders,
                        cluster_ages, n_image_files):

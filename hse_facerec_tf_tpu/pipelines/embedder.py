@@ -37,7 +37,11 @@ class EmbeddingExtractor:
 
     def __init__(self, model_fn: Callable, params, input_size: Tuple[int, int],
                  normalization: str = "caffe", resize_method: str = "pil_bilinear",
-                 batch_size: int = 64, mesh=None, compute_dtype=jnp.float32):
+                 batch_size: int = 64, mesh=None, compute_dtype=jnp.float32,
+                 flip_tta: bool = False, l2_normalize_output: bool = False):
+        """flip_tta sums features of the image and its horizontal mirror, and
+        l2_normalize_output normalizes rows — the reference's InsightFace
+        extractor behavior (``insightface_face_embedding.py:47-62``)."""
         self.model_fn = model_fn
         self.params = params
         self.input_size = tuple(input_size)
@@ -46,6 +50,8 @@ class EmbeddingExtractor:
         self.batch_size = batch_size
         self.mesh = mesh
         self.compute_dtype = compute_dtype
+        self.flip_tta = flip_tta
+        self.l2_normalize_output = l2_normalize_output
         self._jitted: Dict[Tuple[int, int], Callable] = {}
         if mesh is not None:
             self.params = jax.device_put(params, replicated(mesh))
@@ -60,7 +66,13 @@ class EmbeddingExtractor:
                 if needs_resize:
                     x = resize(x, self.input_size, self.resize_method)
                 x = norm(x)
-                return self.model_fn(params, x)
+                feats = self.model_fn(params, x)
+                if self.flip_tta:
+                    feats = feats + self.model_fn(params, x[:, :, ::-1, :])
+                if self.l2_normalize_output:
+                    feats = feats / jnp.maximum(
+                        jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12)
+                return feats
 
             if self.mesh is not None:
                 fn = jax.jit(fn, in_shardings=(replicated(self.mesh),

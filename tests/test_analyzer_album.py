@@ -124,3 +124,17 @@ def test_album_cache_roundtrip(analyzer, fixture_img, tmp_path_factory):
     second = org.scan_album(str(album), use_cache=True)
     np.testing.assert_allclose(first.features, second.features)
     assert first.indices == second.indices
+
+
+def test_album_montage(analyzer, fixture_img, tmp_path_factory):
+    album = tmp_path_factory.mktemp("album_montage")
+    img2 = np.clip(fixture_img.astype(np.int16) + 5, 0, 255).astype(np.uint8)
+    cv2.imwrite(str(album / "a.jpg"), cv2.cvtColor(fixture_img, cv2.COLOR_RGB2BGR))
+    cv2.imwrite(str(album / "b.jpg"), cv2.cvtColor(img2, cv2.COLOR_RGB2BGR))
+    now = time.time()
+    os.utime(album / "a.jpg", (now - 3 * 86400, now - 3 * 86400))
+    cfg = AlbumConfig(min_no_photos=2, min_days_difference=2, distance_threshold=0.9)
+    org = AlbumOrganizer(analyzer, cfg)
+    result = org.process_album(str(album), use_cache=False)
+    if result["clusters"]:
+        assert os.path.exists(album / "clusters" / "montage.png")

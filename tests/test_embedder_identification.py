@@ -110,3 +110,17 @@ def test_pca_projection(rng):
         col = tr_p[:, j]
         assert (np.allclose(col, want[:, j], atol=1e-2)
                 or np.allclose(col, -want[:, j], atol=1e-2))
+
+
+def test_flip_tta_and_l2_output(mh_params, rng):
+    """InsightFace-style extractor options (insightface_face_embedding.py:47-62):
+    mirrored-sum features, L2-normalized rows."""
+    ex = EmbeddingExtractor(identity_fn, mh_params, (224, 224),
+                            normalization="vggface2", resize_method="cv2_linear",
+                            batch_size=2, flip_tta=True, l2_normalize_output=True)
+    imgs = (rng.rand(2, 224, 224, 3) * 255).astype(np.uint8)
+    feats = ex.extract_batch(imgs)
+    np.testing.assert_allclose(np.linalg.norm(feats, axis=1), 1.0, rtol=1e-5)
+    # flip symmetry: mirrored input gives identical TTA features
+    feats_m = ex.extract_batch(imgs[:, :, ::-1, :])
+    np.testing.assert_allclose(feats, feats_m, atol=1e-3)
