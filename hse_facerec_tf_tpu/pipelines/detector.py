@@ -183,6 +183,43 @@ class MTCNNDetector:
             self._jitted[key] = self._build(h, w)
         return self._jitted[key]
 
+    def detect_batch_fn(self, h: int, w: int):
+        """vmapped cascade: (N, h, w, 3) -> per-image (boxes, scores, points,
+        valid) stacked on a leading axis. One XLA program for the whole batch —
+        the album-scan throughput path (the reference loops detect per photo,
+        ``process_photos.py:238-261``)."""
+        key = ("batch", h, w)
+        if key not in self._jitted:
+            scales = pyramid_scales(h, w, self.minsize, self.factor)
+
+            def one(img):
+                img_f = img.astype(jnp.float32)
+                if not scales:
+                    z = jnp.zeros
+                    return (z((self.max_stage3, 4)), z((self.max_stage3,)),
+                            z((self.max_stage3, 10)),
+                            jnp.zeros((self.max_stage3,), bool))
+                boxes, scores, valid = self._stage1(img_f, h, w, scales)
+                boxes, scores, valid = self._stage2(img_f, boxes, valid)
+                return self._stage3(img_f, boxes, valid)
+
+            self._jitted[key] = jax.jit(jax.vmap(one))
+        return self._jitted[key]
+
+    def detect_batch(self, images: np.ndarray):
+        """(N, H, W, 3) uniform-size RGB -> list of (boxes (n_i, 5),
+        landmarks (10, n_i)) per image."""
+        n, h, w = images.shape[0], images.shape[1], images.shape[2]
+        fn = self.detect_batch_fn(h, w)
+        boxes, scores, points, valid = [np.asarray(a)
+                                        for a in fn(jnp.asarray(images))]
+        out = []
+        for i in range(n):
+            v = valid[i]
+            out.append((np.concatenate([boxes[i][v], scores[i][v][:, None]], axis=1),
+                        points[i][v].T))
+        return out
+
     def detect(self, img: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """Host API: RGB (H, W, 3) image -> (boxes (n,5), landmarks (10, n)).
 

@@ -83,3 +83,16 @@ def test_detector_small_image(params):
     tiny = np.zeros((20, 20, 3), dtype=np.uint8)
     boxes, _ = det.detect(tiny)  # pyramid empty -> no faces, no crash
     assert len(boxes) == 0
+
+
+def test_detect_batch_matches_single(params, test_img):
+    det = MTCNNDetector(params, minsize=40)
+    batch = np.stack([test_img, test_img[:, ::-1]])  # image + mirror
+    results = det.detect_batch(batch)
+    assert len(results) == 2
+    single0, _ = det.detect(test_img)
+    boxes0, points0 = results[0]
+    assert len(boxes0) == len(single0)
+    for b in single0:
+        ious = [_iou(b, bb) for bb in boxes0]
+        assert max(ious) > 0.99
