@@ -141,6 +141,87 @@ def cmd_utkface(args):
                      indent=2))
 
 
+
+
+def cmd_cluster(args):
+    """Clustering-quality benchmark on a labeled directory-per-person dataset
+    (the reference's facial_clustering_test.py flow)."""
+    import numpy as np
+
+    from .eval import lfw
+    from .eval.clustering_metrics import clustering_statistics
+    from .models.zoo import build_extractor
+    from .ops.distance import pairwise_euclidean
+    from .pipelines.clustering import clusters_to_labels, get_facial_clusters
+    from .pipelines.identification import KNNIdentifier
+
+    extractor = build_extractor(args.model, batch_size=args.batch_size)
+    feats, labels, names = lfw.extract_dataset_features(
+        args.dataset, extractor, cache_file=args.cache)
+    feats = feats / np.maximum(np.linalg.norm(feats, axis=1, keepdims=True), 1e-12)
+    dist = np.array(pairwise_euclidean(feats, feats))
+    np.fill_diagonal(dist, 0.0)
+    clusters = get_facial_clusters(dist, args.threshold, method=args.method)
+    y_pred = clusters_to_labels(clusters, len(labels))
+    print(json.dumps(clustering_statistics(labels, y_pred), indent=2))
+
+
+def cmd_export(args):
+    """Export the multi-head model (or a trained checkpoint) to a frozen pb /
+    h5 / quantized npz — the reference's conversion tooling."""
+    from .core.graphdef_export import export_multihead_pb
+    from .models.multihead import import_multihead_params
+    from .models.zoo import AGEGENDER_PB
+    from .ops.quantize import save_quantized
+
+    params = import_multihead_params(args.agegender_pb or AGEGENDER_PB)
+    if args.format == "pb":
+        export_multihead_pb(params, args.out)
+    elif args.format == "quantized":
+        save_quantized(params, args.out)
+    print(f"exported ({args.format}) -> {args.out}")
+
+
+def cmd_train(args):
+    """Train the face-ID backbone on a directory-per-identity dataset
+    (the reference's facerec_keras_train.py recipe)."""
+    from .config import TrainConfig
+    from .train.checkpoints import BestCheckpoint
+    from .train.data import DirectoryDataset
+    from .train.face_id import FaceIdTrainer
+
+    cfg = TrainConfig(batch_size=args.batch_size, learning_rate=args.lr,
+                      epochs=args.epochs, image_size=args.image_size)
+    train_ds = DirectoryDataset(args.train_dir, (args.image_size, args.image_size))
+    val_ds = DirectoryDataset(args.val_dir, (args.image_size, args.image_size),
+                              class_to_label={c: i for i, c in
+                                              enumerate(train_ds.class_names)}) \
+        if args.val_dir else None
+    trainer = FaceIdTrainer(n_classes=train_ds.n_classes, cfg=cfg)
+    ckpt = BestCheckpoint(args.out_dir, name="faceid", mode="max",
+                          patience=cfg.early_stopping_patience)
+    for epoch in range(cfg.epochs):
+        metrics = {}
+        for images, labels in train_ds.batches(cfg.batch_size, seed=epoch, epochs=1):
+            metrics = trainer.train_batch(images, labels)
+        if val_ds is not None:
+            val_imgs, val_labels = [], []
+            for images, labels in val_ds.batches(cfg.batch_size, shuffle=False,
+                                                 epochs=1, drop_remainder=False):
+                val_imgs.append(images); val_labels.append(labels)
+            import numpy as np
+
+            acc = trainer.eval_accuracy(np.concatenate(val_imgs),
+                                        np.concatenate(val_labels))
+        else:
+            acc = metrics.get("acc", 0.0)
+        print(f"epoch {epoch}: train {metrics} val_acc={acc:.4f}")
+        if not ckpt.update(acc, trainer.params, epoch):
+            print("early stopping")
+            break
+    print(f"best: {ckpt.best} -> {ckpt.best_path}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="hse_facerec_tf_tpu",
                                 description=__doc__,
@@ -190,6 +271,33 @@ def main(argv=None):
     u.add_argument("--coral-subset", action="store_true",
                    help="restrict to ages 21-60 (CORAL protocol)")
     u.set_defaults(fn=cmd_utkface)
+
+
+    cl = sub.add_parser("cluster", help="clustering-quality benchmark")
+    cl.add_argument("dataset")
+    cl.add_argument("--model", default="agegender_identity")
+    cl.add_argument("--method", default="scipy",
+                    choices=["scipy", "rankorder", "rankorder_py", "dbscan"])
+    cl.add_argument("--threshold", type=float, default=1.0)
+    cl.add_argument("--batch-size", type=int, default=64)
+    cl.add_argument("--cache", default=None)
+    cl.set_defaults(fn=cmd_cluster)
+
+    ex = sub.add_parser("export", help="export model weights (pb / quantized)")
+    ex.add_argument("out")
+    ex.add_argument("--format", default="pb", choices=["pb", "quantized"])
+    ex.add_argument("--agegender-pb", default=None)
+    ex.set_defaults(fn=cmd_export)
+
+    tr = sub.add_parser("train", help="train the face-ID backbone")
+    tr.add_argument("train_dir")
+    tr.add_argument("--val-dir", default=None)
+    tr.add_argument("--out-dir", default="checkpoints")
+    tr.add_argument("--batch-size", type=int, default=32)
+    tr.add_argument("--lr", type=float, default=1e-3)
+    tr.add_argument("--epochs", type=int, default=16)
+    tr.add_argument("--image-size", type=int, default=224)
+    tr.set_defaults(fn=cmd_train)
 
     args = p.parse_args(argv)
     args.fn(args)
