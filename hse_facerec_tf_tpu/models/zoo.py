@@ -106,3 +106,28 @@ def build_extractor(name: str, batch_size: int = 64, mesh=None,
                               normalization=spec.normalization,
                               resize_method=spec.resize_method,
                               batch_size=batch_size, mesh=mesh)
+
+
+def graph_extractor(pb_path: str, input_tensor: str, output_tensor: str,
+                    input_size, normalization: str = "caffe",
+                    resize_method: str = "pil_bilinear", batch_size: int = 64,
+                    mesh=None, precision=jax.lax.Precision.HIGHEST):
+    """Generic frozen-pb embedder: wrap ANY TF frozen graph as an
+    EmbeddingExtractor — the general form of the reference's
+    ``TensorFlowInference`` model rows (``facerec_test.py:209-218``: FaceNet,
+    InsightFace, custom pbs, all selected by (pb, input, output, preprocessing)
+    tuples). The graph is compiled to XLA by core/graph_compiler.py."""
+    from ..core.graph_compiler import compile_pb
+    from ..pipelines.embedder import EmbeddingExtractor
+
+    cg = compile_pb(pb_path, [output_tensor], precision=precision)
+    in_name = input_tensor.split(":")[0]
+
+    def model_fn(params, x):
+        (out,) = cg.fn(params, {in_name: x})
+        return out.reshape(out.shape[0], -1)
+
+    return EmbeddingExtractor(model_fn, cg.params, input_size,
+                              normalization=normalization,
+                              resize_method=resize_method,
+                              batch_size=batch_size, mesh=mesh)

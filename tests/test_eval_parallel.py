@@ -140,3 +140,37 @@ def test_threshold_search(rng):
     assert result["best_score"] > 0.95
     assert 0.2 < result["best_threshold"] < 3.0
     assert len(result["trace"]) >= 2
+
+
+def test_graph_extractor_generic_pb(rng):
+    """Any frozen pb becomes an extractor (the TensorFlowInference pattern):
+    here the shipped multi-head pb via its identity tap."""
+    from hse_facerec_tf_tpu.models.zoo import AGEGENDER_PB, graph_extractor
+
+    ex = graph_extractor(AGEGENDER_PB, "input_1:0", "global_pooling/Mean:0",
+                         (224, 224), normalization="caffe",
+                         resize_method="cv2_linear", batch_size=2)
+    imgs = (rng.rand(2, 112, 112, 3) * 255).astype(np.uint8)
+    feats = ex.extract_batch(imgs)
+    assert feats.shape == (2, 1024)
+    assert np.linalg.norm(feats, axis=1).min() > 0
+
+
+def test_cascade_fallback(rng):
+    import cv2
+
+    from hse_facerec_tf_tpu.pipelines.cascade_fallback import \
+        CascadeFallbackDetector
+
+    det = CascadeFallbackDetector()
+    img = cv2.cvtColor(cv2.imread("/root/reference/age_gender_identity/test_image.jpg"),
+                       cv2.COLOR_BGR2RGB)
+    h, w = img.shape[:2]
+    scale = min(640 / w, 480 / h)
+    img = cv2.resize(img, (int(w * scale), int(h * scale)))
+    boxes, points = det.detect(img)
+    assert boxes.shape[1] == 5
+    assert len(boxes) >= 1  # finds at least one frontal face on the fixture
+    noise = (rng.rand(200, 200, 3) * 255).astype(np.uint8)
+    empty, _ = det.detect(noise)
+    assert empty.shape == (0, 5)
