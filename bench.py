@@ -27,7 +27,7 @@ WARMUP = 3
 ITERS = 10
 
 
-def build_forward(precision, compute_dtype):
+def build_forward(precision, compute_dtype, bf16_blocks_below=0):
     import jax
     import jax.numpy as jnp
 
@@ -42,7 +42,8 @@ def build_forward(precision, compute_dtype):
     def forward(images):
         x = images.astype(jnp.float32)[..., ::-1] - means
         out = multihead_apply(params, x, precision=precision,
-                              compute_dtype=compute_dtype)
+                              compute_dtype=compute_dtype,
+                              bf16_blocks_below=bf16_blocks_below)
         return out.identity
 
     return forward, params

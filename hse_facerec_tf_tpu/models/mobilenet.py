@@ -51,26 +51,43 @@ def _affine_or_bn(x, p, train: bool = False, stats_out: Optional[Dict] = None,
 
 def mobilenet_v1_backbone(params: Dict, x, *, precision=jax.lax.Precision.HIGHEST,
                           compute_dtype=jnp.float32, train: bool = False,
-                          stats_out: Optional[Dict] = None):
+                          stats_out: Optional[Dict] = None,
+                          bf16_blocks_below: int = 0):
     """(N, H, W, 3) -> (N, H/32, W/32, 1024) feature map.
 
     With ``train=True`` BN layers use batch moments; pass ``stats_out={}`` to
-    collect them (per-layer {"mean","var"}) for running-average updates."""
-    x = x.astype(compute_dtype)
+    collect them (per-layer {"mean","var"}) for running-average updates.
 
-    def cast(k):
-        return jax.tree.map(lambda a: a.astype(compute_dtype), params[k])
+    ``bf16_blocks_below``: mixed-precision serving dial — blocks with index
+    < this value (conv1 = 0) run in bf16/MXU-default, the rest in
+    ``compute_dtype`` at ``precision``. Measured on v5e (batch 128): the
+    all-f32 HIGH path is exact vs HIGHEST at ~12.3k img/s; bf16 anywhere in
+    the early blocks roughly doubles those blocks' speed (full bf16 ≈ 24k
+    img/s) at an embedding-cosine cost vs true f32 of ~0.977 — use only where
+    that tolerance is acceptable (e.g. detection crops, coarse dedup)."""
+    def block_cfg(i):
+        if i < bf16_blocks_below:
+            return jnp.bfloat16, jax.lax.Precision.DEFAULT
+        return compute_dtype, precision
 
-    p = cast("conv1")
-    x = conv2d(x, p["kernel"], stride=2, padding="SAME", precision=precision)
+    dt, prec = block_cfg(0)
+    x = x.astype(dt)
+
+    def cast(k, dt):
+        return jax.tree.map(lambda a: a.astype(dt), params[k])
+
+    p = cast("conv1", dt)
+    x = conv2d(x, p["kernel"], stride=2, padding="SAME", precision=prec)
     x = relu6(_affine_or_bn(x, p, train, stats_out, "conv1"))
     for i, (stride, _) in enumerate(MOBILENET_V1_BLOCKS, start=1):
-        pdw = cast(f"dw{i}")
+        dt, prec = block_cfg(i)
+        x = x.astype(dt)
+        pdw = cast(f"dw{i}", dt)
         x = depthwise_conv2d(x, pdw["kernel"], stride=stride, padding="SAME",
-                             precision=precision)
+                             precision=prec)
         x = relu6(_affine_or_bn(x, pdw, train, stats_out, f"dw{i}"))
-        ppw = cast(f"pw{i}")
-        x = conv2d(x, ppw["kernel"], stride=1, padding="SAME", precision=precision)
+        ppw = cast(f"pw{i}", dt)
+        x = conv2d(x, ppw["kernel"], stride=1, padding="SAME", precision=prec)
         x = relu6(_affine_or_bn(x, ppw, train, stats_out, f"pw{i}"))
     return x
 

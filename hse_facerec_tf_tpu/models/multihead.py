@@ -35,11 +35,16 @@ class MultiHeadOutput(NamedTuple):
 
 
 def multihead_apply(params: Params, x, *, precision=jax.lax.Precision.HIGHEST,
-                    compute_dtype=jnp.float32) -> MultiHeadOutput:
+                    compute_dtype=jnp.float32,
+                    bf16_blocks_below: int = 0) -> MultiHeadOutput:
     """Forward pass. x: (N, H, W, 3) preprocessed (BGR, VGGFace2 mean-subtracted —
-    see ops/preprocess.py `caffe_vggface`); reference feeds 224x224."""
+    see ops/preprocess.py `caffe_vggface`); reference feeds 224x224.
+
+    ``bf16_blocks_below``: mixed-precision serving dial (see
+    mobilenet_v1_backbone for the measured speed/fidelity trade-off)."""
     h = mobilenet_v1_backbone(params["backbone"], x, precision=precision,
-                              compute_dtype=compute_dtype)
+                              compute_dtype=compute_dtype,
+                              bf16_blocks_below=bf16_blocks_below)
     identity = global_avg_pool(h).astype(jnp.float32)  # == global_pooling/Mean
     f = jax.nn.relu(dense(identity, params["feats"]["kernel"], params["feats"]["bias"],
                           precision=precision))
