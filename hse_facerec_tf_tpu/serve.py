@@ -1,0 +1,170 @@
+"""HTTP inference server with cross-request batching.
+
+Production serving surface (the reference has none — SURVEY.md §0 notes no
+CLI/server framework): a threaded HTTP server whose handlers enqueue work for
+a single device worker that coalesces concurrent requests into one batched
+XLA call (the TPU wants large batches; per-request batch-1 calls would waste
+it — the same lesson as the reference's per-image ``sess.run`` loop).
+
+Endpoints:
+  POST /embed    image bytes (jpeg/png) -> {"embedding": [...]}
+  POST /analyze  image bytes -> {"faces": [{bbox, age, gender_prob, ...}]}
+  GET  /healthz  -> {"ok": true, "device": ...}
+
+Run: ``python -m hse_facerec_tf_tpu.serve --port 8000``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+class _BatchingWorker:
+    """Coalesces concurrent embed requests into batched device calls."""
+
+    def __init__(self, extractor, max_batch: int = 32, max_wait_ms: float = 5.0):
+        self.extractor = extractor
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1e3
+        self.queue: "queue.Queue" = queue.Queue()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, image: np.ndarray) -> np.ndarray:
+        done = threading.Event()
+        slot: dict = {}
+        self.queue.put((image, done, slot))
+        done.wait()
+        if "error" in slot:
+            raise RuntimeError(slot["error"])
+        return slot["result"]
+
+    def _run(self):
+        while True:
+            image, done, slot = self.queue.get()
+            batch = [(image, done, slot)]
+            deadline = time.monotonic() + self.max_wait
+            while len(batch) < self.max_batch:
+                timeout = deadline - time.monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    batch.append(self.queue.get(timeout=timeout))
+                except queue.Empty:
+                    break
+            # group by source size (extractor resizes on device per size)
+            by_size = {}
+            for item in batch:
+                by_size.setdefault(item[0].shape, []).append(item)
+            for items in by_size.values():
+                try:
+                    imgs = np.stack([it[0] for it in items])
+                    feats = self.extractor.extract_batch(imgs)
+                    for (_, d, s), f in zip(items, feats):
+                        s["result"] = f
+                        d.set()
+                except Exception as e:  # noqa: BLE001 — report to the caller
+                    for _, d, s in items:
+                        s["error"] = str(e)
+                        d.set()
+
+
+def make_handler(worker: _BatchingWorker, analyzer):
+    import cv2
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _json(self, code: int, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _read_image(self) -> Optional[np.ndarray]:
+            length = int(self.headers.get("Content-Length", 0))
+            if length <= 0:
+                return None
+            data = self.rfile.read(length)
+            arr = np.frombuffer(data, dtype=np.uint8)
+            img = cv2.imdecode(arr, cv2.IMREAD_COLOR)
+            if img is None:
+                return None
+            return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                import jax
+
+                self._json(200, {"ok": True, "device": str(jax.devices()[0])})
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            img = self._read_image()
+            if img is None:
+                self._json(400, {"error": "body must be a decodable image"})
+                return
+            try:
+                if self.path == "/embed":
+                    feats = worker.submit(img)
+                    self._json(200, {"embedding": np.asarray(feats, np.float64)
+                                     .round(6).tolist()})
+                elif self.path == "/analyze":
+                    faces = analyzer.analyze(img)
+                    self._json(200, {"faces": [{
+                        "bbox": list(f.bbox), "score": round(f.score, 4),
+                        "age": round(f.age, 1),
+                        "gender_prob": round(f.gender_prob, 4),
+                        "is_male": bool(f.is_male()),
+                    } for f in faces]})
+                else:
+                    self._json(404, {"error": "unknown path"})
+            except Exception as e:  # noqa: BLE001
+                self._json(500, {"error": str(e)})
+
+    return Handler
+
+
+def build_server(port: int = 8000, model: str = "agegender_identity",
+                 max_batch: int = 32, with_analyzer: bool = True):
+    from .models import zoo
+    from .models.zoo import build_extractor
+
+    extractor = build_extractor(model)
+    worker = _BatchingWorker(extractor, max_batch=max_batch)
+    analyzer = None
+    if with_analyzer:
+        from .pipelines.analyzer import FacialAnalyzer
+
+        analyzer = FacialAnalyzer.from_reference_models(zoo.MTCNN_PB,
+                                                        zoo.AGEGENDER_PB)
+    return ThreadingHTTPServer(("0.0.0.0", port), make_handler(worker, analyzer))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--model", default="agegender_identity")
+    p.add_argument("--max-batch", type=int, default=32)
+    p.add_argument("--no-analyzer", action="store_true")
+    args = p.parse_args(argv)
+    server = build_server(args.port, args.model, args.max_batch,
+                          with_analyzer=not args.no_analyzer)
+    print(f"serving on :{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

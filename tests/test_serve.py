@@ -1,0 +1,76 @@
+"""Serving layer: batching worker + HTTP endpoints (driven over a real socket)."""
+
+import http.client
+import json
+import threading
+
+import cv2
+import numpy as np
+import pytest
+
+from hse_facerec_tf_tpu.serve import _BatchingWorker, build_server
+
+
+class _FakeExtractor:
+    def __init__(self):
+        self.batch_sizes = []
+
+    def extract_batch(self, imgs):
+        self.batch_sizes.append(len(imgs))
+        return imgs.reshape(len(imgs), -1)[:, :8].astype(np.float32)
+
+
+def test_batching_worker_coalesces(rng):
+    ex = _FakeExtractor()
+    worker = _BatchingWorker(ex, max_batch=8, max_wait_ms=50.0)
+    imgs = [(rng.rand(16, 16, 3) * 255).astype(np.uint8) for _ in range(6)]
+    results = [None] * 6
+
+    def call(i):
+        results[i] = worker.submit(imgs[i])
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i in range(6):
+        np.testing.assert_allclose(results[i], imgs[i].reshape(-1)[:8])
+    # concurrent submissions must have been coalesced into fewer device calls
+    assert max(ex.batch_sizes) > 1
+
+
+def test_http_endpoints(rng):
+    server = build_server(port=0, with_analyzer=False)
+    # swap in the fake extractor to keep the test fast
+    fake = _FakeExtractor()
+    server.RequestHandlerClass = __import__(
+        "hse_facerec_tf_tpu.serve", fromlist=["make_handler"]).make_handler(
+        _BatchingWorker(fake), analyzer=None)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        conn.request("GET", "/healthz")
+        r = conn.getresponse()
+        assert r.status == 200
+        assert json.loads(r.read())["ok"] is True
+
+        img = (rng.rand(20, 20, 3) * 255).astype(np.uint8)
+        ok, enc = cv2.imencode(".png", img)
+        conn.request("POST", "/embed", body=enc.tobytes())
+        r = conn.getresponse()
+        assert r.status == 200
+        emb = json.loads(r.read())["embedding"]
+        assert len(emb) == 8
+
+        conn.request("POST", "/embed", body=b"not an image")
+        r = conn.getresponse()
+        assert r.status == 400
+
+        conn.request("POST", "/nope", body=enc.tobytes())
+        r = conn.getresponse()
+        assert r.status == 404
+    finally:
+        server.shutdown()
