@@ -77,6 +77,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from hse_facerec_tf_tpu.utils.compilation_cache import enable as _enable_cache
+
+    _enable_cache()
+
     dev = jax.devices()[0]
     # Precision.HIGH f32: exact embedding agreement with the HIGHEST path at
     # ~8% below bf16 throughput (the model is HBM-bound, not MXU-bound).

@@ -223,6 +223,9 @@ def cmd_train(args):
 
 
 def main(argv=None):
+    from .utils.compilation_cache import enable as _enable_cache
+
+    _enable_cache()
     p = argparse.ArgumentParser(prog="hse_facerec_tf_tpu",
                                 description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)

@@ -140,6 +140,9 @@ def make_handler(worker: _BatchingWorker, analyzer):
 def build_server(port: int = 8000, model: str = "agegender_identity",
                  max_batch: int = 32, with_analyzer: bool = True):
     from .models import zoo
+    from .utils.compilation_cache import enable as _enable_cache
+
+    _enable_cache()
     from .models.zoo import build_extractor
 
     extractor = build_extractor(model)
