@@ -66,15 +66,24 @@ def loss_fn(params: Dict, images, labels, weight_decay: float,
 
 def make_train_step(cfg: TrainConfig, optimizer: optax.GradientTransformation,
                     augment: Optional[AugmentConfig] = AugmentConfig(),
-                    bn_momentum: float = 0.99):
+                    bn_momentum: float = 0.99, remat: bool = False):
     """Returns jittable ``step(params, opt_state, key, images, labels) ->
-    (params, opt_state, metrics)``. images: float32 preprocessed batch."""
+    (params, opt_state, metrics)``. images: float32 preprocessed batch.
+
+    ``remat=True`` rematerializes the forward during the backward pass
+    (jax.checkpoint), trading ~30% FLOPs for activation memory — the knob for
+    large-batch training where backbone activations exceed HBM."""
+    def fwd_loss(params, images, labels):
+        return loss_fn(params, images, labels, cfg.weight_decay)
+
+    if remat:
+        fwd_loss = jax.checkpoint(fwd_loss)
 
     def step(params, opt_state, key, images, labels):
         if augment is not None:
             images = augment_batch(key, images, augment)
-        (loss, (stats, acc)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, images, labels, cfg.weight_decay)
+        (loss, (stats, acc)), grads = jax.value_and_grad(fwd_loss, has_aux=True)(
+            params, images, labels)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         params = update_bn_stats(params, stats, momentum=bn_momentum)

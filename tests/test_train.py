@@ -184,3 +184,25 @@ def test_labeled_dir_dataset(tmp_path, rng):
                            image_size=(16, 16))
     assert len(ds.paths) == 2
     assert set(ds.labels.tolist()) == {25, 60}
+
+
+def test_remat_train_step_matches(rng):
+    """Remat step computes identical loss/grads to the plain step."""
+    import jax
+
+    from hse_facerec_tf_tpu.train.face_id import make_optimizer, make_train_step
+
+    cfg = TrainConfig(batch_size=4)
+    params = init_mobilenet_params(jax.random.PRNGKey(0), n_classes=3)
+    opt = make_optimizer(cfg)
+    imgs = rng.rand(4, 32, 32, 3).astype(np.float32)
+    labels = rng.randint(0, 3, 4)
+    key = jax.random.PRNGKey(1)
+    outs = []
+    for remat in (False, True):
+        step = jax.jit(make_train_step(cfg, opt, augment=None, remat=remat))
+        p2, _, m = step(params, opt.init(params), key,
+                        np.asarray(imgs), np.asarray(labels))
+        outs.append((m["loss"], np.asarray(p2["conv1"]["kernel"])))
+    assert abs(float(outs[0][0]) - float(outs[1][0])) < 1e-5
+    np.testing.assert_allclose(outs[0][1], outs[1][1], atol=1e-5)
