@@ -197,7 +197,8 @@ def cmd_train(args):
                               class_to_label={c: i for i, c in
                                               enumerate(train_ds.class_names)}) \
         if args.val_dir else None
-    trainer = FaceIdTrainer(n_classes=train_ds.n_classes, cfg=cfg)
+    trainer = FaceIdTrainer(n_classes=train_ds.n_classes, cfg=cfg,
+                            remat=args.remat)
     ckpt = BestCheckpoint(args.out_dir, name="faceid", mode="max",
                           patience=cfg.early_stopping_patience)
     for epoch in range(cfg.epochs):
@@ -300,6 +301,8 @@ def main(argv=None):
     tr.add_argument("--lr", type=float, default=1e-3)
     tr.add_argument("--epochs", type=int, default=16)
     tr.add_argument("--image-size", type=int, default=224)
+    tr.add_argument("--remat", action="store_true",
+                    help="per-block rematerialization (activation-memory headroom)")
     tr.set_defaults(fn=cmd_train)
 
     args = p.parse_args(argv)

@@ -52,7 +52,7 @@ def _affine_or_bn(x, p, train: bool = False, stats_out: Optional[Dict] = None,
 def mobilenet_v1_backbone(params: Dict, x, *, precision=jax.lax.Precision.HIGHEST,
                           compute_dtype=jnp.float32, train: bool = False,
                           stats_out: Optional[Dict] = None,
-                          bf16_blocks_below: int = 0):
+                          bf16_blocks_below: int = 0, remat: bool = False):
     """(N, H, W, 3) -> (N, H/32, W/32, 1024) feature map.
 
     With ``train=True`` BN layers use batch moments; pass ``stats_out={}`` to
@@ -83,12 +83,26 @@ def mobilenet_v1_backbone(params: Dict, x, *, precision=jax.lax.Precision.HIGHES
         dt, prec = block_cfg(i)
         x = x.astype(dt)
         pdw = cast(f"dw{i}", dt)
-        x = depthwise_conv2d(x, pdw["kernel"], stride=stride, padding="SAME",
-                             precision=prec)
-        x = relu6(_affine_or_bn(x, pdw, train, stats_out, f"dw{i}"))
         ppw = cast(f"pw{i}", dt)
-        x = conv2d(x, ppw["kernel"], stride=1, padding="SAME", precision=prec)
-        x = relu6(_affine_or_bn(x, ppw, train, stats_out, f"pw{i}"))
+
+        def block(x, pdw, ppw, stride=stride, prec=prec, li=i):
+            # per-block unit so remat can drop this block's internals during
+            # the backward pass (peak memory = block inputs + one block's
+            # activations, not the whole network's); BN batch stats are
+            # returned, not side-channelled, so no tracers leak the boundary.
+            s: Dict = {}
+            y = depthwise_conv2d(x, pdw["kernel"], stride=stride, padding="SAME",
+                                 precision=prec)
+            y = relu6(_affine_or_bn(y, pdw, train, s, f"dw{li}"))
+            y = conv2d(y, ppw["kernel"], stride=1, padding="SAME", precision=prec)
+            y = relu6(_affine_or_bn(y, ppw, train, s, f"pw{li}"))
+            return y, s
+
+        if remat:
+            block = jax.checkpoint(block)
+        x, s = block(x, pdw, ppw)
+        if train and stats_out is not None:
+            stats_out.update(s)
     return x
 
 

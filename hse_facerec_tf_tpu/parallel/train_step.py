@@ -44,7 +44,8 @@ def face_id_param_shardings(mesh: Mesh, params: Dict):
 
 
 def make_sharded_face_id_trainer(mesh: Mesh, n_classes: int,
-                                 cfg: TrainConfig = None, seed: int = 0):
+                                 cfg: TrainConfig = None, seed: int = 0,
+                                 remat: bool = False):
     """Returns (params, opt_state, step_fn) with dp×tp shardings applied.
 
     step_fn(params, opt_state, key, images, labels) -> (params, opt_state,
@@ -54,7 +55,7 @@ def make_sharded_face_id_trainer(mesh: Mesh, n_classes: int,
     params = init_mobilenet_params(jax.random.PRNGKey(seed), n_classes=n_classes)
     optimizer = make_optimizer(cfg)
     opt_state = optimizer.init(params)
-    step = make_train_step(cfg, optimizer, augment=None)
+    step = make_train_step(cfg, optimizer, augment=None, remat=remat)
 
     p_shard = face_id_param_shardings(mesh, params)
     repl = NamedSharding(mesh, P())

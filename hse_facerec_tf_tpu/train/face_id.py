@@ -29,12 +29,15 @@ from ..models.mobilenet import (init_mobilenet_params, mobilenet_v1_backbone,
 from .augment import AugmentConfig, augment_batch
 
 
-def forward_train(params: Dict, images, *, precision=jax.lax.Precision.DEFAULT):
-    """Training forward: logits + collected BN batch stats."""
+def forward_train(params: Dict, images, *, precision=jax.lax.Precision.DEFAULT,
+                  remat: bool = False):
+    """Training forward: logits + collected BN batch stats. ``remat`` applies
+    per-block rematerialization in the backbone (activation-memory headroom
+    for large batches at ~30% extra backward FLOPs)."""
     stats: Dict = {}
     h = mobilenet_v1_backbone(params, images, precision=precision,
                               compute_dtype=jnp.bfloat16, train=True,
-                              stats_out=stats)
+                              stats_out=stats, remat=remat)
     emb = global_avg_pool(h).astype(jnp.float32)
     logits = dense(emb, params["classifier"]["kernel"], params["classifier"]["bias"],
                    precision=precision)
@@ -56,8 +59,8 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
 
 
 def loss_fn(params: Dict, images, labels, weight_decay: float,
-            precision=jax.lax.Precision.DEFAULT):
-    logits, stats = forward_train(params, images, precision=precision)
+            precision=jax.lax.Precision.DEFAULT, remat: bool = False):
+    logits, stats = forward_train(params, images, precision=precision, remat=remat)
     ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
     l2 = weight_decay * jnp.sum(jnp.square(params["classifier"]["kernel"]))
     acc = jnp.mean(jnp.argmax(logits, axis=-1) == labels)
@@ -70,14 +73,11 @@ def make_train_step(cfg: TrainConfig, optimizer: optax.GradientTransformation,
     """Returns jittable ``step(params, opt_state, key, images, labels) ->
     (params, opt_state, metrics)``. images: float32 preprocessed batch.
 
-    ``remat=True`` rematerializes the forward during the backward pass
-    (jax.checkpoint), trading ~30% FLOPs for activation memory — the knob for
+    ``remat=True`` applies per-block jax.checkpoint inside the backbone,
+    trading ~30% backward FLOPs for activation memory — the knob for
     large-batch training where backbone activations exceed HBM."""
     def fwd_loss(params, images, labels):
-        return loss_fn(params, images, labels, cfg.weight_decay)
-
-    if remat:
-        fwd_loss = jax.checkpoint(fwd_loss)
+        return loss_fn(params, images, labels, cfg.weight_decay, remat=remat)
 
     def step(params, opt_state, key, images, labels):
         if augment is not None:
@@ -97,7 +97,7 @@ class FaceIdTrainer:
 
     def __init__(self, n_classes: int, cfg: Optional[TrainConfig] = None,
                  seed: int = 0, augment: Optional[AugmentConfig] = AugmentConfig(),
-                 mesh=None, bn_momentum: float = 0.99):
+                 mesh=None, bn_momentum: float = 0.99, remat: bool = False):
         self.cfg = cfg or TrainConfig()
         self.key = jax.random.PRNGKey(seed)
         self.params = init_mobilenet_params(jax.random.PRNGKey(seed + 1),
@@ -105,7 +105,7 @@ class FaceIdTrainer:
         self.optimizer = make_optimizer(self.cfg)
         self.opt_state = self.optimizer.init(self.params)
         step = make_train_step(self.cfg, self.optimizer, augment,
-                               bn_momentum=bn_momentum)
+                               bn_momentum=bn_momentum, remat=remat)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -188,8 +188,6 @@ def test_labeled_dir_dataset(tmp_path, rng):
 
 def test_remat_train_step_matches(rng):
     """Remat step computes identical loss/grads to the plain step."""
-    import jax
-
     from hse_facerec_tf_tpu.train.face_id import make_optimizer, make_train_step
 
     cfg = TrainConfig(batch_size=4)
