@@ -269,6 +269,15 @@ def _eval_node(node: NodeDef, get, params, feeds, static, precision):
             x, 0.0, jax.lax.add,
             window_dimensions=tuple(k), window_strides=tuple(s), padding=padding,
         )
+        if padding == "SAME":
+            # TF divides by the number of UNPADDED cells in each window
+            ones = jnp.ones((1,) + x.shape[1:3] + (1,), x.dtype)
+            counts = jax.lax.reduce_window(
+                ones, 0.0, jax.lax.add,
+                window_dimensions=tuple(k), window_strides=tuple(s),
+                padding=padding,
+            )
+            return summed / counts
         return summed / (k[1] * k[2])
     if op == "Mean":
         x = get(node.inputs[0])
@@ -312,11 +321,26 @@ def _eval_node(node: NodeDef, get, params, feeds, static, precision):
         begin = np.asarray(static(node.inputs[1])).astype(int)
         end = np.asarray(static(node.inputs[2])).astype(int)
         strides = np.asarray(static(node.inputs[3])).astype(int)
-        slices = tuple(slice(int(b), int(e), int(s)) for b, e, s in zip(begin, end, strides))
-        out = x[slices]
-        shrink = node.attrs.get("shrink_axis_mask")
-        if shrink is not None and shrink.i:
-            axes = tuple(i for i in range(len(begin)) if (shrink.i >> i) & 1)
+
+        def mask(name):
+            a = node.attrs.get(name)
+            return a.i if (a is not None and a.i) else 0
+
+        if mask("ellipsis_mask") or mask("new_axis_mask"):
+            raise NotImplementedError(
+                f"StridedSlice ellipsis/new_axis masks (node {node.name})")
+        begin_mask = mask("begin_mask")
+        end_mask = mask("end_mask")
+        shrink_mask = mask("shrink_axis_mask")
+        slices = []
+        for i, (b, e, s) in enumerate(zip(begin, end, strides)):
+            # TF: a set mask bit means "use the full range" on that axis
+            b_ = None if (begin_mask >> i) & 1 else int(b)
+            e_ = None if (end_mask >> i) & 1 else int(e)
+            slices.append(slice(b_, e_, int(s)))
+        out = x[tuple(slices)]
+        if shrink_mask:
+            axes = tuple(i for i in range(len(begin)) if (shrink_mask >> i) & 1)
             out = jnp.squeeze(out, axis=axes)
         return out
     raise NotImplementedError(f"TF op not supported by graph_compiler: {op} (node {node.name})")

@@ -120,7 +120,24 @@ def _parse_tensor_proto(buf: bytes) -> np.ndarray:
                 float_vals.extend(pw.decode_packed_floats(val))
             elif wire == pw.FIXED32:
                 float_vals.append(pw.as_float32(val))
-        elif field in (7, 10, 11, 13):  # int/int64/bool/half vals (varint family)
+        elif field == 6:  # double_val (packed doubles)
+            if wire == pw.LENGTH_DELIMITED:
+                import struct as _struct
+
+                float_vals.extend(_struct.unpack(f"<{len(val) // 8}d", val))
+            elif wire == pw.FIXED64:
+                import struct as _struct
+
+                float_vals.append(_struct.unpack("<d", _struct.pack("<Q", val))[0])
+        elif field == 13:  # half_val: raw float16 BIT PATTERNS as varints
+            if wire == pw.LENGTH_DELIMITED:
+                bits = pw.decode_packed_varints(val)
+            else:
+                bits = [val]
+            float_vals.extend(
+                float(np.frombuffer(np.uint16(b).tobytes(), np.float16)[0])
+                for b in bits)
+        elif field in (7, 10, 11):  # int/int64/bool vals (varint family)
             if wire == pw.LENGTH_DELIMITED:
                 int_vals.extend(pw.as_signed64(v) for v in pw.decode_packed_varints(val))
             elif wire == pw.VARINT:

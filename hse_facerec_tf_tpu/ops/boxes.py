@@ -29,6 +29,19 @@ def bbreg(boxes: jnp.ndarray, reg: jnp.ndarray) -> jnp.ndarray:
     ], axis=1)
 
 
+def bbreg_stage1(boxes: jnp.ndarray, reg: jnp.ndarray) -> jnp.ndarray:
+    """Stage-1 box refinement: widths WITHOUT the +1 (reference
+    ``mtcnn_detect_faces`` :526-531 — distinct from the shared ``bbreg``)."""
+    w = boxes[:, 2] - boxes[:, 0]
+    h = boxes[:, 3] - boxes[:, 1]
+    return jnp.stack([
+        boxes[:, 0] + reg[:, 0] * w,
+        boxes[:, 1] + reg[:, 1] * h,
+        boxes[:, 2] + reg[:, 2] * w,
+        boxes[:, 3] + reg[:, 3] * h,
+    ], axis=1)
+
+
 def rerec(boxes: jnp.ndarray) -> jnp.ndarray:
     """Expand boxes to squares around their centers (reference ``rerec`` :467-476)."""
     h = boxes[:, 3] - boxes[:, 1]

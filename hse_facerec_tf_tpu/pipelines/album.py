@@ -91,7 +91,12 @@ class AlbumOrganizer:
     def _process_photo(self, img: np.ndarray):
         """One photo -> (face_crops_224, ages, genders, normed_features,
         has_big_face). Mirrors reference ``process_image`` (:30-42)."""
-        faces, _ = self.analyzer.analyze_with_rotations(img)
+        faces, rotation = self.analyzer.analyze_with_rotations(img)
+        if rotation:
+            # face boxes are in rotated-image coordinates — crop from the same
+            # orientation the detector saw (reference rotates the photo itself,
+            # process_photos.py:241-247)
+            img = np.ascontiguousarray(np.rot90(img, 3 if rotation == 90 else 1))
         width = img.shape[1]
         crops, ages, genders, feats = [], [], [], []
         has_center_face = False
@@ -140,7 +145,8 @@ class AlbumOrganizer:
             delta = 5 if len(ages) == 0 else 3
         video.release()
 
-        if not feats:
+        if len(feats) < self.config.min_no_frames:
+            # too few faces to form any cluster (reference guard, :54-56)
             return [], [], [], [], False
         born_years = np.asarray(born_years)
         genders = np.asarray(genders)
@@ -170,7 +176,8 @@ class AlbumOrganizer:
             d = np.load(cache, allow_pickle=True)
             return AlbumFaces(
                 files=list(d["files"]), mdates=[time.gmtime(t) for t in d["mtimes"]],
-                facial_images=list(d["facial_images"]),
+                facial_images=[np.asarray(c, dtype=np.uint8)
+                               for c in d["facial_images"]],
                 born_years=d["born_years"], genders=d["genders"],
                 features=d["features"], indices=list(d["indices"]),
                 private_photo_indices=list(d["private"]))
@@ -196,8 +203,10 @@ class AlbumOrganizer:
                          np.asarray(features) if features else np.zeros((0, 1024)),
                          indices, private)
         if use_cache:
-            np.savez(cache, files=files, mtimes=mtimes,
-                     facial_images=np.asarray(facial_images, dtype=object),
+            s = self.analyzer.face_size
+            crops = (np.stack(facial_images).astype(np.uint8) if facial_images
+                     else np.zeros((0, s, s, 3), np.uint8))
+            np.savez(cache, files=files, mtimes=mtimes, facial_images=crops,
                      born_years=out.born_years, genders=out.genders,
                      features=out.features, indices=np.asarray(indices),
                      private=np.asarray(private))

@@ -162,6 +162,8 @@ def get_facial_clusters(dist_matrix: np.ndarray, distance_threshold: float = 1.0
     ``get_facial_clusters`` (``facial_clustering.py:214-285``); ``method``
     replaces its compile-time ``use_clustering`` switch (:17-20)."""
     dist_matrix = np.asarray(dist_matrix)
+    if dist_matrix.shape[0] < 2:
+        return []
     if method == "scipy":
         clusters = _hac_clusters(dist_matrix, distance_threshold, all_indices)
     elif method == "rankorder":

@@ -114,7 +114,7 @@ class MTCNNDetector:
         keep = nms_mask(boxes, scores, valid, 0.7, "union")
         boxes, scores, valid, regs = B.select_top(boxes, scores, valid & keep, regs,
                                                   self.max_stage2)
-        boxes = B.bbreg(boxes, regs)
+        boxes = B.bbreg_stage1(boxes, regs)
         boxes = B.fix(B.rerec(boxes))
         return boxes, scores, valid
 
@@ -161,20 +161,20 @@ class MTCNNDetector:
 
     # ---------- full pipeline ----------
 
+    def _pipeline_one(self, img, h: int, w: int, scales):
+        """The full (un-jitted) cascade for one image."""
+        img_f = img.astype(jnp.float32)
+        if not scales:
+            z = jnp.zeros
+            return (z((self.max_stage3, 4)), z((self.max_stage3,)),
+                    z((self.max_stage3, 10)), jnp.zeros((self.max_stage3,), bool))
+        boxes, scores, valid = self._stage1(img_f, h, w, scales)
+        boxes, scores, valid = self._stage2(img_f, boxes, valid)
+        return self._stage3(img_f, boxes, valid)
+
     def _build(self, h: int, w: int):
         scales = pyramid_scales(h, w, self.minsize, self.factor)
-
-        def fn(img):
-            img_f = img.astype(jnp.float32)
-            if not scales:
-                z = jnp.zeros
-                return (z((self.max_stage3, 4)), z((self.max_stage3,)),
-                        z((self.max_stage3, 10)), jnp.zeros((self.max_stage3,), bool))
-            boxes, scores, valid = self._stage1(img_f, h, w, scales)
-            boxes, scores, valid = self._stage2(img_f, boxes, valid)
-            return self._stage3(img_f, boxes, valid)
-
-        return jax.jit(fn)
+        return jax.jit(lambda img: self._pipeline_one(img, h, w, scales))
 
     def detect_fn(self, h: int, w: int):
         """The jitted (boxes, scores, points, valid) pipeline for shape (h, w)."""
@@ -191,19 +191,8 @@ class MTCNNDetector:
         key = ("batch", h, w)
         if key not in self._jitted:
             scales = pyramid_scales(h, w, self.minsize, self.factor)
-
-            def one(img):
-                img_f = img.astype(jnp.float32)
-                if not scales:
-                    z = jnp.zeros
-                    return (z((self.max_stage3, 4)), z((self.max_stage3,)),
-                            z((self.max_stage3, 10)),
-                            jnp.zeros((self.max_stage3,), bool))
-                boxes, scores, valid = self._stage1(img_f, h, w, scales)
-                boxes, scores, valid = self._stage2(img_f, boxes, valid)
-                return self._stage3(img_f, boxes, valid)
-
-            self._jitted[key] = jax.jit(jax.vmap(one))
+            self._jitted[key] = jax.jit(
+                jax.vmap(lambda img: self._pipeline_one(img, h, w, scales)))
         return self._jitted[key]
 
     def detect_batch(self, images: np.ndarray):

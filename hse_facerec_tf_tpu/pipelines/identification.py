@@ -109,7 +109,9 @@ def single_image_per_class_splits(labels: np.ndarray, n_splits: int = 10,
     (reference ``get_single_image_per_class_cv`` :177-198)."""
     labels = np.asarray(labels)
     inds = np.arange(len(labels))
-    rng = np.random.RandomState(seed)
+    # intentionally seeds/consumes the GLOBAL numpy RNG: the reference does
+    # exactly this (facerec_test.py:180-190), and reproducing its accuracy
+    # numbers requires the identical shuffle sequence.
     np.random.seed(seed)
     for _ in range(n_splits):
         tr, te = [], []

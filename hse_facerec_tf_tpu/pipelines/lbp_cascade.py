@@ -123,8 +123,8 @@ class LBPCascade:
             integral = np.zeros((sh + 1, sw + 1))
             integral[1:, 1:] = small.cumsum(0).cumsum(1)
 
-            gx = np.arange(0, sw - self.win_w, step)
-            gy = np.arange(0, sh - self.win_h, step)
+            gx = np.arange(0, sw - self.win_w + 1, step)
+            gy = np.arange(0, sh - self.win_h + 1, step)
             if len(gx) == 0 or len(gy) == 0:
                 break
             xs, ys = np.meshgrid(gx, gy)

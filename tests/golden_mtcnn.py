@@ -97,7 +97,15 @@ def detect_golden(params, img: np.ndarray, minsize: int = 40,
         return np.zeros((0, 5)), np.zeros((10, 0))
     pick = nms_numpy(total[:, :4], total[:, 4], 0.7, "union")
     total = total[pick]
-    total = np.hstack([_bbreg(total[:, :5], total[:, 5:9]), total[:, 4:5]])[:, [0, 1, 2, 3, 5]]
+    # stage-1 refinement uses widths WITHOUT +1 (facial_analysis.py:526-531)
+    regw = total[:, 2] - total[:, 0]
+    regh = total[:, 3] - total[:, 1]
+    refined = np.stack([total[:, 0] + total[:, 5] * regw,
+                        total[:, 1] + total[:, 6] * regh,
+                        total[:, 2] + total[:, 7] * regw,
+                        total[:, 3] + total[:, 8] * regh,
+                        total[:, 4]], axis=1)
+    total = refined
     total[:, :4] = np.fix(_rerec(total[:, :4].copy()))
 
     # stage 2

@@ -103,7 +103,8 @@ def test_album_organizer(analyzer, fixture_img, tmp_path_factory, rng):
     assert all(g in ("male", "female") for g in result["cluster_genders"])
 
     res_dir = album / "clusters"
-    cluster_dirs = [d for d in os.listdir(res_dir) if d != "public"]
+    cluster_dirs = [d for d in os.listdir(res_dir)
+                    if d != "public" and os.path.isdir(res_dir / d)]
     assert len(cluster_dirs) == len(result["clusters"])
     for d in cluster_dirs:
         parts = d.split(" ")
@@ -138,3 +139,27 @@ def test_album_montage(analyzer, fixture_img, tmp_path_factory):
     result = org.process_album(str(album), use_cache=False)
     if result["clusters"]:
         assert os.path.exists(album / "clusters" / "montage.png")
+
+
+def test_album_outputs_from_cache(analyzer, fixture_img, tmp_path_factory):
+    """Regression: cached facial_images must stay uint8 image arrays so
+    cluster-dir writes and the montage work on a cache-hit run."""
+    album = tmp_path_factory.mktemp("album_cached_outputs")
+    img2 = np.clip(fixture_img.astype(np.int16) + 5, 0, 255).astype(np.uint8)
+    cv2.imwrite(str(album / "a.jpg"), cv2.cvtColor(fixture_img, cv2.COLOR_RGB2BGR))
+    cv2.imwrite(str(album / "b.jpg"), cv2.cvtColor(img2, cv2.COLOR_RGB2BGR))
+    now = time.time()
+    os.utime(album / "a.jpg", (now - 3 * 86400, now - 3 * 86400))
+    cfg = AlbumConfig(min_no_photos=2, min_days_difference=2, distance_threshold=0.9)
+    org = AlbumOrganizer(analyzer, cfg)
+    first = org.process_album(str(album), use_cache=True)
+    # second run hits features.npz; outputs must still be writable
+    second = org.process_album(str(album), use_cache=True)
+    assert second["n_faces"] == first["n_faces"]
+    if second["clusters"]:
+        res_dir = album / "clusters"
+        cluster_dirs = [d for d in os.listdir(res_dir)
+                        if os.path.isdir(res_dir / d) and d != "public"]
+        assert cluster_dirs
+        sample = next((res_dir / cluster_dirs[0]).iterdir())
+        assert cv2.imread(str(sample)) is not None
