@@ -56,7 +56,12 @@ def cmd_analyze(args):
             "is_male": bool(f.is_male()),
         }))
     if args.out:
-        annotated = draw_faces(img if rotation == 0 else img, faces)
+        import numpy as np
+
+        if rotation:
+            # boxes are in rotated-image coordinates; draw on that orientation
+            img = np.ascontiguousarray(np.rot90(img, 3 if rotation == 90 else 1))
+        annotated = draw_faces(img, faces)
         cv2.imwrite(args.out, cv2.cvtColor(annotated, cv2.COLOR_RGB2BGR))
         print(f"annotated -> {args.out}", file=sys.stderr)
 
@@ -119,8 +124,12 @@ def cmd_identify(args):
     extractor = build_extractor(args.model, batch_size=args.batch_size)
     g_feats, g_labels, names = lfw.extract_dataset_features(
         args.gallery, extractor, cache_file=args.cache and args.cache + "_gallery.npz")
+    # probe labels must live in the GALLERY's encoding (reference fits one
+    # LabelEncoder on the gallery, facerec_test.py:232-238)
+    shared = {n: i for i, n in enumerate(names)}
     p_feats, p_labels, _ = lfw.extract_dataset_features(
-        args.probe, extractor, cache_file=args.cache and args.cache + "_probe.npz")
+        args.probe, extractor, cache_file=args.cache and args.cache + "_probe.npz",
+        class_to_label=shared)
     acc = gallery_probe_eval(g_feats, g_labels, p_feats, p_labels, k=args.k)
     print(json.dumps({"accuracy": acc, "n_gallery": len(g_labels),
                       "n_probe": len(p_labels), "n_classes": len(names)}))

@@ -26,11 +26,15 @@ def load_class_filter(classes_file: str) -> set:
 
 def extract_dataset_features(dataset_dir: str, extractor: EmbeddingExtractor,
                              cache_file: Optional[str] = None,
-                             class_filter: Optional[set] = None
+                             class_filter: Optional[set] = None,
+                             class_to_label: Optional[Dict[str, int]] = None
                              ) -> Tuple[np.ndarray, np.ndarray, List[str]]:
     """Features + integer labels + class names for a directory-per-class set.
 
-    Features are cached like the reference does (:296-308,399)."""
+    Features are cached like the reference does (:296-308,399).
+    ``class_to_label``: share a label encoding across datasets (gallery/probe
+    trees must agree on ids — the reference fits one LabelEncoder on the
+    gallery and transforms the probe with it, :232-238)."""
     if cache_file and os.path.exists(cache_file):
         d = np.load(cache_file, allow_pickle=True)
         return d["x"], d["y"], list(d["class_names"])
@@ -40,7 +44,14 @@ def extract_dataset_features(dataset_dir: str, extractor: EmbeddingExtractor,
         pairs = [(d, f) for d, f in pairs if d in class_filter]
     dirs = [d for d, _ in pairs]
     class_names = sorted(set(dirs))
-    name_to_id = {n: i for i, n in enumerate(class_names)}
+    if class_to_label is None:
+        name_to_id = {n: i for i, n in enumerate(class_names)}
+    else:
+        name_to_id = class_to_label
+        unknown = set(dirs) - set(name_to_id)
+        if unknown:
+            raise ValueError(
+                f"classes not in the shared label encoding: {sorted(unknown)[:5]}")
     labels = np.array([name_to_id[d] for d in dirs])
     paths = [os.path.join(dataset_dir, f) for _, f in pairs]
     feats = extractor.extract_files(paths)

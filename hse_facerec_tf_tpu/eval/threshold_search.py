@@ -18,8 +18,11 @@ from .clustering_metrics import bcubed
 
 
 def clustering_score(dist_matrix: np.ndarray, y_true: np.ndarray,
-                     threshold: float, method: str = "scipy",
+                     threshold, method: str = "scipy",
                      statistic: str = "bcubed_precision") -> float:
+    """``threshold``: a float for scipy/dbscan; for rank-order pass a
+    (norm_threshold, rank_t) tuple — the reference's grid-search convention
+    (facial_clustering_test.py:452-459)."""
     clusters = get_facial_clusters(dist_matrix, threshold, method=method)
     y_pred = clusters_to_labels(clusters, len(y_true))
     if statistic == "bcubed_precision":

@@ -31,7 +31,10 @@ class ModelSpec:
     resize_method: str
     embedding_dim: int
     build_params: Callable[[], Dict]
-    model_fn: Callable
+    model_fn_factory: Callable  # precision -> f(params, x)
+
+    def model_fn(self, precision=jax.lax.Precision.HIGHEST):
+        return self.model_fn_factory(precision)
 
 
 def _multihead_identity_fn(precision=jax.lax.Precision.HIGHEST):
@@ -83,17 +86,17 @@ MODEL_ZOO: Dict[str, ModelSpec] = {
     # (facial_analysis.py:29-33, facerec_test.py:210 commented variant)
     "agegender_identity": ModelSpec(
         "agegender_identity", (224, 224), "caffe", "cv2_linear", 1024,
-        _agegender_params, _multihead_identity_fn()),
+        _agegender_params, _multihead_identity_fn),
     # MobileNet-192 VGGFace2 embedder (facerec_test.py:212: convert2BGR=True,
     # imageNetUtilsMean=True; 13 MB / 92.1% LFW∩YTF row in BASELINE.md)
     "vgg2_mobilenet": ModelSpec(
         "vgg2_mobilenet", (192, 192), "caffe", "pil_bilinear", 1024,
-        _vgg2_mobilenet_params, _mobilenet_fn()),
+        _vgg2_mobilenet_params, _mobilenet_fn),
     # ResNet-50 VGGFace2 embedder (facerec_test.py:213: VGGFace2 means;
     # 95 MB / 97.8% row)
     "vgg2_resnet": ModelSpec(
         "vgg2_resnet", (224, 224), "vggface2", "pil_bilinear", 2048,
-        _vgg2_resnet_params, _resnet_fn()),
+        _vgg2_resnet_params, _resnet_fn),
 }
 
 
@@ -102,7 +105,8 @@ def build_extractor(name: str, batch_size: int = 64, mesh=None,
     from ..pipelines.embedder import EmbeddingExtractor
 
     spec = MODEL_ZOO[name]
-    return EmbeddingExtractor(spec.model_fn, spec.build_params(), spec.input_size,
+    return EmbeddingExtractor(spec.model_fn(precision), spec.build_params(),
+                              spec.input_size,
                               normalization=spec.normalization,
                               resize_method=spec.resize_method,
                               batch_size=batch_size, mesh=mesh)

@@ -166,17 +166,29 @@ def get_facial_clusters(dist_matrix: np.ndarray, distance_threshold: float = 1.0
         return []
     if method == "scipy":
         clusters = _hac_clusters(dist_matrix, distance_threshold, all_indices)
-    elif method == "rankorder":
-        # native C++ core when the toolchain is available (same semantics,
-        # interpreted-Python-free inner loops); see native/rankorder.cc
-        from ..native import rankorder as native_ro
-
-        if native_ro.available():
-            clusters = native_ro.rank_order_cluster_native(dist_matrix)
+    elif method in ("rankorder", "rankorder_py"):
+        # rank-order parameters: the reference's main entry hardcodes
+        # (norm_threshold=0.9, t=14) (facial_clustering.py:137-138); its
+        # grid-search variant threads them as a (distance, rank) tuple
+        # (facial_clustering_test.py:136,235) — accept both conventions.
+        if isinstance(distance_threshold, (tuple, list)):
+            norm_threshold, t = float(distance_threshold[0]), float(distance_threshold[1])
         else:
-            clusters = _rank_order_clusters(dist_matrix)
-    elif method == "rankorder_py":
-        clusters = _rank_order_clusters(dist_matrix)
+            norm_threshold, t = 0.9, 14.0
+        if method == "rankorder":
+            # native C++ core when the toolchain is available (same semantics,
+            # interpreted-Python-free inner loops); see native/rankorder.cc
+            from ..native import rankorder as native_ro
+
+            if native_ro.available():
+                clusters = native_ro.rank_order_cluster_native(
+                    dist_matrix, norm_threshold=norm_threshold, t=t)
+            else:
+                clusters = _rank_order_clusters(dist_matrix, t=t,
+                                                norm_threshold=norm_threshold)
+        else:
+            clusters = _rank_order_clusters(dist_matrix, t=t,
+                                            norm_threshold=norm_threshold)
     elif method == "dbscan":
         from sklearn.cluster import DBSCAN
 

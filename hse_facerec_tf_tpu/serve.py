@@ -122,6 +122,10 @@ def make_handler(worker: _BatchingWorker, analyzer):
                     self._json(200, {"embedding": np.asarray(feats, np.float64)
                                      .round(6).tolist()})
                 elif self.path == "/analyze":
+                    if analyzer is None:
+                        self._json(503, {"error": "analyzer disabled "
+                                         "(server started with --no-analyzer)"})
+                        return
                     faces = analyzer.analyze(img)
                     self._json(200, {"faces": [{
                         "bbox": list(f.bbox), "score": round(f.score, 4),

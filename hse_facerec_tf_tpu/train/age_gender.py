@@ -49,12 +49,20 @@ def init_head_params(rng: jax.Array, backbone_dim: int = 1024) -> Dict:
 
 
 def forward(params: Dict, images, *, train: bool = False, dropout_key=None,
-            dropout_rate: float = 0.5, precision=jax.lax.Precision.DEFAULT):
-    """Shared trunk -> (age_logits, gender_logit, bn_stats)."""
+            dropout_rate: float = 0.5, precision=jax.lax.Precision.DEFAULT,
+            backbone_train: bool = None):
+    """Shared trunk -> (age_logits, gender_logit, bn_stats).
+
+    ``backbone_train`` decouples the trunk's BN mode from head training: in
+    the frozen phase the backbone must run inference-mode BN with untouched
+    running statistics (the reference's trainable=False Keras base), while
+    dropout on the heads still follows ``train``."""
+    if backbone_train is None:
+        backbone_train = train
     stats: Dict = {}
     h = mobilenet_v1_backbone(params["backbone"], images, precision=precision,
-                              compute_dtype=jnp.bfloat16, train=train,
-                              stats_out=stats if train else None)
+                              compute_dtype=jnp.bfloat16, train=backbone_train,
+                              stats_out=stats if backbone_train else None)
     emb = global_avg_pool(h).astype(jnp.float32)
     if train and dropout_key is not None:
         k1, k2 = jax.random.split(dropout_key)
@@ -82,12 +90,25 @@ def make_optimizer(lr: float, freeze_backbone: bool) -> optax.GradientTransforma
         {"train": optax.adam(lr), "frozen": optax.set_to_zero()}, label_tree)
 
 
-def make_steps(optimizer: optax.GradientTransformation, bn_momentum: float = 0.99):
-    """Two donated jitted steps sharing the param pytree."""
+def make_steps(optimizer: optax.GradientTransformation, bn_momentum: float = 0.99,
+               freeze_backbone: bool = False):
+    """Two donated jitted steps sharing the param pytree.
+
+    With ``freeze_backbone`` the trunk runs inference-mode BN and its running
+    statistics stay untouched (the reference's frozen Keras base — a frozen
+    TF2 layer does not update BN moments)."""
+    backbone_train = not freeze_backbone
+
+    def maybe_update(params, stats):
+        if freeze_backbone:
+            return params
+        return {**params, "backbone": update_bn_stats(params["backbone"], stats,
+                                                      bn_momentum)}
 
     def age_step(params, opt_state, key, images, ages):
         def loss(p):
-            age_logits, _, stats = forward(p, images, train=True, dropout_key=key)
+            age_logits, _, stats = forward(p, images, train=True, dropout_key=key,
+                                           backbone_train=backbone_train)
             ce = optax.softmax_cross_entropy_with_integer_labels(age_logits, ages).mean()
             acc = jnp.mean(jnp.argmax(age_logits, -1) == ages)
             return ce, (stats, acc)
@@ -95,13 +116,13 @@ def make_steps(optimizer: optax.GradientTransformation, bn_momentum: float = 0.9
         (l, (stats, acc)), grads = jax.value_and_grad(loss, has_aux=True)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        params = {**params, "backbone": update_bn_stats(params["backbone"], stats,
-                                                        bn_momentum)}
+        params = maybe_update(params, stats)
         return params, opt_state, {"age_loss": l, "age_acc": acc}
 
     def gender_step(params, opt_state, key, images, genders):
         def loss(p):
-            _, gender_logit, stats = forward(p, images, train=True, dropout_key=key)
+            _, gender_logit, stats = forward(p, images, train=True, dropout_key=key,
+                                             backbone_train=backbone_train)
             bce = optax.sigmoid_binary_cross_entropy(gender_logit,
                                                      genders.astype(jnp.float32)).mean()
             acc = jnp.mean((gender_logit > 0) == (genders > 0.5))
@@ -110,8 +131,7 @@ def make_steps(optimizer: optax.GradientTransformation, bn_momentum: float = 0.9
         (l, (stats, acc)), grads = jax.value_and_grad(loss, has_aux=True)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        params = {**params, "backbone": update_bn_stats(params["backbone"], stats,
-                                                        bn_momentum)}
+        params = maybe_update(params, stats)
         return params, opt_state, {"gender_loss": l, "gender_acc": acc}
 
     return (jax.jit(age_step, donate_argnums=(0, 1)),
@@ -130,12 +150,14 @@ class AgeGenderTrainer:
                            if k != "classifier"}
         self.params = {"backbone": backbone_params, **init_head_params(kh)}
         self.key = jax.random.PRNGKey(seed + 2)
+        self._eval_fwd = jax.jit(lambda p, x: forward(p, x)[:2])
         self._configure(self.cfg.learning_rate, freeze_backbone=True)
 
     def _configure(self, lr: float, freeze_backbone: bool):
         self.optimizer = make_optimizer(lr, freeze_backbone)
         self.opt_state = self.optimizer.init(self.params)
-        self._age_step, self._gender_step = make_steps(self.optimizer)
+        self._age_step, self._gender_step = make_steps(
+            self.optimizer, freeze_backbone=freeze_backbone)
 
     def unfreeze(self, lr: Optional[float] = None):
         """Phase 2: fine-tune the whole network (:249-269)."""
@@ -163,9 +185,9 @@ class AgeGenderTrainer:
     def evaluate(self, images: np.ndarray, ages: np.ndarray, genders: np.ndarray,
                  batch_size: int = 64) -> Dict[str, float]:
         age_ok = gender_ok = 0
-        fwd = jax.jit(lambda p, x: forward(p, x)[:2])
         for i in range(0, len(images), batch_size):
-            al, gl = fwd(self.params, jnp.asarray(images[i:i + batch_size], jnp.float32))
+            al, gl = self._eval_fwd(self.params,
+                                    jnp.asarray(images[i:i + batch_size], jnp.float32))
             age_ok += int((np.argmax(np.asarray(al), -1) == ages[i:i + batch_size]).sum())
             gender_ok += int(((np.asarray(gl) > 0) == (genders[i:i + batch_size] > 0.5)).sum())
         n = len(images)

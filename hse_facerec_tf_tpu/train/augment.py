@@ -41,19 +41,16 @@ def _sample_affine(key, cfg: AugmentConfig, h: int, w: int) -> jnp.ndarray:
                      & (jax.random.uniform(k7, ()) < 0.5), -1.0, 1.0)
 
     cos, sin = jnp.cos(theta), jnp.sin(theta)
-    # forward = T(center) @ R @ Shear @ Zoom @ Flip @ T(-center) + shift;
-    # we build the inverse directly (output->input sampling).
+    # forward = T(center+shift) @ R @ Shear @ Zoom @ Flip @ T(-center);
+    # a..d below ARE the inverse linear part (output->input sampling), so the
+    # warp matrix uses them directly: x_in = L_inv (x_out - center - t) + center.
     a = cos / zx * flip
     b = (sin + shear * cos) / zy
     c = -sin / zx * flip
     d = (cos - shear * sin) / zy
     cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
-    # inverse of pure linear part (2x2)
-    det = a * d - b * c
-    ia, ib, ic, id_ = d / det, -b / det, -c / det, a / det
-    # x_in = M_inv (x_out - center - t) + center
-    return jnp.array([[ia, ib, cx - ia * (cx + tx) - ib * (cy + ty)],
-                      [ic, id_, cy - ic * (cx + tx) - id_ * (cy + ty)]])
+    return jnp.array([[a, b, cx - a * (cx + tx) - b * (cy + ty)],
+                      [c, d, cy - c * (cx + tx) - d * (cy + ty)]])
 
 
 def _warp_one(img, mat, fill):

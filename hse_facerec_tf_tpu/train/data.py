@@ -64,6 +64,8 @@ class DirectoryDataset:
         stop = threading.Event()
 
         def producer():
+            import sys
+
             epoch = 0
             try:
                 while not stop.is_set() and (epochs is None or epoch < epochs):
@@ -73,9 +75,19 @@ class DirectoryDataset:
                         if stop.is_set():
                             return
                         idx = order[s:s + batch_size]
-                        imgs = np.stack([self._load(i) for i in idx])
-                        q.put((imgs, self.labels[idx]))
+                        imgs, labels = [], []
+                        for i in idx:
+                            try:
+                                imgs.append(self._load(i))
+                                labels.append(self.labels[i])
+                            except Exception as e:  # corrupt file: skip, warn
+                                print(f"warning: skipping unreadable "
+                                      f"{self.paths[i]}: {e}", file=sys.stderr)
+                        if imgs:
+                            q.put((np.stack(imgs), np.asarray(labels)))
                     epoch += 1
+            except Exception as e:  # unexpected: surface to the consumer
+                q.put(e)
             finally:
                 q.put(None)
 
@@ -86,6 +98,8 @@ class DirectoryDataset:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, Exception):
+                    raise item
                 yield item
         finally:
             stop.set()

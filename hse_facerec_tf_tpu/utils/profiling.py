@@ -26,10 +26,11 @@ class StageTimer:
         self.samples: Dict[str, List[float]] = defaultdict(list)
 
     @contextlib.contextmanager
-    def stage(self, name: str, block_on=None) -> Iterator[None]:
-        """Time a stage. Pass the stage's output (pytree of jax arrays) via
-        ``block_on`` setter ``timer.block(x)`` or use jax.block_until_ready in
-        the body — otherwise async dispatch makes the number meaningless."""
+    def stage(self, name: str) -> Iterator[None]:
+        """Time a stage. For device work, call jax.block_until_ready on the
+        stage's outputs inside the block (or use the ``timed`` decorator,
+        which blocks for you) — otherwise async dispatch makes the number
+        meaningless."""
         if not self.enabled:
             yield
             return
