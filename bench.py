@@ -22,9 +22,9 @@ import numpy as np
 
 ROOT = os.path.dirname(os.path.abspath(__file__))
 CPU_BASELINE_CACHE = os.path.join(ROOT, ".bench_cpu_baseline.json")
-BATCH = 128
-WARMUP = 3
-ITERS = 10
+BATCH = 512
+WARMUP = 2
+ITERS = 4
 
 
 def build_forward(precision, compute_dtype, bf16_blocks_below=0):

@@ -84,7 +84,13 @@ def generate_boxes(prob_map: jnp.ndarray, reg_map: jnp.ndarray, scale: float,
     x2 = fix((STRIDE * ii + CELLSIZE) / scale)
     y2 = fix((STRIDE * jj + CELLSIZE) / scale)
     boxes = jnp.stack([x1, y1, x2, y2], axis=1)
-    reg = reg_map.reshape(-1, 4)[top_idx]
+    # reference quirk (facial_analysis.py:381-386): when exactly ONE cell
+    # passes the threshold, the reg maps are flipud'd before the gather —
+    # reproduced bug-for-bug for parity.
+    n_above = jnp.sum(flat_scores >= threshold)
+    reg_plain = reg_map.reshape(-1, 4)[top_idx]
+    reg_flip = reg_map[::-1].reshape(-1, 4)[top_idx]
+    reg = jnp.where(n_above == 1, reg_flip, reg_plain)
     valid = top_scores >= threshold
     if k < max_boxes:
         pad = max_boxes - k

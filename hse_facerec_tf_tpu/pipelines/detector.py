@@ -89,6 +89,9 @@ class MTCNNDetector:
             hs = int(np.ceil(h * scale))
             ws = int(np.ceil(w * scale))
             level = resize(img_f, (hs, ws), "cv2_area")
+            # reference resizes the uint8 image (facial_analysis.py:505), so
+            # level pixels are integer-rounded before normalization
+            level = jnp.clip(jnp.round(level), 0.0, 255.0)
             level = (level - 127.5) * 0.0078125
             # transposed-feed convention: first spatial axis = image x
             level_t = jnp.transpose(level, (1, 0, 2))[None]

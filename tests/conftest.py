@@ -30,9 +30,22 @@ AGEGENDER_PB = REFERENCE / "age_gender_identity" / "age_gender_tf2_new-01-0.14-0
 TEST_IMAGE = REFERENCE / "age_gender_identity" / "test_image.jpg"
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # fresh per test: results don't depend on which other tests ran before
     return np.random.RandomState(12345)
+
+
+@pytest.fixture(scope="session")
+def fixture_img_640():
+    """The shipped demo photo downscaled like the reference demos
+    (≤640×480, facial_analysis.py:653-655)."""
+    import cv2
+
+    img = cv2.cvtColor(cv2.imread(str(TEST_IMAGE)), cv2.COLOR_BGR2RGB)
+    h, w = img.shape[:2]
+    scale = min(640 / w, 480 / h, 1.0)
+    return cv2.resize(img, (int(w * scale), int(h * scale)))
 
 
 def pytest_collection_modifyitems(config, items):

@@ -40,6 +40,9 @@ def _generate_bb(imap, reg, scale, t):
     stride, cell = 2, 12
     y, x = np.where(imap >= t)   # imap oriented (x_dim, y_dim) via transposed feed
     score = imap[(y, x)]
+    if y.shape[0] == 1:
+        # reference flipud quirk for single-candidate levels (:381-386)
+        reg = reg[::-1]
     reg_sel = reg[(y, x)]
     bb = np.stack([y, x], axis=1).astype(np.float32)
     q1 = np.fix((stride * bb + 1) / scale)
@@ -82,7 +85,9 @@ def detect_golden(params, img: np.ndarray, minsize: int = 40,
     total = np.empty((0, 9))
     for scale in scales:
         hs, ws = int(np.ceil(h * scale)), int(np.ceil(w * scale))
-        level = cv2.resize(img.astype(np.float64), (ws, hs), interpolation=cv2.INTER_AREA)
+        # resize the uint8 image exactly as the reference does (:505)
+        level = cv2.resize(img.astype(np.uint8), (ws, hs),
+                           interpolation=cv2.INTER_AREA).astype(np.float64)
         level = (level - 127.5) * 0.0078125
         level_t = np.transpose(level, (1, 0, 2))[None].astype(np.float32)
         reg, prob = pnet(params["pnet"], level_t)

@@ -69,39 +69,31 @@ def run_graph(graph: TFGraph, feeds: Dict[str, np.ndarray], outputs: List[str]) 
     consts = extract_constants(graph)
     env: Dict[str, np.ndarray] = {}
 
-    # collect needed nodes
+    # single iterative post-order DFS (no recursion limit; the Dequantize
+    # pruning rule lives in one place)
     by_name = graph.by_name
-    needed: Dict[str, NodeDef] = {}
-    stack = [_tname(o) for o in outputs]
-    while stack:
-        name = stack.pop()
-        if name in needed or name not in by_name:
-            continue
-        node = by_name[name]
-        needed[name] = node
-        if node.op == "Dequantize" and name in consts:
-            continue
-        for inp in node.inputs:
-            if not inp.startswith("^"):
-                stack.append(_tname(inp))
+
+    def deps(node):
+        if node.op == "Dequantize" and node.name in consts:
+            return []
+        return [_tname(i) for i in node.inputs if not i.startswith("^")]
 
     order: List[NodeDef] = []
     state: Dict[str, int] = {}
-
-    def visit(name):
-        if state.get(name) == 2 or name not in needed:
-            return
-        state[name] = 1
-        node = needed[name]
-        if not (node.op == "Dequantize" and name in consts):
-            for inp in node.inputs:
-                if not inp.startswith("^"):
-                    visit(_tname(inp))
-        state[name] = 2
-        order.append(node)
-
-    for o in outputs:
-        visit(_tname(o))
+    stack = [(_tname(o), False) for o in reversed(outputs)]
+    while stack:
+        name, expanded = stack.pop()
+        if name not in by_name or state.get(name) == 2:
+            continue
+        node = by_name[name]
+        if expanded:
+            state[name] = 2
+            order.append(node)
+        elif state.get(name) != 1:
+            state[name] = 1
+            stack.append((name, True))
+            for d in reversed(deps(node)):
+                stack.append((d, False))
 
     def get(t):
         return env[_tname(t)]

@@ -23,11 +23,8 @@ def analyzer():
 
 
 @pytest.fixture(scope="module")
-def fixture_img():
-    img = cv2.cvtColor(cv2.imread(str(TEST_IMAGE)), cv2.COLOR_BGR2RGB)
-    h, w = img.shape[:2]
-    scale = min(640 / w, 480 / h, 1.0)
-    return cv2.resize(img, (int(w * scale), int(h * scale)))
+def fixture_img(fixture_img_640):
+    return fixture_img_640
 
 
 def test_analyzer_finds_faces(analyzer, fixture_img):

@@ -17,13 +17,8 @@ def params():
 
 
 @pytest.fixture(scope="module")
-def test_img():
-    img = cv2.imread(str(TEST_IMAGE))
-    img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-    # downscale like the reference demo (≤640×480, facial_analysis.py:653-655)
-    h, w = img.shape[:2]
-    scale = min(640 / w, 480 / h, 1.0)
-    return cv2.resize(img, (int(w * scale), int(h * scale)))
+def test_img(fixture_img_640):
+    return fixture_img_640
 
 
 def _iou(a, b):
@@ -74,8 +69,8 @@ def test_detector_no_faces(params, rng):
     noise = (rng.rand(160, 160, 3) * 255).astype(np.uint8)
     det = MTCNNDetector(params, minsize=40)
     boxes, points = det.detect(noise)
-    assert boxes.shape[1] == 5
-    assert points.shape[0] == 10
+    assert boxes.shape == (0, 5), boxes   # uniform noise: nothing survives O-Net
+    assert points.shape == (10, 0)
 
 
 def test_detector_small_image(params):

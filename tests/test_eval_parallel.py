@@ -31,22 +31,22 @@ def test_utkface_eval_with_synthetic_predictor(tmp_path, rng):
     paths = []
     truths = [(25, 0), (40, 1), (8, 0), (60, 1)]
     for i, (age, gender) in enumerate(truths):
-        img = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
-        p = str(tmp_path / f"{age}_{gender}_0_2017{i:04d}.jpg")
-        cv2.imwrite(p, img)
+        img = np.zeros((64, 64, 3), np.uint8)
+        img[:, :, 0] = age                       # truth encoded in pixels
+        img[:, :, 1] = 255 if gender == 0 else 0
+        p = str(tmp_path / f"{age}_{gender}_0_2017{i:04d}.png")  # lossless
+        cv2.imwrite(p, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
         paths.append(p)
 
-    lookup = {os.path.basename(p): t for p, t in zip(paths, truths)}
-
     class Oracle:
-        def __init__(self):
-            self.batch_paths = paths
+        """Reads the truth straight out of the batch pixels (channel 0 = age,
+        channel 1 = 255*is_male), so predictions stay aligned under any
+        filtering/ordering the evaluator applies."""
 
         def __call__(self, batch):
-            # perfect predictions in file order (single uniform-size batch)
-            ages = np.array([t[0] for t in truths], dtype=np.float32)
-            males = np.array([1.0 if t[1] == 0 else 0.0 for t in truths])
-            return ages[: len(batch)], males[: len(batch)]
+            ages = batch[:, 0, 0, 0].astype(np.float32)
+            males = (batch[:, 0, 0, 1] > 127).astype(np.float32)
+            return ages, males
 
     stats = utkface.evaluate_age_gender(Oracle(), paths)
     assert stats["n"] == 4
@@ -156,19 +156,14 @@ def test_graph_extractor_generic_pb(rng):
     assert np.linalg.norm(feats, axis=1).min() > 0
 
 
-def test_cascade_fallback(rng):
+def test_cascade_fallback(rng, fixture_img_640):
     import cv2
 
     from hse_facerec_tf_tpu.pipelines.cascade_fallback import \
         CascadeFallbackDetector
 
     det = CascadeFallbackDetector()
-    img = cv2.cvtColor(cv2.imread("/root/reference/age_gender_identity/test_image.jpg"),
-                       cv2.COLOR_BGR2RGB)
-    h, w = img.shape[:2]
-    scale = min(640 / w, 480 / h)
-    img = cv2.resize(img, (int(w * scale), int(h * scale)))
-    boxes, points = det.detect(img)
+    boxes, points = det.detect(fixture_img_640)
     assert boxes.shape[1] == 5
     assert len(boxes) >= 1  # finds at least one frontal face on the fixture
     noise = (rng.rand(200, 200, 3) * 255).astype(np.uint8)

@@ -35,6 +35,7 @@ def test_kernel_interpret_multiple_probe_tiles(rng):
                                      bf16=False, interpret=True)
     want_d, want_i = _reference_nn(p, g)
     np.testing.assert_array_equal(np.asarray(idx), want_i)
+    np.testing.assert_allclose(np.asarray(dmin), want_d, rtol=1e-4, atol=1e-3)
 
 
 def test_auto_dispatch_cpu(rng):
@@ -43,3 +44,4 @@ def test_auto_dispatch_cpu(rng):
     dmin, idx = nearest_neighbor_auto(jnp.asarray(p), jnp.asarray(g))
     want_d, want_i = _reference_nn(p, g)
     np.testing.assert_array_equal(np.asarray(idx), want_i)
+    np.testing.assert_allclose(np.asarray(dmin), want_d, rtol=1e-4, atol=1e-3)

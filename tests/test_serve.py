@@ -8,7 +8,7 @@ import cv2
 import numpy as np
 import pytest
 
-from hse_facerec_tf_tpu.serve import _BatchingWorker, build_server
+from hse_facerec_tf_tpu.serve import _BatchingWorker
 
 
 class _FakeExtractor:
@@ -22,7 +22,7 @@ class _FakeExtractor:
 
 def test_batching_worker_coalesces(rng):
     ex = _FakeExtractor()
-    worker = _BatchingWorker(ex, max_batch=8, max_wait_ms=50.0)
+    worker = _BatchingWorker(ex, max_batch=8, max_wait_ms=500.0)
     imgs = [(rng.rand(16, 16, 3) * 255).astype(np.uint8) for _ in range(6)]
     results = [None] * 6
 
@@ -41,12 +41,13 @@ def test_batching_worker_coalesces(rng):
 
 
 def test_http_endpoints(rng):
-    server = build_server(port=0, with_analyzer=False)
-    # swap in the fake extractor to keep the test fast
+    from http.server import ThreadingHTTPServer
+
+    from hse_facerec_tf_tpu.serve import make_handler
+
     fake = _FakeExtractor()
-    server.RequestHandlerClass = __import__(
-        "hse_facerec_tf_tpu.serve", fromlist=["make_handler"]).make_handler(
-        _BatchingWorker(fake), analyzer=None)
+    server = ThreadingHTTPServer(("127.0.0.1", 0),
+                                 make_handler(_BatchingWorker(fake), analyzer=None))
     port = server.server_address[1]
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
@@ -72,5 +73,9 @@ def test_http_endpoints(rng):
         conn.request("POST", "/nope", body=enc.tobytes())
         r = conn.getresponse()
         assert r.status == 404
+
+        conn.request("POST", "/analyze", body=enc.tobytes())
+        r = conn.getresponse()
+        assert r.status == 503  # analyzer disabled
     finally:
         server.shutdown()
