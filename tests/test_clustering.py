@@ -20,8 +20,8 @@ def _blobs(rng, n_classes=5, per_class=8, dim=16, spread=0.05):
 
 
 @pytest.fixture(scope="module")
-def blob_data(rng):
-    feats, labels = _blobs(rng)
+def blob_data():
+    feats, labels = _blobs(np.random.RandomState(12345))
     dist = np.array(pairwise_euclidean(feats, feats))
     np.fill_diagonal(dist, 0.0)
     return dist, labels

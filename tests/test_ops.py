@@ -13,8 +13,9 @@ from hse_facerec_tf_tpu.ops.resize import crop_resize_bilinear, resize
 
 
 @pytest.fixture(scope="module")
-def img(rng):
-    return (rng.rand(97, 133, 3) * 255).astype(np.uint8)
+def img():
+    r = np.random.RandomState(12345)
+    return (r.rand(97, 133, 3) * 255).astype(np.uint8)
 
 
 @pytest.mark.parametrize("out_hw", [(24, 24), (48, 48), (64, 80), (224, 224)])
