@@ -14,18 +14,24 @@ weights, and weights can be device_put / sharded explicitly.
 Supported ops cover the union of the shipped graphs (``mtcnn.pb``,
 ``age_gender_tf2_new-01-0.14-0.92_quantized.pb`` — see SURVEY.md §2.2) plus
 what the missing ``vgg2_mobilenet.pb`` / ``vgg2_resnet.pb`` graphs need per
-their Keras architectures (BatchNorm folded at freeze time, Pad, ConcatV2...).
+their Keras architectures. The reference's ``freeze_session``
+(``facerec_keras_train.py:70-83``) does NOT fold BatchNorm, so frozen-Keras
+graphs carry ``FusedBatchNorm`` plus ``Switch``/``Merge`` learning-phase
+control flow fed through ``conv1_bn/keras_learning_phase:0``
+(``facerec_test.py:64,118-119,212``): we resolve the learning phase statically
+at compile time (inference ⇒ False) and prune the dead training branch, so the
+compiled program is pure feed-forward XLA with no ``lax.cond``.
 """
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Sequence, Tuple
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .graphdef import TFGraph, NodeDef, extract_constants
+from .graphdef import DT_BOOL, TFGraph, NodeDef, extract_constants
 
 
 def _tname(t: str) -> str:
@@ -63,11 +69,15 @@ class CompiledGraph:
     }
 
     def __init__(self, graph: TFGraph, outputs: Sequence[str], consts: Dict[str, np.ndarray],
-                 precision: jax.lax.Precision = jax.lax.Precision.HIGHEST):
+                 precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+                 learning_phase: bool = False):
         self.graph = graph
         self.output_names = [_tname(o) for o in outputs]
         self._consts = consts
         self.precision = precision
+        self.learning_phase = bool(learning_phase)
+        self._switch_live: Dict[str, int] = {}   # Switch node -> live output idx
+        self._merge_choice: Dict[str, Tuple[str, int]] = {}  # Merge -> (input ref, idx)
         self._needed = self._prune(self.output_names)
         # Split constants into traced params vs static (shape-like) values. A
         # const consumed only at static positions stays out of the jit trace.
@@ -96,10 +106,87 @@ class CompiledGraph:
     def static_const(self, tensor_name: str) -> np.ndarray:
         return self._consts[_tname(tensor_name)]
 
+    def _static_bool(self, ref: str, _depth: int = 0) -> Optional[bool]:
+        """Resolve a tensor ref to a compile-time boolean, following Identity
+        chains. Bool placeholders (Keras learning phase) resolve to
+        ``self.learning_phase``; unresolvable refs return None."""
+        if _depth > 64:
+            return None
+        name = _tname(ref)
+        node = self.graph.by_name.get(name)
+        if node is None:
+            return None
+        if node.op == "Identity":
+            return self._static_bool(node.inputs[0], _depth + 1)
+        if node.op == "Const":
+            v = self._consts.get(name)
+            if v is not None and v.dtype == np.bool_ and v.size == 1:
+                return bool(np.asarray(v).reshape(-1)[0])
+            return None
+        if node.op in ("Placeholder", "PlaceholderWithDefault"):
+            dt = node.attrs.get("dtype")
+            if dt is not None and dt.type == DT_BOOL:
+                return self.learning_phase
+        return None
+
+    def _alive(self, ref: str, memo: Dict[Tuple[str, int], bool]) -> bool:
+        """Whether a tensor ref carries a value once learning-phase branches
+        are resolved. Dead = the untaken output of a statically-decided Switch,
+        or anything (transitively) fed only by dead tensors."""
+        name, idx = _tname(ref), _out_index(ref)
+        key = (name, idx)
+        if key in memo:
+            return memo[key]
+        node = self.graph.by_name.get(name)
+        if node is None:
+            memo[key] = False
+            return False
+        memo[key] = False  # provisional: cycles count as dead
+        if node.op == "Switch":
+            pred = self._static_bool(node.inputs[1])
+            if pred is None:
+                alive = all(self._alive(i, memo) for i in node.inputs
+                            if not i.startswith("^"))
+            else:
+                alive = idx == int(pred) and self._alive(node.inputs[0], memo)
+        elif node.op == "Merge":
+            alive = any(self._alive(i, memo) for i in node.inputs
+                        if not i.startswith("^"))
+        elif node.op in ("Const", "Placeholder", "PlaceholderWithDefault"):
+            alive = True
+        else:
+            alive = all(self._alive(i, memo) for i in node.inputs
+                        if not i.startswith("^"))
+        memo[key] = alive
+        return alive
+
+    def _data_inputs(self, node: NodeDef,
+                     memo: Dict[Tuple[str, int], bool]) -> List[str]:
+        """Input refs that must actually be evaluated for this node, with
+        statically-decided Switch preds and dead Merge branches dropped."""
+        if node.op == "Dequantize" and node.name in self._consts:
+            return []  # folded to a constant; don't pull in quint8 inputs
+        if node.op == "Switch":
+            pred = self._static_bool(node.inputs[1])
+            if pred is not None:
+                self._switch_live[node.name] = int(pred)
+                return [node.inputs[0]]
+        elif node.op == "Merge":
+            for i, inp in enumerate(node.inputs):
+                if inp.startswith("^"):
+                    continue
+                if self._alive(inp, memo):
+                    self._merge_choice[node.name] = (inp, i)
+                    return [inp]
+            raise ValueError(f"Merge node {node.name}: all branches dead")
+        return [i for i in node.inputs if not i.startswith("^")]
+
     def _prune(self, outputs: List[str]) -> List[NodeDef]:
         """Topological list of nodes needed for the outputs (graph is already topo-sorted
-        in frozen pbs, but we re-sort defensively)."""
+        in frozen pbs, but we re-sort defensively), with statically-dead
+        learning-phase branches excluded."""
         by_name = self.graph.by_name
+        alive_memo: Dict[Tuple[str, int], bool] = {}
         needed: Dict[str, NodeDef] = {}
         stack = [o for o in outputs]
         while stack:
@@ -108,11 +195,7 @@ class CompiledGraph:
                 continue
             node = by_name[name]
             needed[name] = node
-            if node.op == "Dequantize" and name in self._consts:
-                continue  # folded to a constant; don't pull in quint8 inputs
-            for inp in node.inputs:
-                if not inp.startswith("^"):
-                    stack.append(inp)
+            stack.extend(self._data_inputs(node, alive_memo))
         # topo sort
         order: List[NodeDef] = []
         seen: Dict[str, int] = {}
@@ -124,10 +207,8 @@ class CompiledGraph:
                 raise ValueError(f"cycle at {name}")
             seen[name] = 1
             node = needed[name]
-            if not (node.op == "Dequantize" and name in self._consts):
-                for inp in node.inputs:
-                    if not inp.startswith("^"):
-                        visit(_tname(inp))
+            for inp in self._data_inputs(node, alive_memo):
+                visit(_tname(inp))
             seen[name] = 2
             order.append(node)
 
@@ -149,7 +230,18 @@ class CompiledGraph:
                 return v
 
             for node in nodes:
-                env[node.name] = _eval_node(node, get, params, feeds, self.static_const, self.precision)
+                if node.op == "Switch" and node.name in self._switch_live:
+                    live = self._switch_live[node.name]
+                    pair: List[object] = [None, None]
+                    pair[live] = get(node.inputs[0])
+                    env[node.name] = tuple(pair)
+                elif node.op == "Merge" and node.name in self._merge_choice:
+                    ref, idx = self._merge_choice[node.name]
+                    env[node.name] = (get(ref), jnp.asarray(idx, jnp.int32))
+                else:
+                    env[node.name] = _eval_node(node, get, params, feeds,
+                                                self.static_const, self.precision,
+                                                self.learning_phase)
             return tuple(env[o] for o in output_names)
 
         return fn
@@ -164,10 +256,47 @@ def _tf_same_pool_pads(size: int, k: int, s: int) -> Tuple[int, int]:
     return pad // 2, pad - pad // 2
 
 
-def _eval_node(node: NodeDef, get, params, feeds, static, precision):
+def _eval_node(node: NodeDef, get, params, feeds, static, precision,
+               learning_phase=False):
     op = node.op
     if op == "Placeholder":
-        return feeds[node.name]
+        if node.name in feeds:
+            return feeds[node.name]
+        dt = node.attrs.get("dtype")
+        if dt is not None and dt.type == DT_BOOL:
+            # Keras learning-phase tensor: inference unless asked otherwise
+            # (reference feeds False at facerec_test.py:118-119).
+            return np.bool_(learning_phase)
+        raise KeyError(f"missing feed for placeholder {node.name}")
+    if op == "PlaceholderWithDefault":
+        if node.name in feeds:
+            return feeds[node.name]
+        dt = node.attrs.get("dtype")
+        if dt is not None and dt.type == DT_BOOL:
+            return np.bool_(learning_phase)
+        return get(node.inputs[0])
+    if op in ("FusedBatchNorm", "FusedBatchNormV2", "FusedBatchNormV3"):
+        # Inference form only; statically-pruned learning-phase branches mean
+        # a live FusedBatchNorm in training mode is a real error.
+        tr = node.attrs.get("is_training")
+        if tr is not None and tr.b:
+            raise NotImplementedError(
+                f"FusedBatchNorm is_training=True reached the live graph "
+                f"(node {node.name}); learning-phase pruning should have "
+                "removed it")
+        x = get(node.inputs[0])
+        scale = get(node.inputs[1])
+        offset = get(node.inputs[2])
+        mean = get(node.inputs[3])
+        var = get(node.inputs[4])
+        epsa = node.attrs.get("epsilon")
+        eps = epsa.f if (epsa is not None and epsa.f is not None) else 1e-4
+        fmt = node.attrs.get("data_format")
+        if fmt is not None and fmt.s and fmt.s.decode() != "NHWC":
+            raise NotImplementedError(
+                f"FusedBatchNorm data_format {fmt.s!r} (node {node.name})")
+        y = (x - mean) * (scale * jax.lax.rsqrt(var + eps)) + offset
+        return (y, mean, var)
     if op == "Const" or op == "Dequantize":
         # Dequantize over const weights is pre-folded into params (graphdef.py).
         if node.name in params:
@@ -347,13 +476,17 @@ def _eval_node(node: NodeDef, get, params, feeds, static, precision):
 
 
 def compile_graph(graph: TFGraph, outputs: Sequence[str],
-                  precision: jax.lax.Precision = jax.lax.Precision.HIGHEST) -> CompiledGraph:
+                  precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+                  learning_phase: bool = False) -> CompiledGraph:
     consts = extract_constants(graph)
-    return CompiledGraph(graph, outputs, consts, precision=precision)
+    return CompiledGraph(graph, outputs, consts, precision=precision,
+                         learning_phase=learning_phase)
 
 
 def compile_pb(path: str, outputs: Sequence[str],
-               precision: jax.lax.Precision = jax.lax.Precision.HIGHEST) -> CompiledGraph:
+               precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+               learning_phase: bool = False) -> CompiledGraph:
     from .graphdef import load_graphdef
 
-    return compile_graph(load_graphdef(path), outputs, precision=precision)
+    return compile_graph(load_graphdef(path), outputs, precision=precision,
+                         learning_phase=learning_phase)

@@ -119,6 +119,49 @@ class GraphBuilder:
                  + self._attr_bool("transpose_b", False))
         return self._node(name, "MatMul", [a, b], attrs)
 
+    def placeholder_bool(self, name: str) -> str:
+        """Scalar boolean placeholder — the Keras learning-phase tensor shape
+        (``conv1_bn/keras_learning_phase:0``, reference facerec_test.py:64)."""
+        from .graphdef import DT_BOOL
+
+        attrs = self._attr_type("dtype", DT_BOOL) + self._attr_shape("shape", [])
+        return self._node(name, "Placeholder", [], attrs)
+
+    def bool_const(self, name: str, value: bool) -> str:
+        from .graphdef import DT_BOOL
+
+        tensor = pw.encode_varint_field(1, DT_BOOL)
+        tensor += pw.encode_bytes_field(2, self._tensor_shape([]))
+        tensor += pw.encode_varint_field(11, int(value))  # bool_val
+        attrs = self._attr_type("dtype", DT_BOOL) + self._attr(
+            "value", pw.encode_bytes_field(8, tensor))
+        return self._node(name, "Const", [], attrs)
+
+    def switch(self, name: str, data: str, pred: str) -> str:
+        """TF cond Switch: data flows to output ``:int(pred)``
+        (``:0`` = false/inference branch, ``:1`` = true/training branch)."""
+        return self._node(name, "Switch", [data, pred],
+                          self._attr_type("T", DT_FLOAT))
+
+    def merge(self, name: str, inputs: List[str]) -> str:
+        """TF cond Merge: forwards whichever branch produced a value."""
+        attrs = (self._attr_type("T", DT_FLOAT)
+                 + self._attr("N", pw.encode_varint_field(3, len(inputs))))
+        return self._node(name, "Merge", inputs, attrs)
+
+    def fused_batch_norm(self, name: str, x: str, scale: str, offset: str,
+                         mean: str, variance: str, epsilon: float = 1e-3,
+                         is_training: bool = False) -> str:
+        """Unfolded Keras BatchNorm as the reference's ``freeze_session``
+        leaves it (``facerec_keras_train.py:70-83`` does no BN folding)."""
+        eps_payload = pw.encode_tag(4, pw.FIXED32) + struct.pack("<f", epsilon)
+        attrs = (self._attr_type("T", DT_FLOAT)
+                 + self._attr("epsilon", eps_payload)
+                 + self._attr_bool("is_training", is_training)
+                 + self._attr_string("data_format", "NHWC"))
+        return self._node(name, "FusedBatchNorm",
+                          [x, scale, offset, mean, variance], attrs)
+
     def mean(self, name: str, x: str, axes, keep_dims: bool = False) -> str:
         axes_const = self.const(f"{name}/reduction_indices",
                                 np.asarray(axes, dtype=np.int32))

@@ -69,6 +69,71 @@ def test_agegender_parity(agegender_graph, rng):
     _compare(cg, agegender_graph, {"input_1": x}, outputs, atol=5e-3)
 
 
+def _keras_bn_graphdef(rng):
+    """Synthesize a frozen-Keras-style graph the way the reference's
+    ``freeze_session`` leaves it (``facerec_keras_train.py:70-83``): unfolded
+    FusedBatchNorm behind Switch/Merge learning-phase control flow keyed on a
+    boolean placeholder (``conv1_bn/keras_learning_phase:0``,
+    ``facerec_test.py:64,118-119,212``). The training branch multiplies by 2 so
+    any branch mix-up fails loudly."""
+    from hse_facerec_tf_tpu.core.graphdef_export import GraphBuilder
+    from hse_facerec_tf_tpu.core.graphdef import parse_graphdef
+
+    w = rng.randn(3, 3, 3, 4).astype(np.float32) * 0.3
+    gamma = rng.rand(4).astype(np.float32) + 0.5
+    beta = rng.randn(4).astype(np.float32)
+    mean = rng.randn(4).astype(np.float32) * 0.2
+    var = rng.rand(4).astype(np.float32) + 0.3
+
+    b = GraphBuilder()
+    x = b.placeholder("input_1", [-1, 8, 8, 3])
+    conv = b.conv2d("conv1/convolution", x, b.const("conv1/kernel", w))
+    lp = b.placeholder_bool("conv1_bn/keras_learning_phase")
+    sw = b.switch("conv1_bn/cond/Switch", conv, lp)
+    train_y = b.simple("Mul", "conv1_bn/cond/train_branch",
+                       [sw + ":1", b.const("two", np.float32(2.0).reshape(()))])
+    bn = b.fused_batch_norm(
+        "conv1_bn/cond/FusedBatchNorm", sw + ":0",
+        b.const("conv1_bn/gamma", gamma), b.const("conv1_bn/beta", beta),
+        b.const("conv1_bn/moving_mean", mean),
+        b.const("conv1_bn/moving_variance", var), epsilon=1e-3)
+    merged = b.merge("conv1_bn/cond/Merge", [train_y, bn + ":0"])
+    b.simple("Relu", "conv1/Relu", [merged])
+    return parse_graphdef(b.serialize()), (w, gamma, beta, mean, var)
+
+
+def test_frozen_keras_bn_control_flow(rng):
+    """FusedBatchNorm + Switch/Merge learning-phase graphs compile and match
+    an independently computed conv+BN golden (inference branch selected)."""
+    graph, (w, gamma, beta, mean, var) = _keras_bn_graphdef(rng)
+    x = rng.rand(2, 8, 8, 3).astype(np.float32) * 2 - 1
+
+    cg = compile_graph(graph, ["conv1/Relu:0"])
+    (got,) = cg.jit()(cg.params, {"input_1": x})
+
+    conv = golden._conv2d_tf(x.astype(np.float64), w.astype(np.float64),
+                             (1, 1), "SAME")
+    want = np.maximum(
+        (conv - mean) * (gamma / np.sqrt(var + 1e-3)) + beta, 0.0)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5, rtol=1e-5)
+    # the dead training branch must be pruned out of the trace entirely
+    assert "two" not in cg.params
+    assert all(n.name != "conv1_bn/cond/train_branch" for n in cg._needed)
+
+
+def test_frozen_keras_bn_training_branch(rng):
+    """learning_phase=True statically selects the other Switch branch."""
+    graph, (w, *_rest) = _keras_bn_graphdef(rng)
+    x = rng.rand(1, 8, 8, 3).astype(np.float32)
+
+    cg = compile_graph(graph, ["conv1/Relu:0"], learning_phase=True)
+    (got,) = cg.jit()(cg.params, {"input_1": x})
+    conv = golden._conv2d_tf(x.astype(np.float64), w.astype(np.float64),
+                             (1, 1), "SAME")
+    np.testing.assert_allclose(np.asarray(got), np.maximum(conv * 2.0, 0.0),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_agegender_batched(agegender_graph, rng):
     """The reference runs batch-1 per sess.run; our compiled fn is batch-polymorphic."""
     outputs = ["global_pooling/Mean:0"]
