@@ -131,8 +131,11 @@ def cmd_identify(args):
         args.probe, extractor, cache_file=args.cache and args.cache + "_probe.npz",
         class_to_label=shared)
     acc = gallery_probe_eval(g_feats, g_labels, p_feats, p_labels, k=args.k)
+    from .models.zoo import weights_origin
+
     print(json.dumps({"accuracy": acc, "n_gallery": len(g_labels),
-                      "n_probe": len(p_labels), "n_classes": len(names)}))
+                      "n_probe": len(p_labels), "n_classes": len(names),
+                      "weights": weights_origin(args.model)}))
 
 
 def cmd_utkface(args):
@@ -172,7 +175,11 @@ def cmd_cluster(args):
     np.fill_diagonal(dist, 0.0)
     clusters = get_facial_clusters(dist, args.threshold, method=args.method)
     y_pred = clusters_to_labels(clusters, len(labels))
-    print(json.dumps(clustering_statistics(labels, y_pred), indent=2))
+    from .models.zoo import weights_origin
+
+    stats = dict(clustering_statistics(labels, y_pred))
+    stats["weights"] = weights_origin(args.model)
+    print(json.dumps(stats, indent=2))
 
 
 def cmd_export(args):

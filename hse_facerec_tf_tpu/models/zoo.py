@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import warnings
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
@@ -64,20 +65,43 @@ def _agegender_params():
     return import_multihead_params(AGEGENDER_PB)
 
 
+def _warn_random_init(name: str, missing_path: str) -> None:
+    warnings.warn(
+        f"model {name!r}: trained weights not found at {missing_path} "
+        "(listed in the reference's .MISSING_LARGE_BLOBS) — using RANDOM "
+        "initialization. Embeddings will be meaningless for recognition; "
+        "provide the weight file or pick a model with shipped weights "
+        "(e.g. 'agegender_identity').",
+        RuntimeWarning, stacklevel=3)
+
+
+def weights_origin(name: str) -> str:
+    """'imported' if the zoo entry resolves to trained reference weights on
+    this machine, 'random' if building it would fall back to random init."""
+    if name == "vgg2_mobilenet":
+        return "imported" if os.path.exists(VGG2_MOBILENET_H5) else "random"
+    if name == "vgg2_resnet":
+        return "random"  # no .pb→resnet importer target exists upstream
+    return "imported"  # shipped pbs (mtcnn, quantized age/gender)
+
+
 def _vgg2_mobilenet_params():
     """vgg2_mobilenet.h5 if present (missing upstream: .MISSING_LARGE_BLOBS);
-    falls back to random init so the pipeline stays runnable."""
+    falls back to random init — with a loud warning — so the pipeline stays
+    runnable."""
     from ..core.h5_import import mobilenet_params_from_h5
     from .mobilenet import init_mobilenet_params
 
     if os.path.exists(VGG2_MOBILENET_H5):
         return mobilenet_params_from_h5(VGG2_MOBILENET_H5)
+    _warn_random_init("vgg2_mobilenet", VGG2_MOBILENET_H5)
     return init_mobilenet_params(jax.random.PRNGKey(0))
 
 
 def _vgg2_resnet_params():
     from .resnet import init_resnet50_params
 
+    _warn_random_init("vgg2_resnet", VGG2_RESNET_PB)
     return init_resnet50_params(jax.random.PRNGKey(0))
 
 

@@ -87,3 +87,22 @@ def test_mobilenet_init_shapes():
     assert emb.shape == (2, 1024)
     logits = mobilenet_classify(params, x)
     assert logits.shape == (2, 17)
+
+
+def test_zoo_random_init_warns_loudly():
+    """Missing vgg2 blobs must not silently produce garbage embeddings
+    (the reference lists them in .MISSING_LARGE_BLOBS)."""
+    import os
+    import warnings
+
+    import pytest
+
+    from hse_facerec_tf_tpu.models import zoo
+
+    assert zoo.weights_origin("agegender_identity") == "imported"
+    if not os.path.exists(zoo.VGG2_MOBILENET_H5):
+        assert zoo.weights_origin("vgg2_mobilenet") == "random"
+        with pytest.warns(RuntimeWarning, match="RANDOM"):
+            zoo.MODEL_ZOO["vgg2_mobilenet"].build_params()
+    with pytest.warns(RuntimeWarning, match="RANDOM"):
+        zoo.MODEL_ZOO["vgg2_resnet"].build_params()
