@@ -278,8 +278,10 @@ def main(argv=None):
     idn = sub.add_parser("identify", help="gallery/probe 1-NN identification")
     idn.add_argument("gallery")
     idn.add_argument("probe")
+    from .models.zoo import MODEL_ZOO
+
     idn.add_argument("--model", default="agegender_identity",
-                     choices=["agegender_identity", "vgg2_mobilenet", "vgg2_resnet"])
+                     choices=sorted(MODEL_ZOO))
     idn.add_argument("--k", type=int, default=1)
     idn.add_argument("--batch-size", type=int, default=64)
     idn.add_argument("--cache", default=None)

@@ -118,3 +118,78 @@ def multihead_predict_fn(mh_params, face_size: int = 224):
         return 1.0 + expected_age_top_k(out.age_probs, 2), out.gender_prob
 
     return lambda batch: tuple(np.asarray(a) for a in fn(jnp.asarray(batch)))
+
+
+def insightface_predict_fn(ga_params):
+    """InsightFace gender-age backend (reference ``utkface_test.py:227-238``
+    with ``insightface.py:92-132`` semantics): black letterbox + cubic resize
+    to 112², IResNet fc1(202), gender/age decoded from binary pairs. The hard
+    gender class doubles as p_male (reference: is_female = genders[0] < 0.5)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.arcface import decode_gender_age, iresnet_embed
+    from ..ops.resize import resize
+
+    @jax.jit
+    def fn(images):
+        h, w = images.shape[1], images.shape[2]
+        x = images.astype(jnp.float32)
+        if h != w:  # letterbox: pad left (w<h) or top (w>=h) with black
+            if w < h:
+                x = jnp.pad(x, ((0, 0), (0, 0), (h - w, 0), (0, 0)))
+            else:
+                x = jnp.pad(x, ((0, 0), (w - h, 0), (0, 0), (0, 0)))
+        x = resize(x, (112, 112), "cv2_cubic")
+        out = iresnet_embed(ga_params, x)
+        gender, age = decode_gender_age(out)
+        return age.astype(jnp.float32), gender.astype(jnp.float32)
+
+    return lambda batch: tuple(np.asarray(a) for a in fn(jnp.asarray(batch)))
+
+
+def facenet_predict_fn(ir_params, face_size: int = 160):
+    """FaceNet Inception-ResNet-v1 backend (reference ``utkface_test.py:
+    186-225``): 160² resize, tf.image.per_image_standardization, age =
+    expectation over the 101-way softmax, gender argmax (index 1 = male;
+    is_female = gender == 0)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.inception_resnet import inception_resnet_v1_age_gender
+    from ..ops.resize import resize
+
+    @jax.jit
+    def fn(images):
+        x = resize(images.astype(jnp.float32), (face_size, face_size), "cv2_linear")
+        n = face_size * face_size * 3
+        m = x.mean(axis=(1, 2, 3), keepdims=True)
+        sd = jnp.maximum(x.std(axis=(1, 2, 3), keepdims=True),
+                         1.0 / jnp.sqrt(float(n)))
+        age_logits, gender_logits = inception_resnet_v1_age_gender(
+            ir_params, (x - m) / sd)
+        ages = jax.nn.softmax(age_logits) @ jnp.arange(0.0, 101.0)
+        gender = jnp.argmax(gender_logits, axis=1)
+        return ages, gender.astype(jnp.float32)
+
+    return lambda batch: tuple(np.asarray(a) for a in fn(jnp.asarray(batch)))
+
+
+def wide_resnet_predict_fn(wrn_params, face_size: int = 64):
+    """WideResNet-16-8 backend (reference ``utkface_test.py:290-314``):
+    cv2-linear resize to 64², gender softmax [female, male], age =
+    expectation over the 101-way softmax."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.wide_resnet import wide_resnet_16_8
+    from ..ops.resize import resize
+
+    @jax.jit
+    def fn(images):
+        x = resize(images.astype(jnp.float32), (face_size, face_size), "cv2_linear")
+        gender_probs, age_probs = wide_resnet_16_8(wrn_params, x)
+        ages = age_probs @ jnp.arange(0.0, 101.0)
+        return ages, gender_probs[:, 1]   # p_male = 1 - p(female idx 0)
+
+    return lambda batch: tuple(np.asarray(a) for a in fn(jnp.asarray(batch)))

@@ -115,6 +115,106 @@ def inception_resnet_v1_age_gender(params: Dict, x, *, precision=_P
     return age, gender
 
 
+def inception_resnet_v1_params_from_npz(path: str) -> Dict:
+    """Import a FaceNet/age-gender slim checkpoint from an .npz of slim
+    variable names (``InceptionResnetV1/Conv2d_1a_3x3/weights``,
+    ``.../BatchNorm/{beta,moving_mean,moving_variance}``, …) — the layout the
+    reference restores via ``tf.train.Saver`` before its ckpt→pb conversion
+    (``utkface_test.py:41-86,186-225``). Produce the .npz by dumping each
+    checkpoint variable under its full name.
+
+    slim specifics reproduced here: BN has no gamma (scale=False ⇒ ones); the
+    ``Bottleneck`` fully-connected layer carries its own BatchNorm (the
+    normalizer arg_scope covers fully_connected too), folded exactly into the
+    dense kernel/bias at import; residual ``up`` convs are normalizer-free
+    with biases; head scopes ``logits/age``/``logits/gender`` are plain FCs."""
+    with np.load(path) as z:
+        w = {k: z[k] for k in z.files}
+    R = "InceptionResnetV1"
+
+    def bn(scope):
+        beta = jnp.asarray(w[f"{scope}/BatchNorm/beta"])
+        return {
+            "gamma": jnp.asarray(w.get(f"{scope}/BatchNorm/gamma",
+                                       np.ones_like(beta))),
+            "beta": beta,
+            "mean": jnp.asarray(w[f"{scope}/BatchNorm/moving_mean"]),
+            "var": jnp.asarray(w[f"{scope}/BatchNorm/moving_variance"]),
+        }
+
+    def cb(scope):
+        return {"kernel": jnp.asarray(w[f"{scope}/weights"]), "bn": bn(scope)}
+
+    def up(scope):
+        return {"kernel": jnp.asarray(w[f"{scope}/weights"]),
+                "bias": jnp.asarray(w[f"{scope}/biases"])}
+
+    p: Dict = {
+        "conv1a": cb(f"{R}/Conv2d_1a_3x3"), "conv2a": cb(f"{R}/Conv2d_2a_3x3"),
+        "conv2b": cb(f"{R}/Conv2d_2b_3x3"), "conv3b": cb(f"{R}/Conv2d_3b_1x1"),
+        "conv4a": cb(f"{R}/Conv2d_4a_3x3"), "conv4b": cb(f"{R}/Conv2d_4b_3x3"),
+    }
+    for i in range(5):
+        s = f"{R}/Repeat/block35_{i + 1}"
+        p[f"block35_{i}"] = {
+            "b0": cb(f"{s}/Branch_0/Conv2d_1x1"),
+            "b1a": cb(f"{s}/Branch_1/Conv2d_0a_1x1"),
+            "b1b": cb(f"{s}/Branch_1/Conv2d_0b_3x3"),
+            "b2a": cb(f"{s}/Branch_2/Conv2d_0a_1x1"),
+            "b2b": cb(f"{s}/Branch_2/Conv2d_0b_3x3"),
+            "b2c": cb(f"{s}/Branch_2/Conv2d_0c_3x3"),
+            "up": up(f"{s}/Conv2d_1x1"),
+        }
+    p["reduction_a"] = {
+        "b0": cb(f"{R}/Mixed_6a/Branch_0/Conv2d_1a_3x3"),
+        "b1a": cb(f"{R}/Mixed_6a/Branch_1/Conv2d_0a_1x1"),
+        "b1b": cb(f"{R}/Mixed_6a/Branch_1/Conv2d_0b_3x3"),
+        "b1c": cb(f"{R}/Mixed_6a/Branch_1/Conv2d_1a_3x3"),
+    }
+    for i in range(10):
+        s = f"{R}/Repeat_1/block17_{i + 1}"
+        p[f"block17_{i}"] = {
+            "b0": cb(f"{s}/Branch_0/Conv2d_1x1"),
+            "b1a": cb(f"{s}/Branch_1/Conv2d_0a_1x1"),
+            "b1b": cb(f"{s}/Branch_1/Conv2d_0b_1x7"),
+            "b1c": cb(f"{s}/Branch_1/Conv2d_0c_7x1"),
+            "up": up(f"{s}/Conv2d_1x1"),
+        }
+    p["reduction_b"] = {
+        "b0a": cb(f"{R}/Mixed_7a/Branch_0/Conv2d_0a_1x1"),
+        "b0b": cb(f"{R}/Mixed_7a/Branch_0/Conv2d_1a_3x3"),
+        "b1a": cb(f"{R}/Mixed_7a/Branch_1/Conv2d_0a_1x1"),
+        "b1b": cb(f"{R}/Mixed_7a/Branch_1/Conv2d_1a_3x3"),
+        "b2a": cb(f"{R}/Mixed_7a/Branch_2/Conv2d_0a_1x1"),
+        "b2b": cb(f"{R}/Mixed_7a/Branch_2/Conv2d_0b_3x3"),
+        "b2c": cb(f"{R}/Mixed_7a/Branch_2/Conv2d_1a_3x3"),
+    }
+    for i, scope in list(enumerate(f"{R}/Repeat_2/block8_{j + 1}"
+                                   for j in range(5))) + [("final", f"{R}/Block8")]:
+        p[f"block8_{i}"] = {
+            "b0": cb(f"{scope}/Branch_0/Conv2d_1x1"),
+            "b1a": cb(f"{scope}/Branch_1/Conv2d_0a_1x1"),
+            "b1b": cb(f"{scope}/Branch_1/Conv2d_0b_1x3"),
+            "b1c": cb(f"{scope}/Branch_1/Conv2d_0c_3x1"),
+            "up": up(f"{scope}/Conv2d_1x1"),
+        }
+    # Bottleneck FC + its BatchNorm folded (scale=False, eps=1e-3):
+    # y = (xW - m) / sqrt(v+eps) * gamma + beta
+    kern = np.asarray(w[f"{R}/Bottleneck/weights"])
+    bnb = bn(f"{R}/Bottleneck")
+    inv = np.asarray(bnb["gamma"]) / np.sqrt(np.asarray(bnb["var"]) + 1e-3)
+    p["bottleneck"] = {
+        "kernel": jnp.asarray(kern * inv[None, :]),
+        "bias": jnp.asarray(np.asarray(bnb["beta"])
+                            - np.asarray(bnb["mean"]) * inv),
+    }
+    for head, scope in (("age", "logits/age"), ("gender", "logits/gender")):
+        if f"{scope}/weights" in w:
+            p[head] = {"kernel": jnp.asarray(w[f"{scope}/weights"]),
+                       "bias": jnp.asarray(w[f"{scope}/biases"])}
+    return p
+
+
 def init_inception_resnet_v1_params(rng: jax.Array, bottleneck: int = 128,
                                     with_heads: bool = False) -> Dict:
     keys = iter(jax.random.split(rng, 256))

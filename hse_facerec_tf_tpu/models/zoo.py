@@ -33,6 +33,8 @@ class ModelSpec:
     embedding_dim: int
     build_params: Callable[[], Dict]
     model_fn_factory: Callable  # precision -> f(params, x)
+    # extra EmbeddingExtractor options (flip_tta, l2_normalize_output, ...)
+    extractor_kwargs: Dict = dataclasses.field(default_factory=dict)
 
     def model_fn(self, precision=jax.lax.Precision.HIGHEST):
         return self.model_fn_factory(precision)
@@ -82,6 +84,8 @@ def weights_origin(name: str) -> str:
         return "imported" if os.path.exists(VGG2_MOBILENET_H5) else "random"
     if name == "vgg2_resnet":
         return "random"  # no .pb→resnet importer target exists upstream
+    if name == "insightface_arcface":
+        return "imported" if os.path.exists(ARCFACE_NPZ) else "random"
     return "imported"  # shipped pbs (mtcnn, quantized age/gender)
 
 
@@ -105,6 +109,28 @@ def _vgg2_resnet_params():
     return init_resnet50_params(jax.random.PRNGKey(0))
 
 
+# ArcFace r100 checkpoint as an .npz of flat MXNet param names (the MXNet
+# blob itself lives outside the repo — insightface_face_embedding.py:24).
+ARCFACE_NPZ = os.environ.get(
+    "HSE_FACEREC_ARCFACE_NPZ",
+    os.path.join(REFERENCE_ROOT, "models", "arcface_r100.npz"))
+
+
+def _arcface_params():
+    from .arcface import init_iresnet_params, iresnet_params_from_npz
+
+    if os.path.exists(ARCFACE_NPZ):
+        return iresnet_params_from_npz(ARCFACE_NPZ)
+    _warn_random_init("insightface_arcface", ARCFACE_NPZ)
+    return init_iresnet_params(jax.random.PRNGKey(0), depth=100)
+
+
+def _arcface_fn(precision=jax.lax.Precision.HIGHEST):
+    from .arcface import iresnet_embed
+
+    return lambda params, x: iresnet_embed(params, x, precision=precision)
+
+
 MODEL_ZOO: Dict[str, ModelSpec] = {
     # multi-head identity tap — the reference's default age/gender/id model
     # (facial_analysis.py:29-33, facerec_test.py:210 commented variant)
@@ -121,6 +147,13 @@ MODEL_ZOO: Dict[str, ModelSpec] = {
     "vgg2_resnet": ModelSpec(
         "vgg2_resnet", (224, 224), "vggface2", "pil_bilinear", 2048,
         _vgg2_resnet_params, _resnet_fn),
+    # InsightFace ArcFace-r100 112² embedder (insightface_face_embedding.py:
+    # 20-63): raw 0-255 RGB in (the model scales internally), L2-normalized
+    # output; flip-TTA off by default (reference self.flip=0, :23).
+    "insightface_arcface": ModelSpec(
+        "insightface_arcface", (112, 112), "none", "cv2_linear", 512,
+        _arcface_params, _arcface_fn,
+        extractor_kwargs={"l2_normalize_output": True}),
 }
 
 
@@ -133,7 +166,8 @@ def build_extractor(name: str, batch_size: int = 64, mesh=None,
                               spec.input_size,
                               normalization=spec.normalization,
                               resize_method=spec.resize_method,
-                              batch_size=batch_size, mesh=mesh)
+                              batch_size=batch_size, mesh=mesh,
+                              **spec.extractor_kwargs)
 
 
 def graph_extractor(pb_path: str, input_tensor: str, output_tensor: str,

@@ -86,10 +86,37 @@ def _triangle_weights_pil(src: int, dst: int) -> np.ndarray:
     return w
 
 
+@functools.lru_cache(maxsize=256)
+def _cubic_weights_cv2(src: int, dst: int) -> np.ndarray:
+    """cv2.INTER_CUBIC 1-D weights: 4-tap cubic convolution (a = -0.75),
+    half-pixel centers, edge clamp. Used by the reference's InsightFace
+    letterbox resize (``age_gender_identity/insightface.py:89``)."""
+    a = -0.75
+
+    def k(x):
+        x = abs(x)
+        if x <= 1.0:
+            return (a + 2) * x ** 3 - (a + 3) * x ** 2 + 1
+        if x < 2.0:
+            return a * x ** 3 - 5 * a * x ** 2 + 8 * a * x - 4 * a
+        return 0.0
+
+    w = np.zeros((dst, src), dtype=np.float32)
+    scale = src / dst
+    for i in range(dst):
+        f = (i + 0.5) * scale - 0.5
+        i0 = int(np.floor(f))
+        for j in range(i0 - 1, i0 + 3):
+            jc = min(max(j, 0), src - 1)
+            w[i, jc] += k(f - j)
+    return w
+
+
 _WEIGHT_FNS = {
     "cv2_linear": _linear_weights_cv2,
     "cv2_area": _area_weights_cv2,
     "pil_bilinear": _triangle_weights_pil,
+    "cv2_cubic": _cubic_weights_cv2,
 }
 
 
@@ -97,7 +124,7 @@ def resize(img: jnp.ndarray, out_hw: Tuple[int, int], method: str = "cv2_linear"
            precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """Resize (..., H, W, C) to (..., out_h, out_w, C) with the given semantics.
 
-    method: 'cv2_linear' | 'cv2_area' | 'pil_bilinear'.
+    method: 'cv2_linear' | 'cv2_area' | 'pil_bilinear' | 'cv2_cubic'.
     """
     h, w = img.shape[-3], img.shape[-2]
     oh, ow = out_hw
