@@ -27,6 +27,11 @@ def _build_analyzer(args):
     from .models import zoo
     from .pipelines.analyzer import FacialAnalyzer
 
+    if getattr(args, "age_pb", None) and getattr(args, "gender_pb", None):
+        # two-model configuration (reference age_gender_one_model=False)
+        return FacialAnalyzer.from_two_model_pbs(
+            args.mtcnn_pb or zoo.MTCNN_PB, args.age_pb, args.gender_pb,
+            sota=getattr(args, "sota", False), minsize=args.minsize)
     return FacialAnalyzer.from_reference_models(
         args.mtcnn_pb or zoo.MTCNN_PB, args.agegender_pb or zoo.AGEGENDER_PB,
         minsize=args.minsize)
@@ -35,6 +40,12 @@ def _build_analyzer(args):
 def _add_model_args(p):
     p.add_argument("--mtcnn-pb", default=None)
     p.add_argument("--agegender-pb", default=None)
+    p.add_argument("--age-pb", default=None,
+                   help="separate frozen age graph (two-model configuration)")
+    p.add_argument("--gender-pb", default=None,
+                   help="separate frozen gender graph (two-model configuration)")
+    p.add_argument("--sota", action="store_true",
+                   help="use_sota tensor taps (data/prob, softmax gender)")
     p.add_argument("--minsize", type=int, default=40)
 
 

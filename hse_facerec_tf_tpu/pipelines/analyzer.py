@@ -23,8 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.multihead import import_multihead_params, multihead_apply, expected_age_top_k
-from ..ops.preprocess import IMAGENET_MEANS_BGR
+from ..models.multihead import import_multihead_params
 from ..ops.resize import crop_resize_bilinear
 from .detector import MTCNNDetector
 
@@ -44,12 +43,26 @@ class FaceResult:
 
 
 class FacialAnalyzer:
-    """Fused detection + multi-head analysis engine."""
+    """Fused detection + per-face heads engine.
 
-    def __init__(self, mtcnn_params, multihead_params, minsize: int = 40,
-                 face_size: int = 224, bbox_dilation: int = 10, **detector_kwargs):
+    ``heads`` is either the one-model multi-head bundle (default; pass
+    ``multihead_params``) or any object with ``params`` and
+    ``apply(params, crops) -> (ages, gender_prob, identity)`` — e.g.
+    ``pipelines.heads.TwoModelHeads`` for the reference's separate age/gender
+    graph configuration (``facial_analysis.py:132-208``)."""
+
+    def __init__(self, mtcnn_params, multihead_params=None, minsize: int = 40,
+                 face_size: int = 224, bbox_dilation: int = 10, heads=None,
+                 **detector_kwargs):
+        from .heads import MultiheadHeads
+
+        if heads is None:
+            if multihead_params is None:
+                raise ValueError("pass multihead_params or heads")
+            heads = MultiheadHeads(multihead_params)
         self.detector = MTCNNDetector(mtcnn_params, minsize=minsize, **detector_kwargs)
-        self.mh_params = multihead_params
+        self.heads = heads
+        self.mh_params = heads.params
         self.face_size = face_size
         self.bbox_dilation = bbox_dilation
         self._jitted: Dict[Tuple[int, int], object] = {}
@@ -61,6 +74,19 @@ class FacialAnalyzer:
         return cls(import_mtcnn_params(mtcnn_pb), import_multihead_params(agegender_pb),
                    **kwargs)
 
+    @classmethod
+    def from_two_model_pbs(cls, mtcnn_pb: str, age_pb: str, gender_pb: str,
+                           sota: bool = False, head_kwargs: Optional[Dict] = None,
+                           **kwargs):
+        """Two-graph configuration (reference ``age_gender_one_model=False``,
+        ``facial_analysis.py:47-54,67-71``): separate frozen age and gender
+        models, each with its own input size and tensor taps."""
+        from ..models.mtcnn import import_mtcnn_params
+        from .heads import TwoModelHeads
+
+        heads = TwoModelHeads(age_pb, gender_pb, sota=sota, **(head_kwargs or {}))
+        return cls(import_mtcnn_params(mtcnn_pb), heads=heads, **kwargs)
+
     def _analyze_fn(self, h: int, w: int):
         key = (h, w)
         if key in self._jitted:
@@ -68,7 +94,7 @@ class FacialAnalyzer:
 
         detect = self.detector.detect_fn(h, w)
         dil = float(self.bbox_dilation)
-        means = jnp.asarray(IMAGENET_MEANS_BGR, dtype=jnp.float32)
+        heads = self.heads
 
         def fn(params, img):
             boxes, scores, points, valid = detect(img)
@@ -81,12 +107,10 @@ class FacialAnalyzer:
             crop_rect = jnp.stack([y1, x1, y2, x2], axis=1)
             crops = crop_resize_bilinear(img_f, crop_rect, self.face_size,
                                          supersample=1, outside="clamp")
-            x = crops[..., ::-1] - means
-            out = multihead_apply(params, x)
-            ages = 1.0 + expected_age_top_k(out.age_probs, k=2)
+            ages, gender_prob, identity = heads.apply(params, crops)
             dilated = jnp.stack([x1, y1, x2, y2], axis=1)
             return (boxes, dilated, scores, points, valid, ages,
-                    out.gender_prob, out.identity)
+                    gender_prob, identity)
 
         self._jitted[key] = jax.jit(fn)
         return self._jitted[key]
