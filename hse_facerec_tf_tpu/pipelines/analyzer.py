@@ -97,7 +97,7 @@ class FacialAnalyzer:
         heads = self.heads
 
         def fn(params, img):
-            boxes, scores, points, valid = detect(img)
+            boxes, scores, points, valid, truncated = detect(img)
             img_f = img.astype(jnp.float32)
             # dilate + clip (reference :240-263); box coords here are float
             x1 = jnp.clip(jnp.floor(boxes[:, 0]) - dil, 0, w)
@@ -110,7 +110,7 @@ class FacialAnalyzer:
             ages, gender_prob, identity = heads.apply(params, crops)
             dilated = jnp.stack([x1, y1, x2, y2], axis=1)
             return (boxes, dilated, scores, points, valid, ages,
-                    gender_prob, identity)
+                    gender_prob, identity, truncated)
 
         self._jitted[key] = jax.jit(fn)
         return self._jitted[key]
@@ -119,8 +119,9 @@ class FacialAnalyzer:
         """RGB uint8/float (H, W, 3) -> per-face results."""
         h, w = img.shape[:2]
         fn = self._analyze_fn(h, w)
-        (boxes, dilated, scores, points, valid, ages, genders, identity) = \
-            [np.asarray(a) for a in fn(self.mh_params, jnp.asarray(img))]
+        (boxes, dilated, scores, points, valid, ages, genders, identity,
+         truncated) = [np.asarray(a) for a in fn(self.mh_params, jnp.asarray(img))]
+        self.detector._warn_truncated(bool(truncated))
         results = []
         for i in np.where(valid)[0]:
             x1, y1, x2, y2 = boxes[i, :4]

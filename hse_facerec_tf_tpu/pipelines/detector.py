@@ -82,8 +82,14 @@ class MTCNNDetector:
     # ---------- stage 1 ----------
 
     def _stage1(self, img_f, h, w, scales):
-        """All pyramid levels + per-level NMS + global NMS + refine."""
+        """All pyramid levels + per-level NMS + global NMS + refine.
+
+        Also returns a scalar ``truncated`` flag: True whenever a static box
+        budget (per-level top-k, global-NMS pool, stage-2 cap) dropped
+        candidates that the reference's unbounded lists would have kept
+        (``facial_analysis.py:478-604`` has no caps)."""
         th1 = self.thresholds[0]
+        truncated = jnp.zeros((), bool)
         all_boxes, all_scores, all_regs, all_valid = [], [], [], []
         for scale in scales:
             hs = int(np.ceil(h * scale))
@@ -97,6 +103,7 @@ class MTCNNDetector:
             level_t = jnp.transpose(level, (1, 0, 2))[None]
             reg_map, prob_map = nets.pnet(self.params["pnet"], level_t)
             kmax = min(self.max_level_boxes, prob_map.shape[1] * prob_map.shape[2])
+            truncated |= jnp.sum(prob_map[0, :, :, 1] > th1) > kmax
             boxes, scores, regs, valid = B.generate_boxes(
                 prob_map[0, :, :, 1], reg_map[0], scale, th1, kmax)
             keep = nms_mask(boxes, scores, valid, 0.5, "union")
@@ -112,14 +119,16 @@ class MTCNNDetector:
         # per-level NMS already thinned each level, so the top max_global
         # survivors by score lose nothing in practice.
         max_global = min(boxes.shape[0], 4 * self.max_stage2)
+        truncated |= jnp.sum(valid) > max_global
         boxes, scores, valid, regs = B.select_top(boxes, scores, valid, regs,
                                                   max_global)
         keep = nms_mask(boxes, scores, valid, 0.7, "union")
+        truncated |= jnp.sum(valid & keep) > self.max_stage2
         boxes, scores, valid, regs = B.select_top(boxes, scores, valid & keep, regs,
                                                   self.max_stage2)
         boxes = B.bbreg_stage1(boxes, regs)
         boxes = B.fix(B.rerec(boxes))
-        return boxes, scores, valid
+        return boxes, scores, valid, truncated
 
     # ---------- stages 2 & 3 ----------
 
@@ -140,11 +149,12 @@ class MTCNNDetector:
         scores = probs[:, 1]
         valid = valid & (scores > th2)
         keep = nms_mask(boxes, scores, valid, 0.7, "union")
+        truncated = jnp.sum(valid & keep) > self.max_stage3
         boxes, scores, valid, regs = B.select_top(boxes, scores, valid & keep, regs,
                                                   self.max_stage3)
         boxes = B.bbreg(boxes, regs)
         boxes = B.fix(B.rerec(boxes))
-        return boxes, scores, valid
+        return boxes, scores, valid, truncated
 
     def _stage3(self, img_f, boxes, valid):
         th3 = self.thresholds[2]
@@ -165,15 +175,18 @@ class MTCNNDetector:
     # ---------- full pipeline ----------
 
     def _pipeline_one(self, img, h: int, w: int, scales):
-        """The full (un-jitted) cascade for one image."""
+        """The full (un-jitted) cascade for one image. Returns
+        (boxes, scores, points, valid, truncated)."""
         img_f = img.astype(jnp.float32)
         if not scales:
             z = jnp.zeros
             return (z((self.max_stage3, 4)), z((self.max_stage3,)),
-                    z((self.max_stage3, 10)), jnp.zeros((self.max_stage3,), bool))
-        boxes, scores, valid = self._stage1(img_f, h, w, scales)
-        boxes, scores, valid = self._stage2(img_f, boxes, valid)
-        return self._stage3(img_f, boxes, valid)
+                    z((self.max_stage3, 10)), jnp.zeros((self.max_stage3,), bool),
+                    jnp.zeros((), bool))
+        boxes, scores, valid, trunc1 = self._stage1(img_f, h, w, scales)
+        boxes, scores, valid, trunc2 = self._stage2(img_f, boxes, valid)
+        boxes, scores, points, valid = self._stage3(img_f, boxes, valid)
+        return boxes, scores, points, valid, trunc1 | trunc2
 
     def _build(self, h: int, w: int):
         scales = pyramid_scales(h, w, self.minsize, self.factor)
@@ -203,8 +216,9 @@ class MTCNNDetector:
         landmarks (10, n_i)) per image."""
         n, h, w = images.shape[0], images.shape[1], images.shape[2]
         fn = self.detect_batch_fn(h, w)
-        boxes, scores, points, valid = [np.asarray(a)
-                                        for a in fn(jnp.asarray(images))]
+        boxes, scores, points, valid, truncated = [np.asarray(a)
+                                                   for a in fn(jnp.asarray(images))]
+        self._warn_truncated(bool(truncated.any()))
         out = []
         for i in range(n):
             v = valid[i]
@@ -212,14 +226,29 @@ class MTCNNDetector:
                         points[i][v].T))
         return out
 
+    def _warn_truncated(self, truncated: bool) -> None:
+        self.last_truncated = truncated
+        if truncated:
+            import warnings
+
+            warnings.warn(
+                "MTCNN box budget saturated: some candidates were dropped "
+                f"(caps: level={self.max_level_boxes}, "
+                f"stage2={self.max_stage2}, stage3={self.max_stage3}). The "
+                "reference cascade is unbounded — construct MTCNNDetector "
+                "with larger max_stage2/max_stage3 for crowd photos.",
+                RuntimeWarning, stacklevel=3)
+
     def detect(self, img: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """Host API: RGB (H, W, 3) image -> (boxes (n,5), landmarks (10, n)).
 
         Landmark layout matches the reference's ``points`` output
-        (rows x0..x4, y0..y4; ``facial_analysis.py:595-597``)."""
+        (rows x0..x4, y0..y4; ``facial_analysis.py:595-597``). Sets
+        ``self.last_truncated`` and warns when a box budget saturated."""
         h, w = img.shape[:2]
         fn = self.detect_fn(h, w)
-        boxes, scores, points, valid = fn(jnp.asarray(img))
+        boxes, scores, points, valid, truncated = fn(jnp.asarray(img))
+        self._warn_truncated(bool(truncated))
         v = np.asarray(valid)
         b = np.asarray(boxes)[v]
         s = np.asarray(scores)[v]

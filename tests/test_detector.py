@@ -91,3 +91,33 @@ def test_detect_batch_matches_single(params, test_img):
     for b in single0:
         ious = [_iou(b, bb) for bb in boxes0]
         assert max(ious) > 0.99
+
+
+def test_detector_box_budget_saturation(params, test_img):
+    """>64-face synthetic crowd: default caps must saturate LOUDLY
+    (truncated flag + warning), and raised caps must recover the full face
+    count the reference's unbounded cascade finds (golden count)."""
+    import warnings
+
+    # tile one face crop into a 10x9 grid (90 faces)
+    crop = test_img[110:210, 265:355]      # the boy's face, with margin
+    crop = cv2.resize(crop, (80, 80))
+    grid = np.tile(crop, (10, 9, 1))       # (800, 720, 3)
+    assert grid.shape == (800, 720, 3)
+
+    golden_boxes, _ = detect_golden(params, grid, minsize=40)
+    assert len(golden_boxes) > 64, f"expected a >64-face crowd, golden found {len(golden_boxes)}"
+
+    det = MTCNNDetector(params, minsize=40)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        boxes, _ = det.detect(grid)
+    assert det.last_truncated
+    assert len(boxes) <= 64
+    assert any("box budget saturated" in str(w.message) for w in caught)
+
+    big = MTCNNDetector(params, minsize=40, max_level_boxes=1536,
+                        max_stage2=1024, max_stage3=512)
+    boxes_big, _ = big.detect(grid)
+    assert not big.last_truncated
+    assert len(boxes_big) == len(golden_boxes)
