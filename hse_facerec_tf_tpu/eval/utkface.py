@@ -113,6 +113,9 @@ def multihead_predict_fn(mh_params, face_size: int = 224):
     @jax.jit
     def fn(images):
         x = resize(images.astype(jnp.float32), (face_size, face_size), "cv2_linear")
+        # reference resizes the uint8 crop (facial_analysis.py:95), so pixels
+        # are integer-rounded before mean subtraction
+        x = jnp.clip(jnp.round(x), 0.0, 255.0)
         x = x[..., ::-1] - means
         out = multihead_apply(mh_params, x)
         return 1.0 + expected_age_top_k(out.age_probs, 2), out.gender_prob
