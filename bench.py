@@ -1,16 +1,26 @@
-"""Headline benchmark: face-embedding throughput (images/sec/chip).
+"""Multi-metric benchmark for the framework's four hot paths.
 
-Measures the flagship path — the multi-head age/gender/identity MobileNet over
-the shipped reference weights — as one fused jit program (preprocess +
-backbone + heads), batch 128, bf16 compute on the MXU.
+Headline metric (top-level keys, driver contract): fused multi-head embedding
+throughput, batch 512, f32-HIGH. The ``extra`` dict carries the rest of the
+perf story:
+
+  - embed_bf16_ips          — same path, bf16 compute on the MXU
+  - detect_ms_per_image     — full MTCNN cascade @640x480, single image
+  - detect_batch_ips        — vmapped cascade, batch 8 @640x480
+  - analyze_ms_per_image    — fused detect+crop+3-heads program @640x480
+
+All device timings chain CHAIN iterations inside one jit program (the
+host<->device tunnel costs ~32 ms per round trip; production pipelines stream
+batches without per-batch host syncs), with ``x = x + eps`` between
+iterations to defeat CSE.
 
 vs_baseline compares against the reference's execution model: batch-1 f32
-inference (the reference runs one ``sess.run`` per image with no batching —
-``facerec_test.py:390-394``, ``facial_analysis.py:108-109``) measured on the
-host CPU, cached in .bench_cpu_baseline.json. BASELINE.md's north-star is
->10x images/sec/chip over that.
+inference (one ``sess.run`` per image, no batching — ``facerec_test.py:
+390-394``, ``facial_analysis.py:108-109``) measured on the host CPU, cached
+in .bench_cpu_baseline.json. BASELINE.md's north-star is >10x images/sec/chip
+over that.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 
 import json
@@ -73,6 +83,145 @@ def measure_cpu_baseline():
     return ips
 
 
+def _time_chained(many, x, chain, per_call, warmup=WARMUP, iters=ITERS):
+    """Execute the chained jit program; return units/sec where one chained
+    call covers ``per_call`` units (images)."""
+    for _ in range(warmup):
+        np.asarray(many(x))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        np.asarray(many(x))
+    elapsed = time.perf_counter() - t0
+    return per_call * iters / elapsed
+
+
+def bench_embed(precision, compute_dtype, chain=10):
+    import jax
+    import jax.numpy as jnp
+
+    forward, _ = build_forward(precision, compute_dtype)
+
+    @jax.jit
+    def many(x):
+        acc = jnp.zeros((), jnp.float32)
+        for _ in range(chain):
+            acc = acc + forward(x)[0, 0].astype(jnp.float32)
+            x = x + 1e-6  # defeat CSE between iterations
+        return acc
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(BATCH, 224, 224, 3).astype(np.float32) * 255)
+    ips = _time_chained(many, x, chain, BATCH * chain)
+    return ips, forward, x
+
+
+def bench_detection(chain=5):
+    """Full MTCNN cascade @640x480: single-image ms and batch-8 images/sec."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from hse_facerec_tf_tpu.models.zoo import MTCNN_PB
+    from hse_facerec_tf_tpu.pipelines.detector import MTCNNDetector
+    from hse_facerec_tf_tpu.utils.image_io import imread_rgb
+
+    fixture = os.path.join(os.path.dirname(MTCNN_PB), "test_image.jpg")
+    img = cv2.resize(imread_rgb(fixture), (640, 480))
+    det = MTCNNDetector.from_pb(MTCNN_PB, minsize=40)
+
+    one = det.detect_fn(480, 640)
+
+    @jax.jit
+    def many_single(x):
+        acc = jnp.zeros((), jnp.float32)
+        for _ in range(chain):
+            boxes, scores, _, valid, _ = one(x)
+            acc = acc + jnp.sum(scores * valid)
+            x = x + 1e-6
+        return acc
+
+    x = jnp.asarray(img.astype(np.float32))
+    single_ips = _time_chained(many_single, x, chain, chain)
+
+    nb = 8
+    batch_fn = det.detect_batch_fn(480, 640)
+
+    @jax.jit
+    def many_batch(xb):
+        acc = jnp.zeros((), jnp.float32)
+        for _ in range(chain):
+            boxes, scores, _, valid, _ = batch_fn(xb)
+            acc = acc + jnp.sum(scores * valid)
+            xb = xb + 1e-6
+        return acc
+
+    xb = jnp.asarray(np.tile(img.astype(np.float32)[None], (nb, 1, 1, 1)))
+    batch_ips = _time_chained(many_batch, xb, chain, nb * chain)
+    return 1000.0 / single_ips, batch_ips, img
+
+
+def bench_analyze(img, chain=5):
+    """Fused detect+crop+3-heads program @640x480 (the analyze CLI path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hse_facerec_tf_tpu.models.zoo import AGEGENDER_PB, MTCNN_PB
+    from hse_facerec_tf_tpu.pipelines.analyzer import FacialAnalyzer
+
+    analyzer = FacialAnalyzer.from_reference_models(MTCNN_PB, AGEGENDER_PB,
+                                                    minsize=40)
+    fn = analyzer._analyze_fn(480, 640)
+    params = analyzer.mh_params
+
+    @jax.jit
+    def many(x):
+        acc = jnp.zeros((), jnp.float32)
+        for _ in range(chain):
+            out = fn(params, x)
+            acc = acc + jnp.sum(out[5]) + jnp.sum(out[6])   # ages + genders
+            x = x + 1e-6
+        return acc
+
+    x = jnp.asarray(img.astype(np.float32))
+    ips = _time_chained(many, x, chain, chain)
+    return 1000.0 / ips
+
+
+def bench_knn(chain=3):
+    """Matrix-free Pallas 1-NN at its design point — 8192 probes × 1M × 512-d
+    gallery, where the XLA path's (M, N) f32 matrix (32 GB) exceeds HBM —
+    vs the probe-chunked XLA alternative. Data generated on device (the
+    gallery alone is 2 GB; no host transfer)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hse_facerec_tf_tpu.ops.pallas.knn import (
+        nearest_neighbor_chunked_xla, nearest_neighbor_tpu)
+
+    M, D, N = 8192, 512, 1_048_576
+    kp, kg = jax.random.split(jax.random.PRNGKey(0))
+    probes = jax.random.normal(kp, (M, D), jnp.float32)
+    gallery = jax.random.normal(kg, (N, D), jnp.float32)
+
+    def chained(nn_fn):
+        @jax.jit
+        def many(p, g):
+            acc = jnp.zeros((), jnp.float32)
+            for _ in range(chain):
+                dmin, idx = nn_fn(p, g)
+                acc = acc + dmin[0] + idx[0].astype(jnp.float32)
+                p = p + 1e-6
+            return acc
+
+        calls_per_sec = _time_chained(lambda x: many(x, gallery), probes,
+                                      chain, chain, warmup=1, iters=2)
+        return 1000.0 / calls_per_sec   # ms per full 8192-probe query
+
+    pallas_ms = chained(lambda p, g: nearest_neighbor_tpu(p, g))
+    xla_ms = chained(lambda p, g: nearest_neighbor_chunked_xla(p, g, chunk=512))
+    return pallas_ms, xla_ms
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -84,39 +233,20 @@ def main():
     dev = jax.devices()[0]
     # Precision.HIGH f32: exact embedding agreement with the HIGHEST path at
     # ~8% below bf16 throughput (the model is HBM-bound, not MXU-bound).
-    forward, _ = build_forward(jax.lax.Precision.HIGH, jnp.float32)
-
-    # Chain CHAIN iterations inside one jit program: the host<->device tunnel
-    # costs ~32 ms per round trip here, which would otherwise dominate; a
-    # production pipeline streams batches without per-batch host syncs.
-    CHAIN = 10
-
-    @jax.jit
-    def many(x):
-        acc = jnp.zeros((), jnp.float32)
-        for _ in range(CHAIN):
-            acc = acc + forward(x)[0, 0]
-            x = x + 1e-6  # defeat CSE between iterations
-        return acc
-
-    fn = jax.jit(forward)
-    rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.rand(BATCH, 224, 224, 3).astype(np.float32) * 255)
-
-    for _ in range(WARMUP):
-        np.asarray(many(x))
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        np.asarray(many(x))
-    elapsed = time.perf_counter() - t0
-    ips = BATCH * CHAIN * ITERS / elapsed
+    ips, forward, x = bench_embed(jax.lax.Precision.HIGH, jnp.float32)
+    bf16_ips, _, _ = bench_embed(jax.lax.Precision.DEFAULT, jnp.bfloat16)
 
     # correctness guard: fast path must stay bit-close to the parity path
+    fn = jax.jit(forward)
     fn32 = jax.jit(build_forward(jax.lax.Precision.HIGHEST, jnp.float32)[0])
     a = np.asarray(fn(x)[:4], dtype=np.float64)
     b = np.asarray(fn32(x)[:4], dtype=np.float64)
     cos = np.sum(a * b, -1) / (np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1))
     assert cos.min() > 0.999, f"fast-path embedding drift: cosine {cos.min()}"
+
+    detect_ms, detect_batch_ips, img640 = bench_detection()
+    analyze_ms = bench_analyze(img640)
+    knn_pallas_ms, knn_xla_ms = bench_knn()
 
     try:
         cpu_ips = measure_cpu_baseline()
@@ -128,6 +258,14 @@ def main():
         "value": round(ips, 1),
         "unit": f"images/sec (batch {BATCH}, f32-HIGH, {dev.device_kind})",
         "vs_baseline": round(ips / cpu_ips, 2) if cpu_ips else None,
+        "extra": {
+            "embed_bf16_ips": round(bf16_ips, 1),
+            "detect_ms_per_image_640x480": round(detect_ms, 2),
+            "detect_batch8_ips_640x480": round(detect_batch_ips, 1),
+            "analyze_ms_per_image_640x480": round(analyze_ms, 2),
+            "knn_8kx1M_pallas_ms": round(knn_pallas_ms, 1),
+            "knn_8kx1M_chunked_xla_ms": round(knn_xla_ms, 1),
+        },
     }))
 
 

@@ -149,19 +149,95 @@ def cmd_identify(args):
                       "weights": weights_origin(args.model)}))
 
 
-def cmd_utkface(args):
-    from .eval.utkface import evaluate_age_gender, multihead_predict_fn
-    from .models.multihead import import_multihead_params
-    from .models.zoo import AGEGENDER_PB
+def _utkface_predict(args):
+    """Build the selected backend's predict fn (the reference's 9-way if/elif
+    chain, ``utkface_test.py:22-314``, as a --backend flag). Backends whose
+    external weights are absent fall back to random init with a warning."""
+    import warnings
 
-    params = import_multihead_params(args.agegender_pb or AGEGENDER_PB)
-    predict = multihead_predict_fn(params)
+    from .eval import utkface as U
+
+    def external(name, init_fn):
+        path = getattr(args, "weights", None)
+        if path and os.path.exists(path):
+            return None, path
+        warnings.warn(f"utkface backend {args.backend!r}: external weights "
+                      f"not provided (--weights); using RANDOM init — "
+                      "metrics will be meaningless.", RuntimeWarning)
+        return init_fn(), None
+
+    import jax
+
+    key = jax.random.PRNGKey(0)
+    if args.backend == "ours":
+        from .models.multihead import import_multihead_params
+        from .models.zoo import AGEGENDER_PB
+
+        return U.multihead_predict_fn(
+            import_multihead_params(args.agegender_pb or AGEGENDER_PB))
+    if args.backend == "insightface":
+        from .models.arcface import init_iresnet_params, iresnet_params_from_npz
+
+        p, path = external("insightface", lambda: init_iresnet_params(
+            key, depth=50, emb_dim=202))
+        return U.insightface_predict_fn(
+            p if p is not None else iresnet_params_from_npz(path))
+    if args.backend == "facenet":
+        from .models.inception_resnet import (
+            inception_resnet_v1_params_from_npz, init_inception_resnet_v1_params)
+
+        p, path = external("facenet", lambda: init_inception_resnet_v1_params(
+            key, with_heads=True))
+        return U.facenet_predict_fn(
+            p if p is not None else inception_resnet_v1_params_from_npz(path))
+    if args.backend == "wide_resnet":
+        from .models.wide_resnet import (init_wide_resnet_params,
+                                         wide_resnet_params_from_h5)
+
+        p, path = external("wide_resnet", lambda: init_wide_resnet_params(key))
+        return U.wide_resnet_predict_fn(
+            p if p is not None else wide_resnet_params_from_h5(path))
+    if args.backend == "agendernet":
+        from .models.mobilenet_v2 import (init_mobilenet_v2_params,
+                                          mobilenet_v2_params_from_h5)
+
+        p, path = external("agendernet", lambda: init_mobilenet_v2_params(key))
+        return U.agendernet_predict_fn(
+            p if p is not None else mobilenet_v2_params_from_h5(path))
+    if args.backend == "ssrnet":
+        from .models.ssrnet import init_ssrnet_params
+
+        # two models (age + gender); external h5 import not wired — random
+        # init unless both provided in future rounds
+        import jax as _jax
+
+        ka, kg = _jax.random.split(key)
+        p, _ = external("ssrnet", lambda: None)
+        return U.ssrnet_predict_fn(init_ssrnet_params(ka), init_ssrnet_params(kg))
+    if args.backend == "bknet":
+        from .models.bknet import bknet_params_from_npz, init_bknet_params
+
+        p, path = external("bknet", lambda: init_bknet_params(key))
+        return U.bknet_predict_fn(
+            p if p is not None else bknet_params_from_npz(path))
+    if args.backend == "converted_pb":
+        if not (args.age_pb and args.gender_pb):
+            sys.exit("error: --backend converted_pb needs --age-pb and --gender-pb")
+        return U.converted_pb_predict_fn(args.age_pb, args.gender_pb)
+    sys.exit(f"error: unknown backend {args.backend}")
+
+
+def cmd_utkface(args):
+    from .eval.utkface import evaluate_age_gender
+
+    predict = _utkface_predict(args)
     paths = [os.path.join(args.dataset_dir, f)
              for f in sorted(os.listdir(args.dataset_dir))
              if f.lower().endswith((".jpg", ".jpeg", ".png"))]
     age_range = (21, 60) if args.coral_subset else None
-    print(json.dumps(evaluate_age_gender(predict, paths, age_range=age_range),
-                     indent=2))
+    result = dict(evaluate_age_gender(predict, paths, age_range=age_range))
+    result["backend"] = args.backend
+    print(json.dumps(result, indent=2))
 
 
 
@@ -301,6 +377,15 @@ def main(argv=None):
     u = sub.add_parser("utkface", help="age/gender benchmark (UTKFace layout)")
     u.add_argument("dataset_dir")
     u.add_argument("--agegender-pb", default=None)
+    u.add_argument("--backend", default="ours",
+                   choices=["ours", "insightface", "facenet", "wide_resnet",
+                            "agendernet", "ssrnet", "bknet", "converted_pb"],
+                   help="the reference's 9-way backend switch "
+                        "(utkface_test.py:22-314)")
+    u.add_argument("--weights", default=None,
+                   help="external checkpoint (.npz/.h5) for non-'ours' backends")
+    u.add_argument("--age-pb", default=None)
+    u.add_argument("--gender-pb", default=None)
     u.add_argument("--coral-subset", action="store_true",
                    help="restrict to ages 21-60 (CORAL protocol)")
     u.set_defaults(fn=cmd_utkface)

@@ -151,6 +151,45 @@ def insightface_predict_fn(ga_params):
     return lambda batch: tuple(np.asarray(a) for a in fn(jnp.asarray(batch)))
 
 
+def converted_pb_predict_fn(age_pb: str, gender_pb: str,
+                            mean: float = 127.0):
+    """Converted-checkpoint pb backend (reference ``utkface_test.py:113-150``,
+    consuming the ``age_net.pb``/``gender_net.pb`` its :41-86 conversion
+    emits, e.g. rude-carnie Adience inception): taps ``input``→``prob``,
+    resize to 256², subtract the scalar mean, resize to the placeholder's
+    size, RGB→BGR; gender female iff prob[0] < 0.5; age = midpoint of the
+    argmax Adience bucket."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.graph_compiler import compile_pb
+    from ..ops.resize import resize
+    from ..pipelines.heads import _placeholder_hw
+
+    age_cg = compile_pb(age_pb, ["prob"])
+    gender_cg = compile_pb(gender_pb, ["prob"])
+    age_hw = _placeholder_hw(age_cg.graph, "input") or (227, 227)
+    gender_hw = _placeholder_hw(gender_cg.graph, "input") or (227, 227)
+    midpoints = jnp.asarray([(lo + hi) / 2 for lo, hi in ADIENCE_BUCKETS])
+
+    @jax.jit
+    def fn(images):
+        x = resize(images.astype(jnp.float32), (256, 256), "cv2_linear") - mean
+        xa = resize(x, age_hw, "cv2_linear")[..., ::-1]
+        xg = resize(x, gender_hw, "cv2_linear")[..., ::-1]
+        (age_prob,) = age_cg.fn(age_cg.params, {"input": xa})
+        (gender_prob,) = gender_cg.fn(gender_cg.params, {"input": xg})
+        age_prob = age_prob.reshape(images.shape[0], -1)
+        gender_prob = gender_prob.reshape(images.shape[0], -1)
+        ages = midpoints[jnp.argmax(age_prob, axis=1)]
+        # prob[0] >= 0.5 -> male in this backend's convention (:145); return
+        # the hard decision so the shared 0.6 threshold can't re-interpret it
+        p_male = (gender_prob[:, 0] >= 0.5).astype(jnp.float32)
+        return ages, p_male
+
+    return lambda batch: tuple(np.asarray(a) for a in fn(jnp.asarray(batch)))
+
+
 def facenet_predict_fn(ir_params, face_size: int = 160):
     """FaceNet Inception-ResNet-v1 backend (reference ``utkface_test.py:
     186-225``): 160² resize, tf.image.per_image_standardization, age =
@@ -178,6 +217,69 @@ def facenet_predict_fn(ir_params, face_size: int = 160):
     return lambda batch: tuple(np.asarray(a) for a in fn(jnp.asarray(batch)))
 
 
+def agendernet_predict_fn(mn2_params, face_size: int = 96):
+    """AgenderNet MobileNetV2 backend (reference ``utkface_test.py:240-256``):
+    96² resize, Keras mobilenet_v2 preprocessing (inside the model), gender
+    argmax (0 = female, returned as a hard decision), age = expectation."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.mobilenet_v2 import agendernet_apply, decode_agendernet
+    from ..ops.resize import resize
+
+    @jax.jit
+    def fn(images):
+        x = resize(images.astype(jnp.float32), (face_size, face_size), "cv2_linear")
+        gender_probs, age_probs = agendernet_apply(mn2_params, x)
+        gender, ages = decode_agendernet(gender_probs, age_probs)
+        return ages, gender.astype(jnp.float32)
+
+    return lambda batch: tuple(np.asarray(a) for a in fn(jnp.asarray(batch)))
+
+
+def ssrnet_predict_fn(age_params, gender_params, face_size: int = 64):
+    """SSR-Net backend (reference ``utkface_test.py:258-288``): 64² resize,
+    per-image min-max normalization to 0-255 (cv2.normalize NORM_MINMAX),
+    separate age (V=101) and gender (V=1) models; female iff gender < 0.5."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.ssrnet import ssrnet_apply
+    from ..ops.resize import resize
+
+    @jax.jit
+    def fn(images):
+        x = resize(images.astype(jnp.float32), (face_size, face_size), "cv2_linear")
+        lo = jnp.min(x, axis=(1, 2, 3), keepdims=True)
+        hi = jnp.max(x, axis=(1, 2, 3), keepdims=True)
+        x = (x - lo) / jnp.maximum(hi - lo, 1e-6) * 255.0
+        ages = ssrnet_apply(age_params, x, V=101.0)
+        gender = ssrnet_apply(gender_params, x, V=1.0)
+        return ages, (gender >= 0.5).astype(jnp.float32)
+
+    return lambda batch: tuple(np.asarray(a) for a in fn(jnp.asarray(batch)))
+
+
+def bknet_predict_fn(bk_params):
+    """BKNet-style backend (reference ``utkface_test.py:153-184``): 48²
+    grayscale (x − 128)/255, age = argmax of the 101-way head, female iff
+    gender argmax == 0."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.bknet import bknet_apply, preprocess_bknet
+
+    @jax.jit
+    def fn(x):
+        _, gender_logits, age_logits = bknet_apply(bk_params, x)
+        ages = jnp.argmax(age_logits, axis=1).astype(jnp.float32)
+        gender = jnp.argmax(gender_logits, axis=1)   # 1 = male
+        return ages, gender.astype(jnp.float32)
+
+    return lambda batch: tuple(
+        np.asarray(a) for a in fn(jnp.asarray(preprocess_bknet(np.asarray(batch)))))
+
+
 def wide_resnet_predict_fn(wrn_params, face_size: int = 64):
     """WideResNet-16-8 backend (reference ``utkface_test.py:290-314``):
     cv2-linear resize to 64², gender softmax [female, male], age =
@@ -193,6 +295,9 @@ def wide_resnet_predict_fn(wrn_params, face_size: int = 64):
         x = resize(images.astype(jnp.float32), (face_size, face_size), "cv2_linear")
         gender_probs, age_probs = wide_resnet_16_8(wrn_params, x)
         ages = age_probs @ jnp.arange(0.0, 101.0)
-        return ages, gender_probs[:, 1]   # p_male = 1 - p(female idx 0)
+        # reference: female iff P(female idx 0) > 0.5 (:313); hard decision so
+        # the shared 0.6 threshold can't re-interpret borderline probs
+        p_male = (gender_probs[:, 0] <= 0.5).astype(jnp.float32)
+        return ages, p_male
 
     return lambda batch: tuple(np.asarray(a) for a in fn(jnp.asarray(batch)))

@@ -9,10 +9,14 @@ gallery tiles in VMEM scratch, so HBM traffic is O(M·D + N·D) instead of
 O(M·N) — the formulation that keeps working when the distance matrix itself
 would exceed HBM (e.g. 50k probes × 5M gallery = 1 TB matrix).
 
-Measured on v5e-1 (M=1024, D=1024, N=204800, bf16 MXU inputs): 11.9 ms vs
-10.4 ms for the XLA matmul+argmin — XLA's hand-tuned matmul pipeline wins
-while the matrix fits, so ``nearest_neighbor_auto`` defaults to XLA and this
-kernel is the opt-in path for out-of-core gallery sizes.
+Measured on v5e-1 (bf16 MXU inputs):
+  - in-HBM regime (M=1024, D=1024, N=204800): 11.9 ms vs 10.4 ms for XLA
+    matmul+argmin — XLA's hand-tuned pipeline wins while the matrix fits, so
+    ``nearest_neighbor_auto`` defaults to XLA there;
+  - design point (M=8192, D=512, N=1,048,576 — the (M, N) f32 matrix is
+    32 GB, 2× HBM): 105.3 ms vs 133.2 ms for the probe-chunked XLA
+    alternative (``nearest_neighbor_chunked_xla``) — the matrix-free sweep
+    wins by ~21% in the regime it exists for (bench.py knn_8kx1M rows).
 
 Grid: (probe_tiles, gallery_tiles), gallery innermost (TPU grids execute
 sequentially, so VMEM scratch persists across the gallery sweep).
@@ -121,14 +125,44 @@ def nearest_neighbor_tpu(probes: jnp.ndarray, gallery: jnp.ndarray,
     return jnp.maximum(min_d[:m, 0], 0.0), idx[:m, 0]
 
 
+def use_pallas_path(m: int, n: int, backend: str, force: bool = False,
+                    hbm_limit_bytes: int = 4 * 1024 ** 3) -> bool:
+    """Routing rule for ``nearest_neighbor_auto``: the matrix-free kernel is
+    the right path on TPU once the (M, N) f32 distance matrix stops fitting
+    comfortably in HBM (the XLA path materializes it); below that, XLA's
+    matmul pipeline wins (module docstring numbers)."""
+    if backend not in ("tpu", "axon"):
+        return False
+    return force or 4 * m * n > hbm_limit_bytes
+
+
+def nearest_neighbor_chunked_xla(probes, gallery, chunk: int = 512,
+                                 bf16: bool = True):
+    """Probe-chunked XLA alternative for out-of-HBM matrices: lax.map over
+    (chunk, N) sub-matrices. Same O(M/chunk · N · D) gallery re-reads as the
+    Pallas sweep; used as the honest comparison point in bench.py."""
+    from ..distance import pairwise_sqeuclidean
+
+    m, d = probes.shape
+    mp = -(-m // chunk) * chunk
+    a = jnp.zeros((mp, d), probes.dtype).at[:m].set(probes)
+    prec = jax.lax.Precision.DEFAULT if bf16 else jax.lax.Precision.HIGHEST
+
+    def one(chunk_probes):
+        dist = pairwise_sqeuclidean(chunk_probes, gallery, precision=prec)
+        idx = jnp.argmin(dist, axis=1)
+        return jnp.take_along_axis(dist, idx[:, None], axis=1)[:, 0], idx
+
+    dmin, idx = jax.lax.map(one, a.reshape(mp // chunk, chunk, d))
+    return dmin.reshape(mp)[:m], idx.reshape(mp)[:m]
+
+
 def nearest_neighbor_auto(probes, gallery, force_pallas: bool = False):
     """XLA matmul+argmin by default (fastest while the (M, N) matrix fits in
     HBM); the matrix-free Pallas kernel on TPU when forced or when the matrix
     would be prohibitively large."""
     m, n = probes.shape[0], gallery.shape[0]
-    on_tpu = jax.default_backend() in ("tpu", "axon")
-    matrix_bytes = 4 * m * n
-    if on_tpu and (force_pallas or matrix_bytes > 4 * 1024 ** 3):
+    if use_pallas_path(m, n, jax.default_backend(), force_pallas):
         return nearest_neighbor_tpu(probes, gallery)
     from ..distance import pairwise_sqeuclidean
 

@@ -45,3 +45,40 @@ def test_auto_dispatch_cpu(rng):
     want_d, want_i = _reference_nn(p, g)
     np.testing.assert_array_equal(np.asarray(idx), want_i)
     np.testing.assert_allclose(np.asarray(dmin), want_d, rtol=1e-4, atol=1e-3)
+
+
+def test_kernel_interpret_design_point_shape(rng):
+    """Out-of-HBM regime in miniature: a long gallery sweep (10 tiles) with
+    ragged edges on both axes — the tiled accumulation pattern the kernel
+    exists for. Exact agreement with the materialized-matrix reference."""
+    p = rng.randn(300, 256).astype(np.float32)
+    g = rng.randn(10 * 1024 + 7, 256).astype(np.float32)
+    dmin, idx = nearest_neighbor_tpu(jnp.asarray(p), jnp.asarray(g),
+                                     bf16=False, interpret=True)
+    want_d, want_i = _reference_nn(p, g)
+    np.testing.assert_array_equal(np.asarray(idx), want_i)
+    np.testing.assert_allclose(np.asarray(dmin), want_d, rtol=1e-4, atol=1e-3)
+
+
+def test_chunked_xla_matches_reference(rng):
+    from hse_facerec_tf_tpu.ops.pallas.knn import nearest_neighbor_chunked_xla
+
+    p = rng.randn(700, 64).astype(np.float32)
+    g = rng.randn(2000, 64).astype(np.float32)
+    dmin, idx = nearest_neighbor_chunked_xla(jnp.asarray(p), jnp.asarray(g),
+                                             chunk=512, bf16=False)
+    want_d, want_i = _reference_nn(p, g)
+    np.testing.assert_array_equal(np.asarray(idx), want_i)
+    np.testing.assert_allclose(np.asarray(dmin), want_d, rtol=1e-4, atol=1e-3)
+
+
+def test_auto_dispatch_routing_rule():
+    """The Pallas path engages exactly when the (M, N) f32 matrix exceeds the
+    HBM comfort limit on a TPU backend (design point: 8192 probes x 1M
+    gallery = 32 GB > 16 GB HBM)."""
+    from hse_facerec_tf_tpu.ops.pallas.knn import use_pallas_path
+
+    assert not use_pallas_path(1024, 204800, "tpu")          # 0.8 GB: XLA wins
+    assert use_pallas_path(8192, 1_048_576, "tpu")           # 32 GB: matrix-free
+    assert use_pallas_path(1024, 204800, "axon", force=True)
+    assert not use_pallas_path(8192, 1_048_576, "cpu")       # never off-TPU
