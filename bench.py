@@ -12,7 +12,9 @@ perf story:
 All device timings chain CHAIN iterations inside one jit program (the
 host<->device tunnel costs ~32 ms per round trip; production pipelines stream
 batches without per-batch host syncs), with ``x = x + eps`` between
-iterations to defeat CSE.
+iterations to defeat CSE. CHAIN must be large enough that the residual
+RTT/CHAIN share is small: e.g. at CHAIN=5 a "10.8 ms" detection reading is
+really ~4.4 ms compute + 6.4 ms amortized RTT; per-image paths use CHAIN=40.
 
 vs_baseline compares against the reference's execution model: batch-1 f32
 inference (one ``sess.run`` per image, no batching — ``facerec_test.py:
@@ -115,7 +117,7 @@ def bench_embed(precision, compute_dtype, chain=10):
     return ips, forward, x
 
 
-def bench_detection(chain=5):
+def bench_detection(chain=40):
     """Full MTCNN cascade @640x480: single-image ms and batch-8 images/sec."""
     import cv2
     import jax
@@ -160,7 +162,7 @@ def bench_detection(chain=5):
     return 1000.0 / single_ips, batch_ips, img
 
 
-def bench_analyze(img, chain=5):
+def bench_analyze(img, chain=40):
     """Fused detect+crop+3-heads program @640x480 (the analyze CLI path)."""
     import jax
     import jax.numpy as jnp
@@ -187,7 +189,7 @@ def bench_analyze(img, chain=5):
     return 1000.0 / ips
 
 
-def bench_knn(chain=3):
+def bench_knn(chain=6):
     """Matrix-free Pallas 1-NN at its design point — 8192 probes × 1M × 512-d
     gallery, where the XLA path's (M, N) f32 matrix (32 GB) exceeds HBM —
     vs the probe-chunked XLA alternative. Data generated on device (the

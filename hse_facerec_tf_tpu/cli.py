@@ -228,12 +228,16 @@ def _utkface_predict(args):
 
 
 def cmd_utkface(args):
-    from .eval.utkface import evaluate_age_gender
+    from .eval.utkface import evaluate_age_gender, read_csv_split
 
     predict = _utkface_predict(args)
-    paths = [os.path.join(args.dataset_dir, f)
-             for f in sorted(os.listdir(args.dataset_dir))
-             if f.lower().endswith((".jpg", ".jpeg", ".png"))]
+    if args.csv_split:
+        paths = [os.path.join(args.dataset_dir, f)
+                 for f in read_csv_split(args.dataset_dir)]
+    else:
+        paths = [os.path.join(args.dataset_dir, f)
+                 for f in sorted(os.listdir(args.dataset_dir))
+                 if f.lower().endswith((".jpg", ".jpeg", ".png"))]
     age_range = (21, 60) if args.coral_subset else None
     result = dict(evaluate_age_gender(predict, paths, age_range=age_range))
     result["backend"] = args.backend
@@ -388,6 +392,9 @@ def main(argv=None):
     u.add_argument("--gender-pb", default=None)
     u.add_argument("--coral-subset", action="store_true",
                    help="restrict to ages 21-60 (CORAL protocol)")
+    u.add_argument("--csv-split", action="store_true",
+                   help="use utk_test.csv in the dataset dir "
+                        "(utkface_test.py:316-330)")
     u.set_defaults(fn=cmd_utkface)
 
 

@@ -42,13 +42,30 @@ def parse_utkface_filename(fname: str) -> Optional[Tuple[int, int]]:
     return int(m.group(1)), int(m.group(2))
 
 
+def read_csv_split(db_dir: str, csv_name: str = "utk_test.csv") -> List[str]:
+    """The reference's CSV test-split reader (``utkface_test.py:316-330``):
+    second column of ``utk_test.csv`` (header skipped), existing files only."""
+    import csv
+
+    files: List[str] = []
+    with open(os.path.join(db_dir, csv_name)) as f:
+        for i, row in enumerate(csv.reader(f)):
+            if i == 0 or len(row) < 2:
+                continue
+            if os.path.exists(os.path.join(db_dir, row[1])):
+                files.append(row[1])
+    return files
+
+
 def evaluate_age_gender(predict_fn: Callable[[np.ndarray], Tuple[np.ndarray, np.ndarray]],
                         image_paths: Sequence[str], batch_size: int = 64,
                         age_range: Optional[Tuple[int, int]] = None) -> Dict[str, float]:
     """predict_fn: batch of RGB uint8 (N,H,W,3) -> (ages (N,), p_male (N,)).
 
     age_range: optional (lo, hi) ground-truth filter — e.g. (21, 60) for the
-    CORAL-paper subset (``age_gender_identity/README.md:32``).
+    CORAL-paper subset (``age_gender_identity/README.md:32``). When set, the
+    PREDICTED age is also clamped into the range, as the reference's CSV-split
+    path does (``utkface_test.py:356-360``).
     """
     from ..utils.image_io import imread_rgb
 
@@ -81,6 +98,9 @@ def evaluate_age_gender(predict_fn: Callable[[np.ndarray], Tuple[np.ndarray, np.
             ages, p_male = predict_fn(batch)
             pred_age[chunk] = np.asarray(ages)
             pred_male[chunk] = np.asarray(p_male)
+
+    if age_range is not None:
+        pred_age = np.clip(pred_age, age_range[0], age_range[1])
 
     for i, (_, true_age, true_gender) in enumerate(records):
         pred_gender = 0 if pred_male[i] >= 0.6 else 1   # is_male threshold (:76-81)

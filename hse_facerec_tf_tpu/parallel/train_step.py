@@ -84,6 +84,64 @@ def make_sharded_face_id_trainer(mesh: Mesh, n_classes: int,
     return params, opt_state, step_fn
 
 
+def make_sharded_age_gender_trainer(mesh: Mesh, lr: float = 1e-3,
+                                    freeze_backbone: bool = False,
+                                    seed: int = 0, width: float = 1.0):
+    """Mesh-sharded alternating multi-task age/gender steps (the reference's
+    ``train_age_gender`` loop, ``age_gender_train.py:194-232``, as SPMD).
+
+    The heads are tiny (1024→256→100/1), so the honest layout is pure batch
+    data parallelism over the WHOLE mesh (both axes), params replicated —
+    GSPMD turns the gradient reductions into psums over ICI. Returns
+    (params, opt_state, age_step, gender_step, batch_sharding)."""
+    from ..models.mobilenet import init_mobilenet_params
+    from ..train.age_gender import (init_head_params, make_optimizer as
+                                    make_ag_optimizer, make_steps)
+
+    kb, kh = jax.random.split(jax.random.PRNGKey(seed))
+    params = {"backbone": init_mobilenet_params(kb, width=width),
+              **init_head_params(kh, backbone_dim=max(8, int(1024 * width)))}
+    optimizer = make_ag_optimizer(lr, freeze_backbone)
+    opt_state = optimizer.init(params)
+    age_step, gender_step = make_steps(optimizer,
+                                       freeze_backbone=freeze_backbone,
+                                       jit=False)
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(tuple(mesh.axis_names)))  # DP over all axes
+    params = jax.device_put(params, repl)
+    opt_state = jax.device_put(opt_state, repl)
+
+    def jit_step(step):
+        return jax.jit(step,
+                       in_shardings=(repl, repl, repl, data, data),
+                       out_shardings=(repl, repl, repl),
+                       donate_argnums=(0, 1))
+
+    return params, opt_state, jit_step(age_step), jit_step(gender_step), data
+
+
+def run_one_sharded_age_gender_pair(mesh: Mesh, batch: int = None,
+                                    image_size: int = 32, seed: int = 0):
+    """One alternating (age, gender) sharded step pair on tiny shapes —
+    driver dry run + tests."""
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    batch = batch or 2 * n_dev
+    params, opt_state, age_step, gender_step, _ = \
+        make_sharded_age_gender_trainer(mesh, width=0.25, seed=seed)
+    rng = np.random.RandomState(seed)
+    images = jnp.asarray(rng.rand(batch, image_size, image_size, 3)
+                         .astype(np.float32) * 2 - 1)
+    ages = jnp.asarray(rng.randint(0, 100, batch))
+    genders = jnp.asarray(rng.randint(0, 2, batch))
+    key = jax.random.PRNGKey(seed)
+    params, opt_state, m1 = age_step(params, opt_state, key, images, ages)
+    params, opt_state, m2 = gender_step(params, opt_state, key, images, genders)
+    jax.block_until_ready(m2["gender_loss"])
+    return {**{k: float(v) for k, v in m1.items()},
+            **{k: float(v) for k, v in m2.items()}}
+
+
 def run_one_sharded_step(mesh: Mesh, n_classes: int = 64, batch: int = None,
                          image_size: int = 32, seed: int = 0):
     """Initialize + execute exactly one sharded train step on tiny shapes.

@@ -91,8 +91,10 @@ def make_optimizer(lr: float, freeze_backbone: bool) -> optax.GradientTransforma
 
 
 def make_steps(optimizer: optax.GradientTransformation, bn_momentum: float = 0.99,
-               freeze_backbone: bool = False):
-    """Two donated jitted steps sharing the param pytree.
+               freeze_backbone: bool = False, jit: bool = True):
+    """Two donated jitted steps sharing the param pytree (``jit=False``
+    returns the raw functions for callers that apply their own jit with mesh
+    shardings — parallel/train_step.py).
 
     With ``freeze_backbone`` the trunk runs inference-mode BN and its running
     statistics stay untouched (the reference's frozen Keras base — a frozen
@@ -134,6 +136,8 @@ def make_steps(optimizer: optax.GradientTransformation, bn_momentum: float = 0.9
         params = maybe_update(params, stats)
         return params, opt_state, {"gender_loss": l, "gender_acc": acc}
 
+    if not jit:
+        return age_step, gender_step
     return (jax.jit(age_step, donate_argnums=(0, 1)),
             jax.jit(gender_step, donate_argnums=(0, 1)))
 

@@ -169,3 +169,19 @@ def test_cascade_fallback(rng, fixture_img_640):
     noise = (rng.rand(200, 200, 3) * 255).astype(np.uint8)
     empty, _ = det.detect(noise)
     assert empty.shape == (0, 5)
+
+
+def test_sharded_age_gender_pair_runs():
+    """Alternating multi-task age/gender steps under mesh sharding (pure DP
+    over all axes, params replicated) execute and produce finite losses."""
+    import jax
+    from jax.sharding import Mesh
+
+    from hse_facerec_tf_tpu.parallel.train_step import (
+        run_one_sharded_age_gender_pair)
+
+    devices = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devices, axis_names=("data", "model"))
+    metrics = run_one_sharded_age_gender_pair(mesh)
+    assert np.isfinite(metrics["age_loss"]) and np.isfinite(metrics["gender_loss"])
+    assert 0.0 <= metrics["age_acc"] <= 1.0

@@ -187,3 +187,30 @@ def test_converted_pb_backend(rng, tmp_path):
         eg = np.exp(g - g.max())
         want_male = 1.0 if (eg / eg.sum())[0] >= 0.5 else 0.0
         assert p_male[i] == want_male
+
+
+def test_csv_split_and_coral_clamp(tmp_path, rng):
+    """CSV split reader (utkface_test.py:316-330) + CORAL prediction clamp
+    (:356-360): predicted ages outside 21-60 clamp before scoring."""
+    import cv2
+
+    from hse_facerec_tf_tpu.eval.utkface import (evaluate_age_gender,
+                                                 read_csv_split)
+
+    img = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+    names = ["30_0_0_1.jpg", "40_1_0_2.jpg", "50_0_0_3.jpg"]
+    for n in names:
+        cv2.imwrite(str(tmp_path / n), img)
+    (tmp_path / "utk_test.csv").write_text(
+        "index,file\n0,30_0_0_1.jpg\n1,40_1_0_2.jpg\n2,missing.jpg\n")
+    got = read_csv_split(str(tmp_path))
+    assert got == ["30_0_0_1.jpg", "40_1_0_2.jpg"]   # missing file dropped
+
+    # predictor always says age 80, male: with the CORAL range, the clamp to
+    # 60 makes |60-50|>5 but MAE uses the clamped value
+    predict = lambda batch: (np.full(len(batch), 80.0), np.ones(len(batch)))
+    res = evaluate_age_gender(predict,
+                              [str(tmp_path / n) for n in names],
+                              age_range=(21, 60))
+    assert res["n"] == 3
+    assert res["age_mae"] == pytest.approx((30 + 20 + 10) / 3)
