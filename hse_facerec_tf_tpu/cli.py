@@ -276,7 +276,8 @@ def cmd_cluster(args):
 def cmd_export(args):
     """Export the multi-head model (or a trained checkpoint) to a frozen pb /
     h5 / quantized npz — the reference's conversion tooling."""
-    from .core.graphdef_export import export_multihead_pb
+    from .core.graphdef_export import (export_age_pb, export_gender_pb,
+                                       export_multihead_pb)
     from .models.multihead import import_multihead_params
     from .models.zoo import AGEGENDER_PB
     from .ops.quantize import save_quantized
@@ -286,6 +287,10 @@ def cmd_export(args):
         export_multihead_pb(params, args.out)
     elif args.format == "quantized":
         save_quantized(params, args.out)
+    elif args.format == "age_pb":     # two-model configuration halves
+        export_age_pb(params, args.out)
+    elif args.format == "gender_pb":
+        export_gender_pb(params, args.out)
     print(f"exported ({args.format}) -> {args.out}")
 
 
@@ -410,7 +415,8 @@ def main(argv=None):
 
     ex = sub.add_parser("export", help="export model weights (pb / quantized)")
     ex.add_argument("out")
-    ex.add_argument("--format", default="pb", choices=["pb", "quantized"])
+    ex.add_argument("--format", default="pb",
+                choices=["pb", "quantized", "age_pb", "gender_pb"])
     ex.add_argument("--agegender-pb", default=None)
     ex.set_defaults(fn=cmd_export)
 

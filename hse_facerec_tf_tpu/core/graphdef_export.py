@@ -239,6 +239,59 @@ def export_multihead_pb(params: Dict, path: str, input_size: int = 224) -> None:
         f.write(g.serialize())
 
 
+def _export_single_head_pb(params: Dict, path: str, head_key: str,
+                           act: str, input_size: int) -> None:
+    """Backbone + feats + ONE head as a frozen graph with the two-model
+    tensor names the reference's ``load_gender``/``load_age`` consume
+    (``facial_analysis.py:144-146,173-175``: ``input_1`` →
+    ``predictions/Sigmoid``/``predictions/Softmax``)."""
+    from ..models.mobilenet import MOBILENET_V1_BLOCKS
+
+    g = GraphBuilder()
+    x = g.placeholder("input_1", [-1, input_size, input_size, 3])
+    backbone = params["backbone"]
+
+    def conv_block(x, key, name, stride, depthwise=False):
+        kernel, bias = _folded(backbone, key)
+        w = g.const(f"{name}/kernel", kernel)
+        if depthwise:
+            c = g.depthwise_conv2d(f"{name}/depthwise", x, w, stride=stride)
+        else:
+            c = g.conv2d(f"{name}/Conv2D", x, w, stride=stride)
+        b = g.const(f"{name}/bias", bias)
+        added = g.simple("BiasAdd", f"{name}/BiasAdd", [c, b])
+        return g.simple("Relu6", f"{name}/Relu6", [added])
+
+    x = conv_block(x, "conv1", "conv1", 2)
+    for i, (stride, _) in enumerate(MOBILENET_V1_BLOCKS, start=1):
+        x = conv_block(x, f"dw{i}", f"conv_dw_{i}", stride, depthwise=True)
+        x = conv_block(x, f"pw{i}", f"conv_pw_{i}", 1)
+    pooled = g.mean("global_pooling/Mean", x, [1, 2])
+
+    def dense_node(name, x, pkey):
+        w = g.const(f"{name}/kernel", np.asarray(params[pkey]["kernel"], np.float32))
+        b = g.const(f"{name}/bias", np.asarray(params[pkey]["bias"], np.float32))
+        mm = g.matmul(f"{name}/MatMul", x, w)
+        return g.simple("BiasAdd", f"{name}/BiasAdd", [mm, b])
+
+    feats = g.simple("Relu", "feats/Relu", [dense_node("feats", pooled, "feats")])
+    g.simple(act, f"predictions/{act}", [dense_node("predictions", feats, head_key)])
+    with open(path, "wb") as f:
+        f.write(g.serialize())
+
+
+def export_age_pb(params: Dict, path: str, input_size: int = 224) -> None:
+    """Standalone frozen age graph (``input_1`` → ``predictions/Softmax``)
+    from multi-head params — the two-model configuration's age half."""
+    _export_single_head_pb(params, path, "age", "Softmax", input_size)
+
+
+def export_gender_pb(params: Dict, path: str, input_size: int = 224) -> None:
+    """Standalone frozen gender graph (``input_1`` → ``predictions/Sigmoid``)
+    from multi-head params — the two-model configuration's gender half."""
+    _export_single_head_pb(params, path, "gender", "Sigmoid", input_size)
+
+
 def export_mobilenet_embedder_pb(params: Dict, path: str,
                                  input_size: int = 192) -> None:
     """Write a MobileNet embedder as a frozen pb with the reference's

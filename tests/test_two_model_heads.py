@@ -86,3 +86,37 @@ def test_analyzer_from_two_model_pbs(two_model, fixture_img_640):
         assert 1.0 <= f.age <= 101.0
         assert 0.0 <= f.gender_prob <= 1.0
         assert f.identity.shape == (0,)
+
+
+def test_exported_two_model_matches_one_model(fixture_img_640):
+    """Round trip: split the shipped multi-head weights into separate age and
+    gender frozen graphs (core/graphdef_export) and run the TWO-MODEL
+    analyzer — per-face ages and gender probs must match the one-model
+    analyzer (same weights, same 224² crops, no extra resize)."""
+    import tempfile
+
+    from hse_facerec_tf_tpu.core.graphdef_export import (export_age_pb,
+                                                         export_gender_pb)
+    from hse_facerec_tf_tpu.models.multihead import import_multihead_params
+    from hse_facerec_tf_tpu.pipelines.analyzer import FacialAnalyzer
+
+    from .conftest import AGEGENDER_PB, MTCNN_PB
+
+    params = import_multihead_params(str(AGEGENDER_PB))
+    with tempfile.TemporaryDirectory() as d:
+        age_pb = f"{d}/age_net.pb"
+        gender_pb = f"{d}/gender_net.pb"
+        export_age_pb(params, age_pb)
+        export_gender_pb(params, gender_pb)
+
+        two = FacialAnalyzer.from_two_model_pbs(str(MTCNN_PB), age_pb,
+                                                gender_pb, minsize=40)
+        one = FacialAnalyzer.from_reference_models(str(MTCNN_PB),
+                                                   str(AGEGENDER_PB), minsize=40)
+        faces_two = two.analyze(fixture_img_640)
+        faces_one = one.analyze(fixture_img_640)
+        assert len(faces_two) == len(faces_one) >= 1
+        for f2, f1 in zip(faces_two, faces_one):
+            assert f2.bbox == f1.bbox
+            assert abs(f2.age - f1.age) < 0.3
+            assert abs(f2.gender_prob - f1.gender_prob) < 1e-2
