@@ -207,12 +207,13 @@ def _utkface_predict(args):
     if args.backend == "ssrnet":
         from .models.ssrnet import init_ssrnet_params
 
-        # two models (age + gender); external h5 import not wired — random
-        # init unless both provided in future rounds
-        import jax as _jax
-
-        ka, kg = _jax.random.split(key)
-        p, _ = external("ssrnet", lambda: None)
+        if getattr(args, "weights", None):
+            sys.exit("error: SSR-Net external h5 import is not implemented; "
+                     "omit --weights to run the native arch (random init)")
+        warnings.warn("utkface backend 'ssrnet': external weights not "
+                      "supported yet; using RANDOM init — metrics will be "
+                      "meaningless.", RuntimeWarning)
+        ka, kg = jax.random.split(key)
         return U.ssrnet_predict_fn(init_ssrnet_params(ka), init_ssrnet_params(kg))
     if args.backend == "bknet":
         from .models.bknet import bknet_params_from_npz, init_bknet_params

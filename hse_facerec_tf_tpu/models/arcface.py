@@ -215,15 +215,21 @@ def iresnet_params_from_npz(path: str, depth: Optional[int] = None,
     not given; handles the NCHW→NHWC fc1 flatten permutation."""
     with np.load(path) as z:
         w = {k: z[k] for k in z.files}
-    if depth is None:
-        for d, units in IRESNET_UNITS.items():
-            if f"stage4_unit{units[3]}_bn1_gamma" in w and \
-               f"stage4_unit{units[3] + 1}_bn1_gamma" not in w:
-                depth = d
-                break
-        else:
-            raise ValueError("could not infer IResNet depth from param names")
-    units = IRESNET_UNITS[depth]
+    # per-stage unit counts straight from the param names (stage 4 alone
+    # cannot distinguish depths — r34/r50/r100 all have 3 units there)
+    found_units = []
+    for s in range(1, 5):
+        u = 0
+        while f"stage{s}_unit{u + 1}_bn1_gamma" in w:
+            u += 1
+        found_units.append(u)
+    units = tuple(found_units)
+    if depth is not None and IRESNET_UNITS[depth] != units:
+        raise ValueError(
+            f"checkpoint has units {units}, not IResNet-{depth} "
+            f"{IRESNET_UNITS[depth]}")
+    if any(u == 0 for u in units):
+        raise ValueError(f"incomplete checkpoint: stage unit counts {units}")
     params: Dict = {
         "conv0": _npz_conv(w, "conv0_weight"),
         "bn0": _npz_bn(w, "bn0"),

@@ -137,13 +137,16 @@ def wide_resnet_params_from_h5(path: str, k: int = 8) -> Dict:
     w = load_keras_h5(path)
 
     def numbered(prefix):
+        # Keras-1.x/2.x checkpoints number from "<prefix>_1"; modern Keras
+        # names the first instance bare "<prefix>" then "<prefix>_1" — map
+        # the bare name to 0 so it sorts first without colliding.
         pat = re.compile(rf"^{prefix}(?:_(\d+))?$")
         found = {}
         for key in w:
             layer = key.split("/")[0]
             m = pat.match(layer)
             if m:
-                found[int(m.group(1) or 1)] = layer
+                found[int(m.group(1)) if m.group(1) else 0] = layer
         return [found[i] for i in sorted(found)]
 
     convs = numbered("conv2d")

@@ -19,8 +19,8 @@ from hse_facerec_tf_tpu.models.arcface import (IRESNET_UNITS, decode_gender_age,
 BN_EPS = 2e-5
 
 
-def _random_mxnet_weights(rng, depth=34, emb=64):
-    units = IRESNET_UNITS[depth]
+def _random_mxnet_weights(rng, depth=34, emb=64, units=None):
+    units = units or IRESNET_UNITS[depth]
     filters = (64, 64, 128, 256, 512)
     w = {}
 
@@ -157,3 +157,20 @@ def test_letterbox_matches_cv2(rng, hw):
         sq = cv2.copyMakeBorder(img, w - h, 0, 0, 0, cv2.BORDER_CONSTANT, value=[0, 0, 0])
     want = cv2.resize(sq, (112, 112), interpolation=cv2.INTER_CUBIC)
     assert np.abs(got - want).max() <= 1.0
+
+
+def test_iresnet_import_recovers_units_from_names(rng, tmp_path):
+    """Depth detection must come from per-stage name scans (r34/r50/r100 all
+    share 3 units in stage 4 — stage-4-only detection mis-imported r50)."""
+    w, units = _random_mxnet_weights(rng, units=(2, 3, 4, 2), emb=32)
+    npz = tmp_path / "custom.npz"
+    np.savez(npz, **w)
+    from hse_facerec_tf_tpu.models.arcface import iresnet_units
+
+    params = iresnet_params_from_npz(str(npz))
+    assert iresnet_units(params) == (2, 3, 4, 2)
+    out = iresnet_embed(params, rng.rand(1, 112, 112, 3).astype(np.float32) * 255)
+    assert out.shape == (1, 32) and np.all(np.isfinite(np.asarray(out)))
+
+    with pytest.raises(ValueError, match="not IResNet-34"):
+        iresnet_params_from_npz(str(npz), depth=34)
