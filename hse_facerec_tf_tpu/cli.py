@@ -117,6 +117,11 @@ def cmd_album(args):
     from .config import AlbumConfig
     from .pipelines.album import AlbumOrganizer
 
+    if args.age_pb or args.gender_pb:
+        # two-model heads have no identity features (reference
+        # process_image sets features=[] there) — clustering needs them
+        sys.exit("error: album requires the one-model (multi-head) engine; "
+                 "the two-model configuration produces no identity features")
     cfg = AlbumConfig.from_file(args.config) if args.config else AlbumConfig()
     if args.threshold is not None:
         cfg.distance_threshold = args.threshold
