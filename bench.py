@@ -97,19 +97,33 @@ def _time_chained(many, x, chain, per_call, warmup=WARMUP, iters=ITERS):
     return per_call * iters / elapsed
 
 
+def _chain_fori(step, chain):
+    """Chain ``chain`` sequential iterations of ``step(x) -> scalar`` inside
+    one jit via lax.fori_loop — same RTT amortization as Python unrolling but
+    the compiled program stays small (a chain-40 unrolled cascade takes many
+    minutes to compile over the tunnel; the loop form compiles once at 1×).
+    ``x = x + 1e-6`` between iterations defeats CSE across them."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def many(x):
+        def body(_, carry):
+            x, acc = carry
+            acc = acc + step(x)
+            return x + 1e-6, acc
+        _, acc = jax.lax.fori_loop(0, chain, body, (x, jnp.zeros((), jnp.float32)))
+        return acc
+
+    return many
+
+
 def bench_embed(precision, compute_dtype, chain=10):
     import jax
     import jax.numpy as jnp
 
     forward, _ = build_forward(precision, compute_dtype)
-
-    @jax.jit
-    def many(x):
-        acc = jnp.zeros((), jnp.float32)
-        for _ in range(chain):
-            acc = acc + forward(x)[0, 0].astype(jnp.float32)
-            x = x + 1e-6  # defeat CSE between iterations
-        return acc
+    many = _chain_fori(lambda x: forward(x)[0, 0].astype(jnp.float32), chain)
 
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(BATCH, 224, 224, 3).astype(np.float32) * 255)
@@ -133,30 +147,22 @@ def bench_detection(chain=40):
 
     one = det.detect_fn(480, 640)
 
-    @jax.jit
-    def many_single(x):
-        acc = jnp.zeros((), jnp.float32)
-        for _ in range(chain):
-            boxes, scores, _, valid, _ = one(x)
-            acc = acc + jnp.sum(scores * valid)
-            x = x + 1e-6
-        return acc
+    def step_single(x):
+        boxes, scores, _, valid, _ = one(x)
+        return jnp.sum(scores * valid)
 
+    many_single = _chain_fori(step_single, chain)
     x = jnp.asarray(img.astype(np.float32))
     single_ips = _time_chained(many_single, x, chain, chain)
 
     nb = 8
     batch_fn = det.detect_batch_fn(480, 640)
 
-    @jax.jit
-    def many_batch(xb):
-        acc = jnp.zeros((), jnp.float32)
-        for _ in range(chain):
-            boxes, scores, _, valid, _ = batch_fn(xb)
-            acc = acc + jnp.sum(scores * valid)
-            xb = xb + 1e-6
-        return acc
+    def step_batch(xb):
+        boxes, scores, _, valid, _ = batch_fn(xb)
+        return jnp.sum(scores * valid)
 
+    many_batch = _chain_fori(step_batch, chain)
     xb = jnp.asarray(np.tile(img.astype(np.float32)[None], (nb, 1, 1, 1)))
     batch_ips = _time_chained(many_batch, xb, chain, nb * chain)
     return 1000.0 / single_ips, batch_ips, img
@@ -175,15 +181,10 @@ def bench_analyze(img, chain=40):
     fn = analyzer._analyze_fn(480, 640)
     params = analyzer.mh_params
 
-    @jax.jit
-    def many(x):
-        acc = jnp.zeros((), jnp.float32)
-        for _ in range(chain):
-            out = fn(params, x)
-            acc = acc + jnp.sum(out[5]) + jnp.sum(out[6])   # ages + genders
-            x = x + 1e-6
-        return acc
-
+    def step(x):
+        out = fn(params, x)
+        return jnp.sum(out[5]) + jnp.sum(out[6])   # ages + genders
+    many = _chain_fori(step, chain)
     x = jnp.asarray(img.astype(np.float32))
     ips = _time_chained(many, x, chain, chain)
     return 1000.0 / ips
@@ -206,13 +207,17 @@ def bench_knn(chain=6):
     gallery = jax.random.normal(kg, (N, D), jnp.float32)
 
     def chained(nn_fn):
+        # gallery must be a jit ARGUMENT: closing over it captures the 2 GB
+        # array as a lowered constant (blows up compilation)
         @jax.jit
         def many(p, g):
-            acc = jnp.zeros((), jnp.float32)
-            for _ in range(chain):
+            def body(_, carry):
+                p, acc = carry
                 dmin, idx = nn_fn(p, g)
-                acc = acc + dmin[0] + idx[0].astype(jnp.float32)
-                p = p + 1e-6
+                return p + 1e-6, acc + dmin[0] + idx[0].astype(jnp.float32)
+
+            _, acc = jax.lax.fori_loop(0, chain, body,
+                                       (p, jnp.zeros((), jnp.float32)))
             return acc
 
         calls_per_sec = _time_chained(lambda x: many(x, gallery), probes,
