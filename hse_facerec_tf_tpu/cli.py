@@ -164,7 +164,9 @@ def _utkface_predict(args):
 
     def external(name, init_fn):
         path = getattr(args, "weights", None)
-        if path and os.path.exists(path):
+        if path:
+            if not os.path.exists(path):
+                sys.exit(f"error: --weights file not found: {path}")
             return None, path
         warnings.warn(f"utkface backend {args.backend!r}: external weights "
                       f"not provided (--weights); using RANDOM init — "
@@ -245,7 +247,11 @@ def cmd_utkface(args):
                  for f in sorted(os.listdir(args.dataset_dir))
                  if f.lower().endswith((".jpg", ".jpeg", ".png"))]
     age_range = (21, 60) if args.coral_subset else None
-    result = dict(evaluate_age_gender(predict, paths, age_range=age_range))
+    # the reference clamps predicted ages to 21-60 unconditionally on its
+    # CSV-split path (utkface_test.py:354-358), independent of any gt filter
+    clamp = (21, 60) if (args.csv_split or args.coral_subset) else None
+    result = dict(evaluate_age_gender(predict, paths, age_range=age_range,
+                                      clamp_range=clamp))
     result["backend"] = args.backend
     print(json.dumps(result, indent=2))
 

@@ -15,20 +15,21 @@ from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-# Adience age buckets (reference get_age_range :14-20)
+# Adience age buckets (reference adience_age_list, utkface_test.py:15)
 ADIENCE_BUCKETS: Sequence[Tuple[int, int]] = (
-    (0, 2), (4, 6), (8, 13), (15, 20), (25, 32), (38, 43), (48, 53), (60, 100))
+    (0, 2), (4, 6), (8, 12), (15, 20), (25, 32), (38, 43), (48, 53), (60, 100))
 
 
 def age_to_bucket(age: float) -> int:
-    """Index of the Adience range whose center is nearest (the reference picks
-    the range containing the age, else nearest bound)."""
+    """Exact reference ``get_age_range`` (``utkface_test.py:16-20``): the first
+    bucket whose boundary midpoint — (this bucket's upper + next bucket's
+    lower) / 2 — is >= the age; the last bucket otherwise. Boundary midpoints:
+    3, 7, 13.5, 22.5, 35, 45.5, 56.5."""
     age = float(age)
-    for i, (lo, hi) in enumerate(ADIENCE_BUCKETS):
-        if lo <= age <= hi:
-            return i
-    dists = [min(abs(age - lo), abs(age - hi)) for lo, hi in ADIENCE_BUCKETS]
-    return int(np.argmin(dists))
+    for ind in range(len(ADIENCE_BUCKETS) - 1):
+        if age <= (ADIENCE_BUCKETS[ind][1] + ADIENCE_BUCKETS[ind + 1][0]) / 2:
+            return ind
+    return len(ADIENCE_BUCKETS) - 1
 
 
 _FNAME_RE = re.compile(r"^(\d+)_(\d)_")
@@ -59,13 +60,19 @@ def read_csv_split(db_dir: str, csv_name: str = "utk_test.csv") -> List[str]:
 
 def evaluate_age_gender(predict_fn: Callable[[np.ndarray], Tuple[np.ndarray, np.ndarray]],
                         image_paths: Sequence[str], batch_size: int = 64,
-                        age_range: Optional[Tuple[int, int]] = None) -> Dict[str, float]:
+                        age_range: Optional[Tuple[int, int]] = None,
+                        clamp_range: Optional[Tuple[int, int]] = "auto",
+                        ) -> Dict[str, float]:
     """predict_fn: batch of RGB uint8 (N,H,W,3) -> (ages (N,), p_male (N,)).
 
     age_range: optional (lo, hi) ground-truth filter — e.g. (21, 60) for the
-    CORAL-paper subset (``age_gender_identity/README.md:32``). When set, the
-    PREDICTED age is also clamped into the range, as the reference's CSV-split
-    path does (``utkface_test.py:356-360``).
+    CORAL-paper subset (``age_gender_identity/README.md:32``).
+
+    clamp_range: (lo, hi) to clamp PREDICTED ages into, as the reference's
+    CSV-split path does unconditionally (``utkface_test.py:354-358`` clamps to
+    21-60 whenever ``all_set`` is False, independent of any ground-truth
+    filter). Defaults to ``age_range`` for backward compatibility; pass None
+    to disable or an explicit range to clamp without filtering.
     """
     from ..utils.image_io import imread_rgb
 
@@ -99,8 +106,10 @@ def evaluate_age_gender(predict_fn: Callable[[np.ndarray], Tuple[np.ndarray, np.
             pred_age[chunk] = np.asarray(ages)
             pred_male[chunk] = np.asarray(p_male)
 
-    if age_range is not None:
-        pred_age = np.clip(pred_age, age_range[0], age_range[1])
+    if clamp_range == "auto":
+        clamp_range = age_range
+    if clamp_range is not None:
+        pred_age = np.clip(pred_age, clamp_range[0], clamp_range[1])
 
     for i, (_, true_age, true_gender) in enumerate(records):
         pred_gender = 0 if pred_male[i] >= 0.6 else 1   # is_male threshold (:76-81)
@@ -240,7 +249,11 @@ def facenet_predict_fn(ir_params, face_size: int = 160):
 def agendernet_predict_fn(mn2_params, face_size: int = 96):
     """AgenderNet MobileNetV2 backend (reference ``utkface_test.py:240-256``):
     96² resize, Keras mobilenet_v2 preprocessing (inside the model), gender
-    argmax (0 = female, returned as a hard decision), age = expectation."""
+    argmax (0 = female, returned as a hard decision), age = expectation.
+
+    The reference feeds the cv2.imread BGR image straight through (no
+    cvtColor, :246-249); inputs here are RGB so the channels are flipped to
+    match the external checkpoint's expectation."""
     import jax
     import jax.numpy as jnp
 
@@ -249,7 +262,8 @@ def agendernet_predict_fn(mn2_params, face_size: int = 96):
 
     @jax.jit
     def fn(images):
-        x = resize(images.astype(jnp.float32), (face_size, face_size), "cv2_linear")
+        x = images.astype(jnp.float32)[..., ::-1]   # RGB -> reference's BGR feed
+        x = resize(x, (face_size, face_size), "cv2_linear")
         gender_probs, age_probs = agendernet_apply(mn2_params, x)
         gender, ages = decode_agendernet(gender_probs, age_probs)
         return ages, gender.astype(jnp.float32)
@@ -260,7 +274,11 @@ def agendernet_predict_fn(mn2_params, face_size: int = 96):
 def ssrnet_predict_fn(age_params, gender_params, face_size: int = 64):
     """SSR-Net backend (reference ``utkface_test.py:258-288``): 64² resize,
     per-image min-max normalization to 0-255 (cv2.normalize NORM_MINMAX),
-    separate age (V=101) and gender (V=1) models; female iff gender < 0.5."""
+    separate age (V=101) and gender (V=1) models; female iff gender < 0.5.
+
+    The reference feeds the cv2.imread BGR image straight through (no
+    cvtColor, :280-283); inputs here are RGB so the channels are flipped to
+    match the external checkpoint's expectation."""
     import jax
     import jax.numpy as jnp
 
@@ -269,7 +287,8 @@ def ssrnet_predict_fn(age_params, gender_params, face_size: int = 64):
 
     @jax.jit
     def fn(images):
-        x = resize(images.astype(jnp.float32), (face_size, face_size), "cv2_linear")
+        x = images.astype(jnp.float32)[..., ::-1]   # RGB -> reference's BGR feed
+        x = resize(x, (face_size, face_size), "cv2_linear")
         lo = jnp.min(x, axis=(1, 2, 3), keepdims=True)
         hi = jnp.max(x, axis=(1, 2, 3), keepdims=True)
         x = (x - lo) / jnp.maximum(hi - lo, 1e-6) * 255.0
@@ -303,7 +322,11 @@ def bknet_predict_fn(bk_params):
 def wide_resnet_predict_fn(wrn_params, face_size: int = 64):
     """WideResNet-16-8 backend (reference ``utkface_test.py:290-314``):
     cv2-linear resize to 64², gender softmax [female, male], age =
-    expectation over the 101-way softmax."""
+    expectation over the 101-way softmax.
+
+    The reference feeds the cv2.imread BGR image straight through (no
+    cvtColor, :303-306); inputs here are RGB so the channels are flipped to
+    match the external checkpoint's expectation."""
     import jax
     import jax.numpy as jnp
 
@@ -312,7 +335,8 @@ def wide_resnet_predict_fn(wrn_params, face_size: int = 64):
 
     @jax.jit
     def fn(images):
-        x = resize(images.astype(jnp.float32), (face_size, face_size), "cv2_linear")
+        x = images.astype(jnp.float32)[..., ::-1]   # RGB -> reference's BGR feed
+        x = resize(x, (face_size, face_size), "cv2_linear")
         gender_probs, age_probs = wide_resnet_16_8(wrn_params, x)
         ages = age_probs @ jnp.arange(0.0, 101.0)
         # reference: female iff P(female idx 0) > 0.5 (:313); hard decision so

@@ -110,8 +110,11 @@ class TwoModelHeads:
             {self._gender_in: self._preprocess(crops, self.gender_hw)})
         gender_preds = gender_preds.reshape(n, -1)
         if self.sota:
-            # softmax [female, male]; is_male = preds[1] > 0.5 (:78-79)
-            gender_prob = gender_preds[:, 1]
+            # softmax [female, male]; is_male = preds[1] > 0.5 (:78-79).
+            # Return the HARD decision as 0.0/1.0: downstream consumers
+            # (utils/draw.py, album) threshold gender_prob at the one-model
+            # path's 0.6, which would misclassify sota probs in [0.5, 0.6).
+            gender_prob = (gender_preds[:, 1] > 0.5).astype(jnp.float32)
         else:
             gender_prob = gender_preds[:, 0]
         identity = jnp.zeros((n, 0), jnp.float32)

@@ -23,7 +23,28 @@ def test_age_buckets():
     assert utkface.age_to_bucket(1) == 0
     assert utkface.age_to_bucket(30) == 4
     assert utkface.age_to_bucket(70) == 7
-    assert utkface.age_to_bucket(22) in (3, 4)  # nearest-bound fallback
+    assert utkface.age_to_bucket(22) == 3      # 22 <= (20+25)/2
+    assert utkface.age_to_bucket(14) == 3      # 14 > (12+15)/2 = 13.5
+    assert utkface.age_to_bucket(13.5) == 2    # boundary tie -> lower bucket
+
+
+def test_age_bucket_rule_matches_reference_exactly():
+    """Dense-grid exact match against the reference ``get_age_range``
+    (utkface_test.py:15-20) — catches any bucket-list or tie-rule drift
+    (e.g. a (8, 13) bucket or nearest-bound fallback diverges in
+    (13.5, 14])."""
+    adience_age_list = [(0, 2), (4, 6), (8, 12), (15, 20), (25, 32),
+                        (38, 43), (48, 53), (60, 100)]
+
+    def get_age_range(real_age):                      # reference :16-20
+        for ind in range(len(adience_age_list) - 1):
+            if real_age <= (adience_age_list[ind][1]
+                            + adience_age_list[ind + 1][0]) / 2:
+                return ind
+        return len(adience_age_list) - 1
+
+    for age in [x / 4.0 for x in range(0, 101 * 4)]:
+        assert utkface.age_to_bucket(age) == get_age_range(age), age
 
 
 def test_utkface_eval_with_synthetic_predictor(tmp_path, rng):

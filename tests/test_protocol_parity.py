@@ -156,7 +156,10 @@ def utkface_dataset(tmp_path_factory):
     crops; true labels from the reference demo's known subjects."""
     img = _fixture_640()
     root = tmp_path_factory.mktemp("utkface")
-    truths = [(2, 1), (37, 0), (9, 0), (3, 1)]   # (age, gender 0=male 1=female)
+    # (age, gender 0=male 1=female); 14 and 13 sit in the bucket-rule
+    # divergence band (13.5 boundary) where a (8,13)+nearest-bound rule
+    # disagrees with the reference's midpoint rule
+    truths = [(14, 1), (37, 0), (13, 0), (3, 1)]
     rng = np.random.RandomState(1)
     k = 0
     for (x1, y1, x2, y2), (age, gender) in zip(FACE_BOXES, truths):
