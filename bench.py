@@ -1,20 +1,31 @@
 """Multi-metric benchmark for the framework's four hot paths.
 
 Headline metric (top-level keys, driver contract): fused multi-head embedding
-throughput, batch 512, f32-HIGH. The ``extra`` dict carries the rest of the
+throughput, batch 1024, f32-HIGH. The ``extra`` dict carries the rest of the
 perf story:
 
   - embed_bf16_ips          — same path, bf16 compute on the MXU
   - detect_ms_per_image     — full MTCNN cascade @640x480, single image
   - detect_batch_ips        — vmapped cascade, batch 8 @640x480
   - analyze_ms_per_image    — fused detect+crop+3-heads program @640x480
+  - roofline                — per-path FLOPs / bytes (XLA cost analysis),
+                              achieved TFLOP/s and GB/s, % of v5e peak, and
+                              the implied bound (HBM vs MXU)
 
 All device timings chain CHAIN iterations inside one jit program (the
 host<->device tunnel costs ~32 ms per round trip; production pipelines stream
-batches without per-batch host syncs), with ``x = x + eps`` between
-iterations to defeat CSE. CHAIN must be large enough that the residual
-RTT/CHAIN share is small: e.g. at CHAIN=5 a "10.8 ms" detection reading is
-really ~4.4 ms compute + 6.4 ms amortized RTT; per-image paths use CHAIN=40.
+batches without per-batch host syncs). Chaining styles, measured (r3):
+
+  - the embed path Python-UNROLLS the chain with ``x = x + 1e-6`` between
+    iterations (defeats CSE). A ``lax.fori_loop`` with the perturbed input as
+    a loop CARRY costs ~4% (the carry materializes a full-size buffer every
+    iteration) and the loop form costs another ~4% (XLA pipelines independent
+    unrolled forwards but not loop iterations) — this explains the r01→r02
+    13,530→12,484 regression, which the unroll recovers.
+  - the detection/analyze/kNN paths keep fori_loop (an unrolled chain-40
+    cascade takes many minutes to compile) but hold the input LOOP-INVARIANT
+    and perturb with the loop index, which fuses into the first op instead of
+    re-materializing the input.
 
 vs_baseline compares against the reference's execution model: batch-1 f32
 inference (one ``sess.run`` per image, no batching — ``facerec_test.py:
@@ -34,9 +45,13 @@ import numpy as np
 
 ROOT = os.path.dirname(os.path.abspath(__file__))
 CPU_BASELINE_CACHE = os.path.join(ROOT, ".bench_cpu_baseline.json")
-BATCH = 512
+BATCH = 1024
 WARMUP = 2
 ITERS = 4
+
+# TPU v5e (v5 lite) single-chip peaks: 394 TFLOP/s bf16 MXU, 819 GB/s HBM.
+V5E_PEAK_BF16_TFLOPS = 394.0
+V5E_PEAK_HBM_GBS = 819.0
 
 
 def build_forward(precision, compute_dtype, bf16_blocks_below=0):
@@ -97,25 +112,67 @@ def _time_chained(many, x, chain, per_call, warmup=WARMUP, iters=ITERS):
     return per_call * iters / elapsed
 
 
-def _chain_fori(step, chain):
-    """Chain ``chain`` sequential iterations of ``step(x) -> scalar`` inside
-    one jit via lax.fori_loop — same RTT amortization as Python unrolling but
-    the compiled program stays small (a chain-40 unrolled cascade takes many
-    minutes to compile over the tunnel; the loop form compiles once at 1×).
-    ``x = x + 1e-6`` between iterations defeats CSE across them."""
+def _chain_unrolled(step, chain):
+    """Python-unrolled chain: fastest form (XLA pipelines the independent
+    iterations); compile cost is fine for small-graph steps like the embed
+    forward. ``x = x + 1e-6`` between iterations defeats CSE."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
     def many(x):
-        def body(_, carry):
-            x, acc = carry
+        acc = jnp.zeros((), jnp.float32)
+        for _ in range(chain):
             acc = acc + step(x)
-            return x + 1e-6, acc
-        _, acc = jax.lax.fori_loop(0, chain, body, (x, jnp.zeros((), jnp.float32)))
+            x = x + 1e-6
         return acc
 
     return many
+
+
+def _chain_fori(step, chain):
+    """Chain ``chain`` sequential iterations of ``step(eps, x) -> scalar``
+    inside one jit via lax.fori_loop — same RTT amortization as Python
+    unrolling with a compiled program that stays small (a chain-40 unrolled
+    cascade takes many minutes to compile over the tunnel). The input is
+    loop-INVARIANT; the index-derived ``eps`` perturbation defeats loop
+    hoisting and fuses into the first op (a carried ``x + eps`` would
+    re-materialize the full input buffer every iteration — measured ~4%)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def many(x):
+        def body(i, acc):
+            return acc + step(i.astype(jnp.float32) * 1e-6, x)
+        return jax.lax.fori_loop(0, chain, body, jnp.zeros((), jnp.float32))
+
+    return many
+
+
+def _cost_analysis(compiled):
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+
+
+def _roofline_entry(flops_per_unit, bytes_per_unit, units_per_sec):
+    """Achieved rates vs v5e peaks; the bound is whichever resource the path
+    uses the larger fraction of."""
+    tflops = flops_per_unit * units_per_sec / 1e12
+    gbs = bytes_per_unit * units_per_sec / 1e9
+    mxu_frac = tflops / V5E_PEAK_BF16_TFLOPS
+    hbm_frac = gbs / V5E_PEAK_HBM_GBS
+    return {
+        "flops_per_image": round(flops_per_unit / 1e9, 2),       # GFLOP
+        "bytes_per_image": round(bytes_per_unit / 1e6, 2),       # MB
+        "achieved_tflops": round(tflops, 2),
+        "achieved_hbm_gbs": round(gbs, 1),
+        "pct_mxu_peak_bf16": round(100 * mxu_frac, 1),
+        "pct_hbm_peak": round(100 * hbm_frac, 1),
+        "bound": "hbm" if hbm_frac >= mxu_frac else "mxu",
+    }
 
 
 def bench_embed(precision, compute_dtype, chain=10):
@@ -123,12 +180,14 @@ def bench_embed(precision, compute_dtype, chain=10):
     import jax.numpy as jnp
 
     forward, _ = build_forward(precision, compute_dtype)
-    many = _chain_fori(lambda x: forward(x)[0, 0].astype(jnp.float32), chain)
+    many = _chain_unrolled(lambda x: forward(x)[0, 0].astype(jnp.float32), chain)
 
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(BATCH, 224, 224, 3).astype(np.float32) * 255)
     ips = _time_chained(many, x, chain, BATCH * chain)
-    return ips, forward, x
+    flops, bytes_ = _cost_analysis(jax.jit(forward).lower(x).compile())
+    roofline = _roofline_entry(flops / BATCH, bytes_ / BATCH, ips)
+    return ips, forward, x, roofline
 
 
 def bench_detection(chain=40):
@@ -147,8 +206,8 @@ def bench_detection(chain=40):
 
     one = det.detect_fn(480, 640)
 
-    def step_single(x):
-        boxes, scores, _, valid, _ = one(x)
+    def step_single(eps, x):
+        boxes, scores, _, valid, _ = one(x + eps)
         return jnp.sum(scores * valid)
 
     many_single = _chain_fori(step_single, chain)
@@ -158,14 +217,17 @@ def bench_detection(chain=40):
     nb = 8
     batch_fn = det.detect_batch_fn(480, 640)
 
-    def step_batch(xb):
-        boxes, scores, _, valid, _ = batch_fn(xb)
+    def step_batch(eps, xb):
+        boxes, scores, _, valid, _ = batch_fn(xb + eps)
         return jnp.sum(scores * valid)
 
     many_batch = _chain_fori(step_batch, chain)
     xb = jnp.asarray(np.tile(img.astype(np.float32)[None], (nb, 1, 1, 1)))
     batch_ips = _time_chained(many_batch, xb, chain, nb * chain)
-    return 1000.0 / single_ips, batch_ips, img
+
+    flops, bytes_ = _cost_analysis(jax.jit(lambda a: batch_fn(a)).lower(xb).compile())
+    roofline = _roofline_entry(flops / nb, bytes_ / nb, batch_ips)
+    return 1000.0 / single_ips, batch_ips, img, roofline
 
 
 def bench_analyze(img, chain=40):
@@ -181,13 +243,17 @@ def bench_analyze(img, chain=40):
     fn = analyzer._analyze_fn(480, 640)
     params = analyzer.mh_params
 
-    def step(x):
-        out = fn(params, x)
+    def step(eps, x):
+        out = fn(params, x + eps)
         return jnp.sum(out[5]) + jnp.sum(out[6])   # ages + genders
     many = _chain_fori(step, chain)
     x = jnp.asarray(img.astype(np.float32))
     ips = _time_chained(many, x, chain, chain)
-    return 1000.0 / ips
+
+    flops, bytes_ = _cost_analysis(
+        jax.jit(lambda a: fn(params, a)).lower(x).compile())
+    roofline = _roofline_entry(flops, bytes_, ips)
+    return 1000.0 / ips, roofline
 
 
 def bench_knn(chain=6):
@@ -211,14 +277,11 @@ def bench_knn(chain=6):
         # array as a lowered constant (blows up compilation)
         @jax.jit
         def many(p, g):
-            def body(_, carry):
-                p, acc = carry
-                dmin, idx = nn_fn(p, g)
-                return p + 1e-6, acc + dmin[0] + idx[0].astype(jnp.float32)
+            def body(i, acc):
+                dmin, idx = nn_fn(p + i.astype(jnp.float32) * 1e-6, g)
+                return acc + dmin[0] + idx[0].astype(jnp.float32)
 
-            _, acc = jax.lax.fori_loop(0, chain, body,
-                                       (p, jnp.zeros((), jnp.float32)))
-            return acc
+            return jax.lax.fori_loop(0, chain, body, jnp.zeros((), jnp.float32))
 
         calls_per_sec = _time_chained(lambda x: many(x, gallery), probes,
                                       chain, chain, warmup=1, iters=2)
@@ -239,9 +302,9 @@ def main():
 
     dev = jax.devices()[0]
     # Precision.HIGH f32: exact embedding agreement with the HIGHEST path at
-    # ~8% below bf16 throughput (the model is HBM-bound, not MXU-bound).
-    ips, forward, x = bench_embed(jax.lax.Precision.HIGH, jnp.float32)
-    bf16_ips, _, _ = bench_embed(jax.lax.Precision.DEFAULT, jnp.bfloat16)
+    # well below bf16 throughput (both are HBM-bound; bf16 halves the bytes).
+    ips, forward, x, roof_f32 = bench_embed(jax.lax.Precision.HIGH, jnp.float32)
+    bf16_ips, _, _, roof_bf16 = bench_embed(jax.lax.Precision.DEFAULT, jnp.bfloat16)
 
     # correctness guard: fast path must stay bit-close to the parity path
     fn = jax.jit(forward)
@@ -251,8 +314,8 @@ def main():
     cos = np.sum(a * b, -1) / (np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1))
     assert cos.min() > 0.999, f"fast-path embedding drift: cosine {cos.min()}"
 
-    detect_ms, detect_batch_ips, img640 = bench_detection()
-    analyze_ms = bench_analyze(img640)
+    detect_ms, detect_batch_ips, img640, roof_detect = bench_detection()
+    analyze_ms, roof_analyze = bench_analyze(img640)
     knn_pallas_ms, knn_xla_ms = bench_knn()
 
     try:
@@ -272,6 +335,14 @@ def main():
             "analyze_ms_per_image_640x480": round(analyze_ms, 2),
             "knn_8kx1M_pallas_ms": round(knn_pallas_ms, 1),
             "knn_8kx1M_chunked_xla_ms": round(knn_xla_ms, 1),
+            "roofline": {
+                "peaks": {"mxu_bf16_tflops": V5E_PEAK_BF16_TFLOPS,
+                          "hbm_gbs": V5E_PEAK_HBM_GBS},
+                "embed_f32": roof_f32,
+                "embed_bf16": roof_bf16,
+                "detect_batch8": roof_detect,
+                "analyze": roof_analyze,
+            },
         },
     }))
 

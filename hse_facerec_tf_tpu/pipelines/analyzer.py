@@ -53,7 +53,7 @@ class FacialAnalyzer:
 
     def __init__(self, mtcnn_params, multihead_params=None, minsize: int = 40,
                  face_size: int = 224, bbox_dilation: int = 10, heads=None,
-                 **detector_kwargs):
+                 head_batch: int = 16, **detector_kwargs):
         from .heads import MultiheadHeads
 
         if heads is None:
@@ -65,7 +65,13 @@ class FacialAnalyzer:
         self.mh_params = heads.params
         self.face_size = face_size
         self.bbox_dilation = bbox_dilation
-        self._jitted: Dict[Tuple[int, int], object] = {}
+        # the detector pads boxes to max_stage3 (64 by default) but real
+        # photos rarely have more than a few faces; the fused program crops
+        # and runs the heads on only the first head_batch VALID boxes and
+        # scatters results back, falling back to a full-width program when
+        # more faces than that are valid (analyze() handles the re-run)
+        self.head_batch = head_batch
+        self._jitted: Dict[Tuple[int, int, int], object] = {}
 
     @classmethod
     def from_reference_models(cls, mtcnn_pb: str, agegender_pb: str, **kwargs):
@@ -87,8 +93,9 @@ class FacialAnalyzer:
         heads = TwoModelHeads(age_pb, gender_pb, sota=sota, **(head_kwargs or {}))
         return cls(import_mtcnn_params(mtcnn_pb), heads=heads, **kwargs)
 
-    def _analyze_fn(self, h: int, w: int):
-        key = (h, w)
+    def _analyze_fn(self, h: int, w: int, head_batch: Optional[int] = None):
+        k = head_batch or self.head_batch
+        key = (h, w, k)
         if key in self._jitted:
             return self._jitted[key]
 
@@ -98,6 +105,7 @@ class FacialAnalyzer:
 
         def fn(params, img):
             boxes, scores, points, valid, truncated = detect(img)
+            n = boxes.shape[0]
             img_f = img.astype(jnp.float32)
             # dilate + clip (reference :240-263); box coords here are float
             x1 = jnp.clip(jnp.floor(boxes[:, 0]) - dil, 0, w)
@@ -105,12 +113,22 @@ class FacialAnalyzer:
             x2 = jnp.clip(jnp.floor(boxes[:, 2]) + dil, 0, w)
             y2 = jnp.clip(jnp.floor(boxes[:, 3]) + dil, 0, h)
             crop_rect = jnp.stack([y1, x1, y2, x2], axis=1)
-            crops = crop_resize_bilinear(img_f, crop_rect, self.face_size,
+            # compact to the first k valid boxes: most of a full-width head
+            # pass is padding work (a 4-face photo paying 64 multi-head 224²
+            # forwards). argsort of ~valid is stable, so valid lanes keep
+            # their original order; results scatter back to full width.
+            sel = jnp.argsort(~valid)[:k]
+            crops = crop_resize_bilinear(img_f, crop_rect[sel], self.face_size,
                                          supersample=1, outside="clamp")
-            ages, gender_prob, identity = heads.apply(params, crops)
+            ages_k, gender_k, identity_k = heads.apply(params, crops)
+            ages = jnp.zeros((n,), ages_k.dtype).at[sel].set(ages_k)
+            gender_prob = jnp.zeros((n,), gender_k.dtype).at[sel].set(gender_k)
+            identity = jnp.zeros((n, identity_k.shape[1]),
+                                 identity_k.dtype).at[sel].set(identity_k)
+            head_truncated = jnp.sum(valid) > k
             dilated = jnp.stack([x1, y1, x2, y2], axis=1)
             return (boxes, dilated, scores, points, valid, ages,
-                    gender_prob, identity, truncated)
+                    gender_prob, identity, truncated, head_truncated)
 
         self._jitted[key] = jax.jit(fn)
         return self._jitted[key]
@@ -119,8 +137,15 @@ class FacialAnalyzer:
         """RGB uint8/float (H, W, 3) -> per-face results."""
         h, w = img.shape[:2]
         fn = self._analyze_fn(h, w)
+        out = fn(self.mh_params, jnp.asarray(img))
+        if bool(out[9]) and self.head_batch < self.detector.max_stage3:
+            # more valid faces than the compact head budget: re-run the
+            # full-width program (compiled once, cached) so every face gets
+            # real head outputs
+            fn = self._analyze_fn(h, w, self.detector.max_stage3)
+            out = fn(self.mh_params, jnp.asarray(img))
         (boxes, dilated, scores, points, valid, ages, genders, identity,
-         truncated) = [np.asarray(a) for a in fn(self.mh_params, jnp.asarray(img))]
+         truncated, _) = [np.asarray(a) for a in out]
         self.detector._warn_truncated(bool(truncated))
         results = []
         for i in np.where(valid)[0]:

@@ -40,6 +40,23 @@ def test_analyzer_finds_faces(analyzer, fixture_img):
         assert np.linalg.norm(f.identity) > 0
 
 
+def test_analyzer_head_compaction_fallback(analyzer, fixture_img):
+    """A head_batch smaller than the face count must trigger the full-width
+    re-run and produce the same results as a roomy budget (analyzer.py
+    compacts head compute to the first head_batch valid boxes)."""
+    small = FacialAnalyzer.from_reference_models(str(MTCNN_PB), str(AGEGENDER_PB),
+                                                 minsize=40, head_batch=2)
+    want = analyzer.analyze(fixture_img)
+    got = small.analyze(fixture_img)
+    assert len(want) > 2          # fixture has 4 faces -> budget 2 saturates
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        assert a.bbox == b.bbox
+        assert a.age == pytest.approx(b.age, abs=1e-4)
+        assert a.gender_prob == pytest.approx(b.gender_prob, abs=1e-5)
+        np.testing.assert_allclose(a.identity, b.identity, atol=1e-4)
+
+
 def test_analyzer_matches_host_crop_path(analyzer, fixture_img):
     """Fused on-device crop+multihead ≈ host cv2 crop + direct model call
     (the reference's two-step path, facial_analysis.py:264-284)."""
