@@ -70,10 +70,10 @@ def _agegender_params():
 def _warn_random_init(name: str, missing_path: str) -> None:
     warnings.warn(
         f"model {name!r}: trained weights not found at {missing_path} "
-        "(listed in the reference's .MISSING_LARGE_BLOBS) — using RANDOM "
-        "initialization. Embeddings will be meaningless for recognition; "
-        "provide the weight file or pick a model with shipped weights "
-        "(e.g. 'agegender_identity').",
+        "(a blob the reference obtains externally / lists in "
+        ".MISSING_LARGE_BLOBS) — using RANDOM initialization. Embeddings "
+        "will be meaningless for recognition; provide the weight file or "
+        "pick a model with shipped weights (e.g. 'agegender_identity').",
         RuntimeWarning, stacklevel=3)
 
 
@@ -86,6 +86,8 @@ def weights_origin(name: str) -> str:
         return "random"  # no .pb→resnet importer target exists upstream
     if name == "insightface_arcface":
         return "imported" if os.path.exists(ARCFACE_NPZ) else "random"
+    if name == "vggface_vgg16":
+        return "imported" if os.path.exists(VGGFACE_VGG16_H5) else "random"
     return "imported"  # shipped pbs (mtcnn, quantized age/gender)
 
 
@@ -114,6 +116,27 @@ def _vgg2_resnet_params():
 ARCFACE_NPZ = os.environ.get(
     "HSE_FACEREC_ARCFACE_NPZ",
     os.path.join(REFERENCE_ROOT, "models", "arcface_r100.npz"))
+
+# keras_vggface VGG16 weights (rcmalli_vggface_tf_vgg16.h5 — external blob,
+# downloaded by keras_vggface in the reference's environment).
+VGGFACE_VGG16_H5 = os.environ.get(
+    "HSE_FACEREC_VGGFACE16_H5",
+    os.path.join(REFERENCE_ROOT, "models", "rcmalli_vggface_tf_vgg16.h5"))
+
+
+def _vgg16_params():
+    from .vgg16 import init_vgg16_params, vgg16_params_from_h5
+
+    if os.path.exists(VGGFACE_VGG16_H5):
+        return vgg16_params_from_h5(VGGFACE_VGG16_H5)
+    _warn_random_init("vggface_vgg16", VGGFACE_VGG16_H5)
+    return init_vgg16_params(jax.random.PRNGKey(0))
+
+
+def _vgg16_fn(precision=jax.lax.Precision.HIGHEST):
+    from .vgg16 import vgg16_embed
+
+    return lambda params, x: vgg16_embed(params, x, precision=precision)
 
 
 def _arcface_params():
@@ -154,6 +177,12 @@ MODEL_ZOO: Dict[str, ModelSpec] = {
         "insightface_arcface", (112, 112), "none", "cv2_linear", 512,
         _arcface_params, _arcface_fn,
         extractor_kwargs={"l2_normalize_output": True}),
+    # keras_vggface VGG16, fc7/relu tap (facerec_test.py:344-349,
+    # facial_clustering_test.py:295-300): Keras load_img resizes with PIL
+    # NEAREST (its default interpolation), preprocess_input v1 means
+    "vggface_vgg16": ModelSpec(
+        "vggface_vgg16", (224, 224), "vggface1", "pil_nearest", 4096,
+        _vgg16_params, _vgg16_fn),
 }
 
 

@@ -33,6 +33,15 @@ def normalize_vggface2(x: jnp.ndarray) -> jnp.ndarray:
     return normalize_caffe(x, VGGFACE2_MEANS_BGR)
 
 
+# keras_vggface.utils.preprocess_input version=1 (VGG16 extractor rows,
+# facerec_test.py:344-349, facial_clustering_test.py:295-300)
+VGGFACE1_MEANS_BGR = (93.5940, 104.7624, 129.1863)
+
+
+def normalize_vggface1(x: jnp.ndarray) -> jnp.ndarray:
+    return normalize_caffe(x, VGGFACE1_MEANS_BGR)
+
+
 def normalize_mtcnn(x: jnp.ndarray) -> jnp.ndarray:
     """(x - 127.5) * 0.0078125 — reference ``facial_analysis.py:506,550,580``."""
     return (x.astype(jnp.float32) - 127.5) * 0.0078125
@@ -46,6 +55,7 @@ def normalize_tf(x: jnp.ndarray) -> jnp.ndarray:
 NORMALIZERS = {
     "caffe": normalize_caffe,
     "vggface2": normalize_vggface2,
+    "vggface1": normalize_vggface1,
     "mtcnn": normalize_mtcnn,
     "tf": normalize_tf,
     "none": lambda x: x.astype(jnp.float32),

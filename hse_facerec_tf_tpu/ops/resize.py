@@ -112,10 +112,24 @@ def _cubic_weights_cv2(src: int, dst: int) -> np.ndarray:
     return w
 
 
+@functools.lru_cache(maxsize=256)
+def _nearest_weights_pil(src: int, dst: int) -> np.ndarray:
+    """PIL NEAREST 1-D selection matrix: source index = floor((i+0.5)*scale)
+    (Keras ``image.load_img`` default interpolation — the reference's
+    keras_vggface extractor path, ``facerec_test.py:141-144``)."""
+    w = np.zeros((dst, src), dtype=np.float32)
+    scale = src / dst
+    for i in range(dst):
+        j = min(int((i + 0.5) * scale), src - 1)
+        w[i, j] = 1.0
+    return w
+
+
 _WEIGHT_FNS = {
     "cv2_linear": _linear_weights_cv2,
     "cv2_area": _area_weights_cv2,
     "pil_bilinear": _triangle_weights_pil,
+    "pil_nearest": _nearest_weights_pil,
     "cv2_cubic": _cubic_weights_cv2,
 }
 
