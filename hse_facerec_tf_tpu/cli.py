@@ -134,8 +134,9 @@ def cmd_album(args):
 
 def cmd_identify(args):
     from .eval import lfw
-    from .models.zoo import build_extractor
-    from .pipelines.identification import gallery_probe_eval
+    from .models.zoo import build_extractor, weights_origin
+    from .pipelines.identification import (gallery_probe_eval,
+                                           gallery_probe_suite)
 
     extractor = build_extractor(args.model, batch_size=args.batch_size)
     g_feats, g_labels, names = lfw.extract_dataset_features(
@@ -146,12 +147,17 @@ def cmd_identify(args):
     p_feats, p_labels, _ = lfw.extract_dataset_features(
         args.probe, extractor, cache_file=args.cache and args.cache + "_probe.npz",
         class_to_label=shared)
-    acc = gallery_probe_eval(g_feats, g_labels, p_feats, p_labels, k=args.k)
-    from .models.zoo import weights_origin
-
-    print(json.dumps({"accuracy": acc, "n_gallery": len(g_labels),
-                      "n_probe": len(p_labels), "n_classes": len(names),
-                      "weights": weights_origin(args.model)}))
+    out = {"n_gallery": len(g_labels), "n_probe": len(p_labels),
+           "n_classes": len(names), "weights": weights_origin(args.model)}
+    if args.classifiers:
+        # the full gallery/probe comparison (facerec_test.py:270-288)
+        out["classifiers"] = gallery_probe_suite(
+            g_feats, g_labels, p_feats, p_labels,
+            pca_components=args.pca_components)
+    else:
+        out["accuracy"] = gallery_probe_eval(g_feats, g_labels, p_feats,
+                                             p_labels, k=args.k)
+    print(json.dumps(out))
 
 
 def _utkface_predict(args):
@@ -391,6 +397,10 @@ def main(argv=None):
     idn.add_argument("--model", default="agegender_identity",
                      choices=sorted(MODEL_ZOO))
     idn.add_argument("--k", type=int, default=1)
+    idn.add_argument("--classifiers", action="store_true",
+                     help="run the full classifier comparison (1/3-NN±PCA, "
+                          "rf, svm, linear svm±PCA — facerec_test.py:270-288)")
+    idn.add_argument("--pca-components", type=int, default=16)
     idn.add_argument("--batch-size", type=int, default=64)
     idn.add_argument("--cache", default=None)
     idn.set_defaults(fn=cmd_identify)

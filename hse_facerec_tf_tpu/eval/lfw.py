@@ -75,9 +75,11 @@ def identification_benchmark(features: np.ndarray, labels: np.ndarray,
 
 
 def classifier_suite(features: np.ndarray, labels: np.ndarray,
-                     pca_components: int = 16) -> Dict[str, float]:
-    """The reference's classifier comparison (:416-432): 1-NN / 3-NN with and
-    without PCA, on L2-normalized features under the seeded 50% split."""
+                     pca_components: int = 128) -> Dict[str, float]:
+    """The reference's LFW-path classifier comparison (:416-432): 1-NN / 3-NN
+    with and without PCA (128 components, :417), on L2-normalized features
+    under the seeded 50% split. The gallery/probe variant with the RF / SVC /
+    LinearSVC rows is ``pipelines.identification.gallery_probe_suite``."""
     from sklearn.model_selection import StratifiedShuffleSplit
 
     feats, labs = ident.drop_singleton_classes(features, labels)

@@ -139,3 +139,46 @@ def gallery_probe_eval(gallery_features, gallery_labels, probe_features,
     (``tf_train_test_recognition`` :220-288)."""
     knn = KNNIdentifier(k=k).fit(gallery_features, gallery_labels)
     return knn.score(probe_features, probe_labels)
+
+
+def gallery_probe_suite(gallery_features, gallery_labels, probe_features,
+                        probe_labels, pca_components: int = 16,
+                        rf_seed: Optional[int] = None) -> dict:
+    """The reference's full gallery/probe classifier comparison
+    (``facerec_test.py:270-288``): 1-NN / 3-NN ± PCA(16), Random Forest
+    (100 trees, depth 10), SVC, LinearSVC ± PCA(16) — each fit on the RAW
+    gallery features and scored on the probe set (the reference computes
+    L2-normalized copies at :264-267 but fits the classifiers on the
+    un-normalized arrays).
+
+    The k-NN rows run on device (MXU distance matmul + top-k); the sklearn
+    estimators are host-side, as the reference's are. ``rf_seed`` pins the
+    forest's RNG for reproducible tests (the reference leaves it unseeded).
+    """
+    from sklearn.ensemble import RandomForestClassifier
+    from sklearn.svm import SVC, LinearSVC
+
+    Xg = np.asarray(gallery_features, np.float32)
+    Xp = np.asarray(probe_features, np.float32)
+    yg = np.asarray(gallery_labels)
+    yp = np.asarray(probe_labels)
+
+    results = {}
+    Xg_pca, Xp_pca = pca_project(Xg, Xp, pca_components)
+    for k in (1, 3):
+        knn = KNNIdentifier(k=k, normalize=False).fit(Xg, yg)
+        results[f"{k}-NN"] = knn.score(Xp, yp)
+        knn_p = KNNIdentifier(k=k, normalize=False).fit(Xg_pca, yg)
+        results[f"{k}-NN+PCA"] = knn_p.score(Xp_pca, yp)
+
+    def sk_score(clf, xg, xp):
+        clf.fit(xg, yg)
+        return float(np.mean(clf.predict(xp) == yp))
+
+    results["rf"] = sk_score(
+        RandomForestClassifier(n_estimators=100, max_depth=10,
+                               random_state=rf_seed), Xg, Xp)
+    results["svm"] = sk_score(SVC(), Xg, Xp)
+    results["linear svm"] = sk_score(LinearSVC(), Xg, Xp)
+    results["linear svm+PCA"] = sk_score(LinearSVC(), Xg_pca, Xp_pca)
+    return results

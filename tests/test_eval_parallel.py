@@ -113,6 +113,53 @@ def test_lfw_protocol_with_synthetic_dataset(tmp_path, rng):
     assert set(suite) == {"1nn", "1nn_pca2", "3nn", "3nn_pca2"}
 
 
+def test_gallery_probe_suite_matches_reference_sklearn(rng):
+    """gallery_probe_suite vs a literal transcription of the reference's
+    classifier loop (facerec_test.py:270-288: Pipeline(PCA(16), estimator),
+    fit on RAW gallery features, accuracy on the probe set)."""
+    from sklearn.decomposition import PCA
+    from sklearn.ensemble import RandomForestClassifier
+    from sklearn.neighbors import KNeighborsClassifier
+    from sklearn.pipeline import Pipeline
+    from sklearn.svm import SVC, LinearSVC
+
+    from hse_facerec_tf_tpu.pipelines.identification import gallery_probe_suite
+
+    n_classes, dim = 6, 24
+    centers = rng.randn(n_classes, dim).astype(np.float32) * 3
+    def sample(n_per):
+        X = np.concatenate([c + rng.randn(n_per, dim).astype(np.float32)
+                            for c in centers])
+        y = np.repeat(np.arange(n_classes), n_per)
+        return X, y
+    Xg, yg = sample(8)
+    Xp, yp = sample(5)
+
+    got = gallery_probe_suite(Xg, yg, Xp, yp, pca_components=16, rf_seed=0)
+
+    ref_rows = [
+        ("1-NN+PCA", Pipeline([("pca", PCA(n_components=16)),
+                               ("classifier", KNeighborsClassifier(1, p=2))])),
+        ("1-NN", KNeighborsClassifier(1, p=2)),
+        ("3-NN+PCA", Pipeline([("pca", PCA(n_components=16)),
+                               ("classifier", KNeighborsClassifier(3, p=2))])),
+        ("3-NN", KNeighborsClassifier(3, p=2)),
+        ("rf", RandomForestClassifier(n_estimators=100, max_depth=10,
+                                      random_state=0)),
+        ("svm", SVC()),
+        ("linear svm+PCA", Pipeline([("pca", PCA(n_components=16)),
+                                     ("classifier", LinearSVC())])),
+        ("linear svm", LinearSVC()),
+    ]
+    assert set(got) == {name for name, _ in ref_rows}
+    for name, clf in ref_rows:
+        clf.fit(Xg, yg)
+        want = float(np.mean(clf.predict(Xp) == yp))
+        assert got[name] == pytest.approx(want, abs=1e-9), (name, got[name], want)
+    # sanity: the problem is actually separable
+    assert got["1-NN"] > 0.8
+
+
 def test_zoo_specs():
     assert set(MODEL_ZOO) >= {"agegender_identity", "vgg2_mobilenet", "vgg2_resnet"}
     spec = MODEL_ZOO["vgg2_mobilenet"]
