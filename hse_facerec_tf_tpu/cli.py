@@ -218,16 +218,25 @@ def _utkface_predict(args):
         return U.agendernet_predict_fn(
             p if p is not None else mobilenet_v2_params_from_h5(path))
     if args.backend == "ssrnet":
-        from .models.ssrnet import init_ssrnet_params
+        from .models.ssrnet import init_ssrnet_params, ssrnet_params_from_h5
 
-        if getattr(args, "weights", None):
-            sys.exit("error: SSR-Net external h5 import is not implemented; "
-                     "omit --weights to run the native arch (random init)")
-        warnings.warn("utkface backend 'ssrnet': external weights not "
-                      "supported yet; using RANDOM init — metrics will be "
-                      "meaningless.", RuntimeWarning)
+        # the reference loads TWO h5s: a morph2 age model and a wiki gender
+        # model (utkface_test.py:263-276) — --weights / --gender-weights
         ka, kg = jax.random.split(key)
-        return U.ssrnet_predict_fn(init_ssrnet_params(ka), init_ssrnet_params(kg))
+
+        def load(path, which, init_key):
+            if path:
+                if not os.path.exists(path):
+                    sys.exit(f"error: --{which} file not found: {path}")
+                return ssrnet_params_from_h5(path)
+            warnings.warn(f"utkface backend 'ssrnet': {which} h5 not provided;"
+                          " using RANDOM init — metrics will be meaningless.",
+                          RuntimeWarning)
+            return init_ssrnet_params(init_key)
+
+        return U.ssrnet_predict_fn(
+            load(getattr(args, "weights", None), "weights", ka),
+            load(getattr(args, "gender_weights", None), "gender-weights", kg))
     if args.backend == "bknet":
         from .models.bknet import bknet_params_from_npz, init_bknet_params
 
@@ -238,6 +247,12 @@ def _utkface_predict(args):
         if not (args.age_pb and args.gender_pb):
             sys.exit("error: --backend converted_pb needs --age-pb and --gender-pb")
         return U.converted_pb_predict_fn(args.age_pb, args.gender_pb)
+    if args.backend == "converted_logits_pb":
+        # rude-carnie tap convention (utkface_test.py:89-109)
+        if not (args.age_pb and args.gender_pb):
+            sys.exit("error: --backend converted_logits_pb needs --age-pb "
+                     "and --gender-pb")
+        return U.converted_logits_predict_fn(args.age_pb, args.gender_pb)
     sys.exit(f"error: unknown backend {args.backend}")
 
 
@@ -410,11 +425,17 @@ def main(argv=None):
     u.add_argument("--agegender-pb", default=None)
     u.add_argument("--backend", default="ours",
                    choices=["ours", "insightface", "facenet", "wide_resnet",
-                            "agendernet", "ssrnet", "bknet", "converted_pb"],
+                            "agendernet", "ssrnet", "bknet", "converted_pb",
+                            "converted_logits_pb"],
                    help="the reference's 9-way backend switch "
-                        "(utkface_test.py:22-314)")
+                        "(utkface_test.py:22-314); converted_pb = DEX-style "
+                        "input/prob taps, converted_logits_pb = rude-carnie "
+                        "Placeholder/logits taps")
     u.add_argument("--weights", default=None,
                    help="external checkpoint (.npz/.h5) for non-'ours' backends")
+    u.add_argument("--gender-weights", default=None,
+                   help="second checkpoint for backends with separate "
+                        "age/gender models (ssrnet)")
     u.add_argument("--age-pb", default=None)
     u.add_argument("--gender-pb", default=None)
     u.add_argument("--coral-subset", action="store_true",

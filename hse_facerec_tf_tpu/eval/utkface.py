@@ -219,6 +219,46 @@ def converted_pb_predict_fn(age_pb: str, gender_pb: str,
     return lambda batch: tuple(np.asarray(a) for a in fn(jnp.asarray(batch)))
 
 
+def converted_logits_predict_fn(age_pb: str, gender_pb: str):
+    """rude-carnie converted-pb backend (reference ``utkface_test.py:89-109``,
+    consuming the Adience inception checkpoints its :35-86 conversion freezes
+    with a softmax node named ``logits``): taps ``Placeholder``→``logits``,
+    direct resize to the 227² placeholder size, float32, NO mean subtraction
+    and NO channel flip (RGB straight in); gender female iff logits[0] < 0.5;
+    age = midpoint of the argmax Adience bucket. The reference runs this
+    branch with ``adience_range=True`` (only gender / bucket accuracies are
+    meaningful — midpoint ages make MAE a bucket artifact)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.graph_compiler import compile_pb
+    from ..ops.resize import resize
+    from ..pipelines.heads import _placeholder_hw
+
+    age_cg = compile_pb(age_pb, ["logits"])
+    gender_cg = compile_pb(gender_pb, ["logits"])
+    age_hw = _placeholder_hw(age_cg.graph, "Placeholder") or (227, 227)
+    gender_hw = _placeholder_hw(gender_cg.graph, "Placeholder") or (227, 227)
+    midpoints = jnp.asarray([(lo + hi) / 2 for lo, hi in ADIENCE_BUCKETS])
+
+    @jax.jit
+    def fn(images):
+        x = images.astype(jnp.float32)
+        xa = resize(x, age_hw, "cv2_linear")
+        xg = resize(x, gender_hw, "cv2_linear")
+        (age_prob,) = age_cg.fn(age_cg.params, {"Placeholder": xa})
+        (gender_prob,) = gender_cg.fn(gender_cg.params, {"Placeholder": xg})
+        age_prob = age_prob.reshape(images.shape[0], -1)
+        gender_prob = gender_prob.reshape(images.shape[0], -1)
+        ages = midpoints[jnp.argmax(age_prob, axis=1)]
+        # logits[0] >= 0.5 -> male (:106); hard decision for the shared
+        # 0.6 consumer threshold
+        p_male = (gender_prob[:, 0] >= 0.5).astype(jnp.float32)
+        return ages, p_male
+
+    return lambda batch: tuple(np.asarray(a) for a in fn(jnp.asarray(batch)))
+
+
 def facenet_predict_fn(ir_params, face_size: int = 160):
     """FaceNet Inception-ResNet-v1 backend (reference ``utkface_test.py:
     186-225``): 160² resize, tf.image.per_image_standardization, age =

@@ -130,6 +130,179 @@ def ssrnet_apply(params: Dict, x, *, V: float = 101.0,
                      lambda_d, V)
 
 
+def ssrnet_params_from_h5(path: str) -> Dict:
+    """Map a published SSR-Net Keras h5 (demo ``SSR_net``/``SSR_net_general``
+    builders, the files ``utkface_test.py:258-288`` loads) onto the param
+    pytree.
+
+    The demo model names only its stage heads (``delta_s{k}``,
+    ``pred_age_stage{k}`` / ``pred_gender_stage{k}``,
+    ``local_delta_stage{k}``); everything else carries Keras auto-names
+    (``conv2d_N`` …) assigned in construction order: the relu/avg-pool
+    x-stream (32-ch convs), the tanh/max-pool s-stream (16-ch convs), then
+    the per-stage classifier blocks for stage 1 (layer-4 taps), 2 (layer 3)
+    and 3 (layer 2). This importer walks the h5's ordered ``layer_names``
+    attr, classifies weighted layers by type, assigns them in that
+    construction order, anchors stages on the named heads where present, and
+    validates every shape — a layout mismatch raises instead of silently
+    mis-importing.
+    """
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        root = f["model_weights"] if "model_weights" in f else f
+        names = root.attrs.get("layer_names")
+        if names is not None:
+            layer_names = [n.decode() if isinstance(n, bytes) else str(n)
+                           for n in names]
+        else:
+            # numeric-aware fallback ordering for auto names (conv2d_10 must
+            # sort after conv2d_2)
+            import re
+
+            def key(n):
+                m = re.match(r"(.*?)(\d+)$", n)
+                return (m.group(1), int(m.group(2))) if m else (n, 0)
+
+            layer_names = sorted(root.keys(), key=key)
+
+        layers = []   # (name, [arrays in weight order])
+        for name in layer_names:
+            if name not in root:
+                continue
+            g = root[name]
+            wnames = g.attrs.get("weight_names")
+            if wnames is not None and len(wnames):
+                arrs = [np.asarray(g[w.decode() if isinstance(w, bytes)
+                                     else str(w)]) for w in wnames]
+            else:
+                arrs = []
+
+                def collect(_, obj):
+                    if isinstance(obj, h5py.Dataset):
+                        arrs.append(np.asarray(obj))
+
+                g.visititems(collect)
+            if arrs:
+                layers.append((name, arrs))
+
+    convs3, convs1, bns, denses = [], [], [], []
+    named: Dict[str, list] = {}
+    for name, arrs in layers:
+        kernels = [a for a in arrs if a.ndim == 4]
+        if kernels:
+            k = kernels[0]
+            (convs3 if k.shape[0] == 3 else convs1).append((name, arrs))
+        elif len(arrs) == 4 and all(a.ndim == 1 for a in arrs):
+            bns.append((name, arrs))
+        elif any(a.ndim == 2 for a in arrs):
+            for pat in ("delta_s", "pred_age_stage", "pred_gender_stage",
+                        "local_delta_stage"):
+                if name.startswith(pat):
+                    named[name] = arrs
+                    break
+            else:
+                denses.append((name, arrs))
+
+    def conv_p(entry, want_cin, want_cout, what):
+        name, arrs = entry
+        k = next(a for a in arrs if a.ndim == 4)
+        b = next((a for a in arrs if a.ndim == 1), None)
+        if k.shape[2] != want_cin or k.shape[3] != want_cout:
+            raise ValueError(f"{path}: layer {name!r} kernel {k.shape} does "
+                             f"not fit {what} (in {want_cin}, out {want_cout})")
+        out = {"kernel": jnp.asarray(k, jnp.float32)}
+        if b is not None:
+            out["bias"] = jnp.asarray(b, jnp.float32)
+        return out
+
+    def bn_p(entry, ch, what):
+        name, arrs = entry
+        if any(a.shape != (ch,) for a in arrs):
+            raise ValueError(f"{path}: layer {name!r} BN shapes "
+                             f"{[a.shape for a in arrs]} do not fit {what} ({ch}-ch)")
+        g, b, m, v = arrs  # Keras order: gamma, beta, moving_mean, moving_var
+        return {"gamma": jnp.asarray(g), "beta": jnp.asarray(b),
+                "mean": jnp.asarray(m), "var": jnp.asarray(v)}
+
+    def dense_p(arrs, din, dout, what):
+        k = next(a for a in arrs if a.ndim == 2)
+        b = next((a for a in arrs if a.ndim == 1), None)
+        if k.shape != (din, dout):
+            raise ValueError(f"{path}: dense kernel {k.shape} does not fit "
+                             f"{what} ({din} -> {dout})")
+        out = {"kernel": jnp.asarray(k, jnp.float32)}
+        out["bias"] = (jnp.asarray(b, jnp.float32) if b is not None
+                       else jnp.zeros((dout,), jnp.float32))
+        return out
+
+    x_convs = [c for c in convs3 if c[1][0].shape[3] == 32]
+    s_convs = [c for c in convs3 if c[1][0].shape[3] == 16]
+    x_bns = [b for b in bns if b[1][0].shape[0] == 32]
+    s_bns = [b for b in bns if b[1][0].shape[0] == 16]
+    if len(x_convs) != 4 or len(s_convs) != 4:
+        raise ValueError(f"{path}: expected 4+4 trunk convs, found "
+                         f"{len(x_convs)} 32-ch / {len(s_convs)} 16-ch")
+    if len(x_bns) != 4 or len(s_bns) != 4:
+        raise ValueError(f"{path}: expected 4+4 trunk BNs, found "
+                         f"{len(x_bns)} 32-ch / {len(s_bns)} 16-ch")
+    if len(convs1) != 6:
+        raise ValueError(f"{path}: expected 6 stage 1x1 convs, found {len(convs1)}")
+
+    p: Dict = {}
+    in_ch = 3
+    for li in range(1, 5):
+        c = conv_p(x_convs[li - 1], in_ch, 32, f"x{li}")
+        c["bn"] = bn_p(x_bns[li - 1], 32, f"x{li} bn")
+        p[f"x{li}"] = c
+        in_ch = 32
+    in_ch = 3
+    for li in range(1, 5):
+        c = conv_p(s_convs[li - 1], in_ch, 16, f"s{li}")
+        c["bn"] = bn_p(s_bns[li - 1], 16, f"s{li} bn")
+        p[f"s{li}"] = c
+        in_ch = 16
+
+    # stage blocks are built stage 1 -> 3; within a stage the demo creates
+    # s-branch then x-branch 1x1 convs, and s_mix, x_mix, feat denses
+    flat_dims = {1: 4 * 4 * 10, 2: 3 * 3 * 10, 3: 3 * 3 * 10}
+    s1x1 = [c for c in convs1 if c[1][0].shape[2] == 16]
+    x1x1 = [c for c in convs1 if c[1][0].shape[2] == 32]
+    if len(s1x1) != 3 or len(x1x1) != 3:
+        raise ValueError(f"{path}: stage 1x1 convs split {len(s1x1)}/{len(x1x1)},"
+                         " want 3/3")
+    dense_iter = iter(denses)
+
+    def next_dense(din, dout, what):
+        try:
+            name, arrs = next(dense_iter)
+        except StopIteration:
+            raise ValueError(f"{path}: ran out of unnamed dense layers at {what}")
+        return dense_p(arrs, din, dout, f"{what} ({name})")
+
+    for k, s_k in enumerate(STAGE_NUM, start=1):
+        flat = flat_dims[k]
+        stage = {
+            "s_conv": conv_p(s1x1[k - 1], 16, 10, f"stage{k} s_conv"),
+            "x_conv": conv_p(x1x1[k - 1], 32, 10, f"stage{k} x_conv"),
+            "s_mix": next_dense(flat, s_k, f"stage{k} s_mix"),
+            "x_mix": next_dense(flat, s_k, f"stage{k} x_mix"),
+            "feat": next_dense(s_k, 2 * s_k, f"stage{k} feat"),
+        }
+        for slot, prefixes, din, dout in (
+                ("delta", (f"delta_s{k}",), flat, 1),
+                ("pred", (f"pred_age_stage{k}", f"pred_gender_stage{k}"),
+                 2 * s_k, s_k),
+                ("local", (f"local_delta_stage{k}",), 2 * s_k, s_k)):
+            arrs = next((named[n] for n in prefixes if n in named), None)
+            if arrs is None:
+                raise KeyError(f"{path}: missing named SSR-Net head "
+                               f"{' / '.join(prefixes)}")
+            stage[slot] = dense_p(arrs, din, dout, f"stage{k} {slot}")
+        p[f"stage{k}"] = stage
+    return p
+
+
 def init_ssrnet_params(rng: jax.Array, input_size: int = 64) -> Dict:
     keys = iter(jax.random.split(rng, 128))
 

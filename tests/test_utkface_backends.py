@@ -214,3 +214,131 @@ def test_csv_split_and_coral_clamp(tmp_path, rng):
                               age_range=(21, 60))
     assert res["n"] == 3
     assert res["age_mae"] == pytest.approx((30 + 20 + 10) / 3)
+
+
+def test_ssrnet_h5_import_roundtrip(rng, tmp_path):
+    """Write random SSR-Net params in the published demo's Keras layout
+    (auto-named trunk/stage layers in construction order + the named
+    delta/pred/local heads) and re-import: forwards must match exactly."""
+    import h5py
+
+    from hse_facerec_tf_tpu.models.ssrnet import (STAGE_NUM,
+                                                  init_ssrnet_params,
+                                                  ssrnet_apply,
+                                                  ssrnet_params_from_h5)
+
+    params = init_ssrnet_params(jax.random.PRNGKey(3))
+    path = str(tmp_path / "ssrnet_3_3_3_64_1.0_1.0.h5")
+
+    layer_names = []
+    with h5py.File(path, "w") as f:
+        root = f.create_group("model_weights")
+
+        def put(name, weights):   # weights: [(suffix, array), ...]
+            g = root.create_group(name)
+            wnames = []
+            for suffix, arr in weights:
+                wname = f"{name}/{suffix}:0"
+                g.create_dataset(wname, data=np.asarray(arr, np.float32))
+                wnames.append(wname.encode())
+            g.attrs["weight_names"] = wnames
+            layer_names.append(name.encode())
+
+        ci = bi = di = 0
+
+        def put_conv(p):
+            nonlocal ci
+            ci += 1
+            put(f"conv2d_{ci}", [("kernel", p["kernel"]), ("bias", p["bias"])])
+
+        def put_bn(p):
+            nonlocal bi
+            bi += 1
+            put(f"batch_normalization_{bi}",
+                [("gamma", p["gamma"]), ("beta", p["beta"]),
+                 ("moving_mean", p["mean"]), ("moving_variance", p["var"])])
+
+        def put_dense(p, name=None):
+            nonlocal di
+            if name is None:
+                di += 1
+                name = f"dense_{di}"
+            put(name, [("kernel", p["kernel"]), ("bias", p["bias"])])
+
+        for prefix in ("x", "s"):                      # both trunks
+            for li in range(1, 5):
+                put_conv(params[f"{prefix}{li}"])
+                put_bn(params[f"{prefix}{li}"]["bn"])
+        for k, _ in enumerate(STAGE_NUM, start=1):     # stage blocks in order
+            st = params[f"stage{k}"]
+            put_conv(st["s_conv"])
+            put_conv(st["x_conv"])
+            put_dense(st["s_mix"])
+            put_dense(st["x_mix"])
+            put_dense(st["delta"], name=f"delta_s{k}")
+            put_dense(st["feat"])
+            put_dense(st["pred"], name=f"pred_age_stage{k}")
+            put_dense(st["local"], name=f"local_delta_stage{k}")
+        root.attrs["layer_names"] = layer_names
+
+    imported = ssrnet_params_from_h5(path)
+    x = rng.rand(2, 64, 64, 3).astype(np.float32) * 255
+    want = np.asarray(ssrnet_apply(params, x, V=101.0))
+    got = np.asarray(ssrnet_apply(imported, x, V=101.0))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_ssrnet_h5_import_rejects_wrong_arch(tmp_path):
+    import h5py
+
+    from hse_facerec_tf_tpu.models.ssrnet import ssrnet_params_from_h5
+
+    path = str(tmp_path / "bad.h5")
+    with h5py.File(path, "w") as f:
+        g = f.create_group("conv2d_1")
+        g.create_dataset("conv2d_1/kernel:0", data=np.zeros((3, 3, 3, 48), np.float32))
+        g.attrs["weight_names"] = [b"conv2d_1/kernel:0"]
+    with pytest.raises((KeyError, ValueError)):
+        ssrnet_params_from_h5(path)
+
+
+def test_converted_logits_pb_backend(rng, tmp_path):
+    """rude-carnie tap convention (utkface_test.py:89-109): Placeholder ->
+    logits, direct 227 resize, no mean, no channel flip; numpy golden."""
+    import cv2
+
+    from hse_facerec_tf_tpu.core.graphdef_export import GraphBuilder
+    from hse_facerec_tf_tpu.eval.utkface import (ADIENCE_BUCKETS,
+                                                 converted_logits_predict_fn)
+
+    def small_pb(path, n_out, hw, rng):
+        b = GraphBuilder()
+        x = b.placeholder("Placeholder", [-1, hw, hw, 3])
+        pooled = b.mean("pool", x, [1, 2])
+        w = rng.randn(3, n_out).astype(np.float32)
+        raw = b.matmul("raw", pooled, b.const("w", w))
+        b.simple("Softmax", "logits", [raw])
+        with open(path, "wb") as f:
+            f.write(b.serialize())
+        return w
+
+    age_pb = str(tmp_path / "age_net.pb")
+    gender_pb = str(tmp_path / "gender_net.pb")
+    w_age = small_pb(age_pb, 8, 227, rng)
+    w_gender = small_pb(gender_pb, 2, 227, rng)
+
+    predict = converted_logits_predict_fn(age_pb, gender_pb)
+    imgs = (rng.rand(2, 200, 180, 3) * 255).astype(np.uint8)
+    ages, p_male = predict(imgs)
+
+    for i in range(2):
+        x = cv2.resize(imgs[i].astype(np.float32), (227, 227))  # RGB, no mean
+        mean_px = x.mean(axis=(0, 1))
+        age_logits = mean_px @ w_age
+        bucket = int(np.argmax(age_logits))
+        want_age = sum(ADIENCE_BUCKETS[bucket]) / 2
+        assert ages[i] == pytest.approx(want_age, abs=1e-3)
+        g = mean_px @ w_gender
+        eg = np.exp(g - g.max())
+        want_male = 1.0 if (eg / eg.sum())[0] >= 0.5 else 0.0
+        assert p_male[i] == want_male
