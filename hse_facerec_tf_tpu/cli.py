@@ -280,30 +280,60 @@ def cmd_utkface(args):
 
 
 def cmd_cluster(args):
-    """Clustering-quality benchmark on a labeled directory-per-person dataset
-    (the reference's facial_clustering_test.py flow)."""
+    """Clustering-quality benchmark on labeled directory-per-person datasets
+    (the reference's facial_clustering_test.py flow): per-dataset statistics,
+    mean±std across datasets (test_avg_clustering :433-445), and optional
+    threshold grid search (:447-499) via --search-threshold."""
     import numpy as np
 
     from .eval import lfw
     from .eval.clustering_metrics import clustering_statistics
-    from .models.zoo import build_extractor
+    from .models.zoo import build_extractor, weights_origin
     from .ops.distance import pairwise_euclidean
     from .pipelines.clustering import clusters_to_labels, get_facial_clusters
-    from .pipelines.identification import KNNIdentifier
 
     extractor = build_extractor(args.model, batch_size=args.batch_size)
-    feats, labels, names = lfw.extract_dataset_features(
-        args.dataset, extractor, cache_file=args.cache)
-    feats = feats / np.maximum(np.linalg.norm(feats, axis=1, keepdims=True), 1e-12)
-    dist = np.array(pairwise_euclidean(feats, feats))
-    np.fill_diagonal(dist, 0.0)
-    clusters = get_facial_clusters(dist, args.threshold, method=args.method)
-    y_pred = clusters_to_labels(clusters, len(labels))
-    from .models.zoo import weights_origin
+    datasets = []
+    for ds in args.datasets:
+        cache = args.cache and f"{args.cache}_{os.path.basename(ds.rstrip('/'))}.npz"
+        feats, labels, _ = lfw.extract_dataset_features(ds, extractor,
+                                                        cache_file=cache)
+        feats = feats / np.maximum(np.linalg.norm(feats, axis=1, keepdims=True),
+                                   1e-12)
+        dist = np.array(pairwise_euclidean(feats, feats))
+        np.fill_diagonal(dist, 0.0)
+        datasets.append((ds, dist, labels))
 
-    stats = dict(clustering_statistics(labels, y_pred))
-    stats["weights"] = weights_origin(args.model)
-    print(json.dumps(stats, indent=2))
+    out = {"weights": weights_origin(args.model), "method": args.method}
+    threshold = args.threshold
+    if args.search_threshold:
+        from .eval.threshold_search import (search_distance_threshold,
+                                            search_rankorder_thresholds)
+
+        val = [(d, y) for _, d, y in datasets]
+        if args.method in ("rankorder", "rankorder_py"):
+            found = search_rankorder_thresholds(val)
+        else:
+            found = search_distance_threshold(val, method=args.method)
+        threshold = found["best_threshold"]
+        out["search"] = {"best_threshold": threshold,
+                         "best_score": found["best_score"],
+                         "trace": found["trace"]}
+
+    per_dataset = {}
+    for ds, dist, labels in datasets:
+        clusters = get_facial_clusters(dist, threshold, method=args.method)
+        y_pred = clusters_to_labels(clusters, len(labels))
+        per_dataset[ds] = dict(clustering_statistics(labels, y_pred))
+    out["datasets"] = per_dataset
+    if len(per_dataset) > 1:
+        # mean±std rows (reference test_avg_clustering :439-444)
+        keys = next(iter(per_dataset.values())).keys()
+        out["mean"] = {k: float(np.mean([s[k] for s in per_dataset.values()]))
+                       for k in keys}
+        out["std"] = {k: float(np.std([s[k] for s in per_dataset.values()]))
+                      for k in keys}
+    print(json.dumps(out, indent=2))
 
 
 def cmd_export(args):
@@ -447,13 +477,21 @@ def main(argv=None):
 
 
     cl = sub.add_parser("cluster", help="clustering-quality benchmark")
-    cl.add_argument("dataset")
+    cl.add_argument("datasets", nargs="+",
+                    help="one or more directory-per-person datasets; with "
+                         "several, mean±std rows are reported "
+                         "(facial_clustering_test.py:433-445)")
     cl.add_argument("--model", default="agegender_identity")
     cl.add_argument("--method", default="scipy",
                     choices=["scipy", "rankorder", "rankorder_py", "dbscan"])
     cl.add_argument("--threshold", type=float, default=1.0)
+    cl.add_argument("--search-threshold", action="store_true",
+                    help="grid-search the distance threshold (2-D distance × "
+                         "rank grid for rankorder) with the reference's "
+                         "early-stop rules before scoring (:447-499)")
     cl.add_argument("--batch-size", type=int, default=64)
-    cl.add_argument("--cache", default=None)
+    cl.add_argument("--cache", default=None,
+                    help="feature-cache prefix (per-dataset .npz)")
     cl.set_defaults(fn=cmd_cluster)
 
     ex = sub.add_parser("export", help="export model weights (pb / quantized)")

@@ -67,3 +67,41 @@ def search_distance_threshold(datasets: Sequence[Tuple[np.ndarray, np.ndarray]],
             break
         prev = score
     return {"best_threshold": best_thr, "best_score": best_score, "trace": trace}
+
+
+def search_rankorder_thresholds(datasets: Sequence[Tuple[np.ndarray, np.ndarray]],
+                                distance_thresholds: Optional[np.ndarray] = None,
+                                rank_thresholds: Sequence[int] = range(12, 22, 2),
+                                statistic: str = "v_measure"
+                                ) -> Dict[str, object]:
+    """The reference's 2-D rank-order grid search
+    (``facial_clustering_test.py:451-472``): sweep (distanceThreshold ×
+    rankThreshold), scoring V-measure; break the inner loop when the score
+    stops improving, the outer loop when a distance row improved nothing.
+
+    Returns {"best_threshold": (dist, rank), "best_score", "trace"}.
+    """
+    if distance_thresholds is None:
+        distance_thresholds = np.linspace(1.02, 1.1, 9)   # reference :452
+    best_score, prev = 0.0, 0.0
+    best_thr: Tuple[float, int] = (0.0, 0)
+    trace: List[Tuple[float, int, float]] = []
+    for dist_thr in distance_thresholds:
+        prev = 0.0
+        best_changed = False
+        for rank_t in rank_thresholds:
+            score = float(np.mean([
+                clustering_score(d, y, (float(dist_thr), int(rank_t)),
+                                 "rankorder", statistic)
+                for d, y in datasets]))
+            trace.append((float(dist_thr), int(rank_t), score))
+            if score > best_score:
+                best_score, best_thr = score, (float(dist_thr), int(rank_t))
+                best_changed = True
+            if score <= prev:                              # reference :469
+                break
+            prev = score
+        if not best_changed:                               # reference :471
+            break
+    return {"best_threshold": best_thr, "best_score": best_score,
+            "trace": trace}

@@ -155,3 +155,71 @@ def test_rankorder_native_speed(rng):
     t0 = time.perf_counter(); native_ro.rank_order_cluster_native(dist); t_n = time.perf_counter() - t0
     t0 = time.perf_counter(); _rank_order_clusters(dist); t_p = time.perf_counter() - t0
     assert t_n < t_p, (t_n, t_p)
+
+
+def test_rankorder_grid_search_matches_reference_loop(rng):
+    """search_rankorder_thresholds vs a literal transcription of the
+    reference's 2-D grid (facial_clustering_test.py:451-472), sharing
+    clustering_score so only the loop/early-stop logic is under test."""
+    from hse_facerec_tf_tpu.eval.threshold_search import (
+        clustering_score, search_rankorder_thresholds)
+
+    feats, labels = _blobs(rng, n_classes=4, per_class=6)
+    dist = np.array(pairwise_euclidean(feats, feats))
+    np.fill_diagonal(dist, 0.0)
+    datasets = [(dist, labels)]
+
+    got = search_rankorder_thresholds(datasets)
+
+    bestStatistic, prevStatistic = 0, 0
+    bestThreshold = (0, 0)
+    for distanceThreshold in np.linspace(1.02, 1.1, 9):   # reference :452
+        prevStatistic = 0
+        bestChanged = False
+        for rankThreshold in range(12, 22, 2):
+            currentStatistic = np.mean([
+                clustering_score(d, y, (float(distanceThreshold), rankThreshold),
+                                 "rankorder", "v_measure")
+                for d, y in datasets])
+            if currentStatistic > bestStatistic:
+                bestStatistic = currentStatistic
+                bestThreshold = (float(distanceThreshold), rankThreshold)
+                bestChanged = True
+            if currentStatistic <= prevStatistic:          # reference :469
+                break
+            prevStatistic = currentStatistic
+        if not bestChanged:
+            break
+
+    assert got["best_threshold"] == bestThreshold
+    assert got["best_score"] == pytest.approx(bestStatistic, abs=1e-12)
+
+
+def test_cluster_cli_multi_dataset_with_search(tmp_path, capsys):
+    """One CLI call over two fixture dirs: per-dataset stats, mean±std rows,
+    and the grid-search table (reference test_avg_clustering +
+    test_avg_clustering_with_model_selection shapes)."""
+    import json
+
+    import cv2
+
+    from hse_facerec_tf_tpu import cli
+
+    rng = np.random.RandomState(5)
+    for d, shift in (("setA", 0), ("setB", 40)):
+        for person in range(3):
+            pdir = tmp_path / d / f"person{person}"
+            pdir.mkdir(parents=True)
+            base = np.full((96, 96, 3), 40 + shift + person * 60, np.uint8)
+            for i in range(3):
+                img = base + rng.randint(0, 12, base.shape).astype(np.uint8)
+                cv2.imwrite(str(pdir / f"{i}.jpg"), img)
+
+    cli.main(["cluster", str(tmp_path / "setA"), str(tmp_path / "setB"),
+              "--search-threshold", "--batch-size", "4"])
+    out = json.loads(capsys.readouterr().out)
+    assert set(out["datasets"]) == {str(tmp_path / "setA"), str(tmp_path / "setB")}
+    assert "best_threshold" in out["search"]
+    assert len(out["search"]["trace"]) >= 1
+    for row in ("mean", "std"):
+        assert set(out[row]) == set(next(iter(out["datasets"].values())))
