@@ -70,12 +70,20 @@ class CompiledGraph:
 
     def __init__(self, graph: TFGraph, outputs: Sequence[str], consts: Dict[str, np.ndarray],
                  precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
-                 learning_phase: bool = False):
+                 learning_phase: bool = False,
+                 const_feeds: Optional[Dict[str, object]] = None):
         self.graph = graph
         self.output_names = [_tname(o) for o in outputs]
         self._consts = consts
         self.precision = precision
         self.learning_phase = bool(learning_phase)
+        # Placeholders pinned to compile-time constants — the reference's
+        # additional_input_value convention (facerec_test.py:51,118-119 feeds
+        # e.g. dropout_rate:0 = 0.9, phase_train:0 = False per session run).
+        # np constants at trace time, so bool feeds also drive Switch/Merge
+        # pruning via _static_bool.
+        self.const_feeds = {_tname(k): np.asarray(v)
+                            for k, v in (const_feeds or {}).items()}
         self._switch_live: Dict[str, int] = {}   # Switch node -> live output idx
         self._merge_choice: Dict[str, Tuple[str, int]] = {}  # Merge -> (input ref, idx)
         self._needed = self._prune(self.output_names)
@@ -124,6 +132,11 @@ class CompiledGraph:
                 return bool(np.asarray(v).reshape(-1)[0])
             return None
         if node.op in ("Placeholder", "PlaceholderWithDefault"):
+            if name in self.const_feeds:
+                v = self.const_feeds[name]
+                if v.dtype == np.bool_ and v.size == 1:
+                    return bool(v.reshape(-1)[0])
+                return None
             dt = node.attrs.get("dtype")
             if dt is not None and dt.type == DT_BOOL:
                 return self.learning_phase
@@ -220,7 +233,11 @@ class CompiledGraph:
         nodes = self._needed
         output_names = self.output_names
 
+        const_feeds = self.const_feeds
+
         def fn(params: Dict[str, jnp.ndarray], feeds: Dict[str, jnp.ndarray]):
+            if const_feeds:
+                feeds = {**const_feeds, **feeds}
             env: Dict[str, object] = {}
 
             def get(t: str):
@@ -477,16 +494,18 @@ def _eval_node(node: NodeDef, get, params, feeds, static, precision,
 
 def compile_graph(graph: TFGraph, outputs: Sequence[str],
                   precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
-                  learning_phase: bool = False) -> CompiledGraph:
+                  learning_phase: bool = False,
+                  const_feeds: Optional[Dict[str, object]] = None) -> CompiledGraph:
     consts = extract_constants(graph)
     return CompiledGraph(graph, outputs, consts, precision=precision,
-                         learning_phase=learning_phase)
+                         learning_phase=learning_phase, const_feeds=const_feeds)
 
 
 def compile_pb(path: str, outputs: Sequence[str],
                precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
-               learning_phase: bool = False) -> CompiledGraph:
+               learning_phase: bool = False,
+               const_feeds: Optional[Dict[str, object]] = None) -> CompiledGraph:
     from .graphdef import load_graphdef
 
     return compile_graph(load_graphdef(path), outputs, precision=precision,
-                         learning_phase=learning_phase)
+                         learning_phase=learning_phase, const_feeds=const_feeds)

@@ -202,16 +202,23 @@ def build_extractor(name: str, batch_size: int = 64, mesh=None,
 def graph_extractor(pb_path: str, input_tensor: str, output_tensor: str,
                     input_size, normalization: str = "caffe",
                     resize_method: str = "pil_bilinear", batch_size: int = 64,
-                    mesh=None, precision=jax.lax.Precision.HIGHEST):
+                    mesh=None, precision=jax.lax.Precision.HIGHEST,
+                    extra_feeds: Optional[Dict[str, object]] = None):
     """Generic frozen-pb embedder: wrap ANY TF frozen graph as an
     EmbeddingExtractor — the general form of the reference's
     ``TensorFlowInference`` model rows (``facerec_test.py:209-218``: FaceNet,
     InsightFace, custom pbs, all selected by (pb, input, output, preprocessing)
-    tuples). The graph is compiled to XLA by core/graph_compiler.py."""
+    tuples). The graph is compiled to XLA by core/graph_compiler.py.
+
+    extra_feeds: {tensor: value} pinned at compile time — the reference's
+    ``learning_phase_tensor``/``additional_input_value`` convention
+    (``facerec_test.py:215-216``: FaceNet feeds ``phase_train:0 = False``,
+    insightface.pb feeds ``dropout_rate:0 = 0.9``)."""
     from ..core.graph_compiler import compile_pb
     from ..pipelines.embedder import EmbeddingExtractor
 
-    cg = compile_pb(pb_path, [output_tensor], precision=precision)
+    cg = compile_pb(pb_path, [output_tensor], precision=precision,
+                    const_feeds=extra_feeds)
     in_name = input_tensor.split(":")[0]
 
     def model_fn(params, x):

@@ -143,3 +143,79 @@ def test_agegender_batched(agegender_graph, rng):
     (batched,) = fn(cg.params, {"input_1": x})
     singles = [np.asarray(fn(cg.params, {"input_1": x[i : i + 1]})[0])[0] for i in range(3)]
     np.testing.assert_allclose(np.asarray(batched), np.stack(singles), atol=2e-4, rtol=1e-4)
+
+
+def test_const_feeds_scalar_placeholder(rng):
+    """Extra-feed tensors pinned at compile time — the reference's
+    additional_input_value convention (facerec_test.py:51,118-119, e.g.
+    insightface.pb dropout_rate:0 = 0.9)."""
+    from hse_facerec_tf_tpu.core.graphdef import parse_graphdef
+    from hse_facerec_tf_tpu.core.graphdef_export import GraphBuilder
+
+    b = GraphBuilder()
+    x = b.placeholder("input", [-1, 4, 4, 3])
+    rate = b.placeholder("dropout_rate", [])
+    pooled = b.mean("pool", x, [1, 2])
+    b.simple("Mul", "out", [pooled, rate])
+    graph = parse_graphdef(b.serialize())
+
+    xv = rng.rand(2, 4, 4, 3).astype(np.float32)
+    cg = compile_graph(graph, ["out:0"],
+                       const_feeds={"dropout_rate:0": np.float32(0.9)})
+    (got,) = cg.jit()(cg.params, {"input": xv})
+    np.testing.assert_allclose(np.asarray(got),
+                               xv.mean(axis=(1, 2)) * 0.9, atol=1e-6)
+
+    # without the feed the placeholder is unfed: a loud error, not a default
+    cg_nofeed = compile_graph(graph, ["out:0"])
+    with pytest.raises(KeyError):
+        cg_nofeed.fn(cg_nofeed.params, {"input": xv})
+
+
+def test_const_feeds_bool_drives_branch_pruning(rng):
+    """A bool const feed (FaceNet's phase_train:0) statically resolves
+    Switch/Merge control flow like the learning_phase flag does."""
+    graph, (w, gamma, beta, mean, var) = _keras_bn_graphdef(rng)
+    x = rng.rand(1, 8, 8, 3).astype(np.float32)
+
+    cg = compile_graph(
+        graph, ["conv1/Relu:0"],
+        const_feeds={"conv1_bn/keras_learning_phase:0": np.bool_(True)})
+    (got,) = cg.jit()(cg.params, {"input_1": x})
+    conv = golden._conv2d_tf(x.astype(np.float64), w.astype(np.float64),
+                             (1, 1), "SAME")
+    np.testing.assert_allclose(np.asarray(got), np.maximum(conv * 2.0, 0.0),
+                               atol=1e-5, rtol=1e-5)
+
+    cg_inf = compile_graph(
+        graph, ["conv1/Relu:0"],
+        const_feeds={"conv1_bn/keras_learning_phase:0": np.bool_(False)})
+    (got_inf,) = cg_inf.jit()(cg_inf.params, {"input_1": x})
+    want = np.maximum((conv - mean) * (gamma / np.sqrt(var + 1e-3)) + beta, 0.0)
+    np.testing.assert_allclose(np.asarray(got_inf), want, atol=1e-5, rtol=1e-5)
+    # dead training branch pruned under the False feed
+    assert all(n.name != "conv1_bn/cond/train_branch" for n in cg_inf._needed)
+
+
+def test_graph_extractor_extra_feeds(rng, tmp_path):
+    """graph_extractor end-to-end with a pinned scalar feed (the FaceNet /
+    insightface.pb zoo rows, facerec_test.py:215-216)."""
+    from hse_facerec_tf_tpu.core.graphdef_export import GraphBuilder
+    from hse_facerec_tf_tpu.models.zoo import graph_extractor
+
+    b = GraphBuilder()
+    x = b.placeholder("img_inputs", [-1, 8, 8, 3])
+    rate = b.placeholder("dropout_rate", [])
+    pooled = b.mean("pool", x, [1, 2])
+    b.simple("Mul", "embeddings", [pooled, rate])
+    pb = str(tmp_path / "ext.pb")
+    with open(pb, "wb") as f:
+        f.write(b.serialize())
+
+    ex = graph_extractor(pb, "img_inputs:0", "embeddings:0", (8, 8),
+                         normalization="none", resize_method="cv2_linear",
+                         batch_size=4, extra_feeds={"dropout_rate:0": 0.9})
+    imgs = (rng.rand(2, 8, 8, 3) * 255).astype(np.uint8)
+    feats = ex.extract_batch(imgs)
+    np.testing.assert_allclose(
+        feats, imgs.astype(np.float32).mean(axis=(1, 2)) * 0.9, rtol=1e-5)
