@@ -1,7 +1,14 @@
 """Host-side golden MTCNN: faithful dynamic-shape re-expression of the
 reference cascade driver (``facial_analysis.py:478-604``) using cv2 resizes and
 the native JAX nets for conv evaluation. Used to validate the static-shape TPU
-pipeline end to end."""
+pipeline end to end.
+
+Sharing the net forwards with the code under test is safe because the net
+numerics are pinned separately against the independent numpy-float64 golden
+executor on the shipped mtcnn.pb
+(test_models.py::test_mtcnn_nets_vs_independent_float64_executor); this module
+only has to be an independent reimplementation of the DRIVER logic (pyramid,
+NMS, box algebra, crops)."""
 
 from __future__ import annotations
 

@@ -177,3 +177,28 @@ def test_album_outputs_from_cache(analyzer, fixture_img, tmp_path_factory):
         assert cluster_dirs
         sample = next((res_dir / cluster_dirs[0]).iterdir())
         assert cv2.imread(str(sample)) is not None
+
+
+def test_analyze_with_rotations_rotated_fixture(analyzer, fixture_img):
+    """The rotation-retry contract (reference process_photos.py:241-247): on
+    a photo rotated 90° clockwise so that upright detection finds nothing,
+    analyze_with_rotations must report the rotation it applied and return
+    boxes in THAT rotated orientation's coordinates — pinned against a direct
+    analyze() call on the equivalently pre-rotated image."""
+    # 90° counter-clockwise rotation of the fixture: faces become sideways
+    # and the upright cascade finds none (the cw orientation still catches
+    # one sideways face, so ccw is the retry-path fixture)
+    rotated = np.ascontiguousarray(np.rot90(fixture_img, k=1))
+    assert analyzer.analyze(rotated) == []
+
+    faces, rotation = analyzer.analyze_with_rotations(rotated)
+    assert rotation in (90, 270)
+    assert len(faces) == len(analyzer.analyze(fixture_img))
+
+    # the coordinates must live in the orientation analyze_with_rotations
+    # used internally: np.rot90(input, 3 if rot==90 else 1)
+    k = 3 if rotation == 90 else 1
+    want = analyzer.analyze(np.ascontiguousarray(np.rot90(rotated, k)))
+    assert [f.bbox for f in faces] == [f.bbox for f in want]
+    for got_f, want_f in zip(faces, want):
+        assert got_f.age == pytest.approx(want_f.age, abs=1e-6)

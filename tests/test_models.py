@@ -106,3 +106,39 @@ def test_zoo_random_init_warns_loudly():
             zoo.MODEL_ZOO["vgg2_mobilenet"].build_params()
     with pytest.warns(RuntimeWarning, match="RANDOM"):
         zoo.MODEL_ZOO["vgg2_resnet"].build_params()
+
+
+def test_mtcnn_nets_vs_independent_float64_executor(mtcnn_params, rng):
+    """P/R/O-net native forwards pinned DIRECTLY against the independent
+    numpy-float64 golden executor on the shipped mtcnn.pb — closing the loop
+    the compiler-based pins above leave open (a bug shared by the native nets
+    and the JAX graph compiler would cancel out there; the float64 executor
+    shares no code with either)."""
+    from hse_facerec_tf_tpu.core.graphdef import load_graphdef
+
+    from . import golden_tf_executor as golden
+
+    graph = load_graphdef(str(MTCNN_PB))
+
+    x = rng.rand(2, 12, 12, 3).astype(np.float32) * 2 - 1
+    reg_g, prob_g = golden.run_graph(
+        graph, {"pnet/input": x}, ["pnet/conv4-2/BiasAdd:0", "pnet/prob1:0"])
+    reg_n, prob_n = jax.jit(m.pnet)(mtcnn_params["pnet"], x)
+    np.testing.assert_allclose(np.asarray(reg_n), reg_g, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(prob_n), prob_g, atol=2e-5)
+
+    x = rng.rand(3, 24, 24, 3).astype(np.float32) * 2 - 1
+    reg_g, prob_g = golden.run_graph(
+        graph, {"rnet/input": x}, ["rnet/conv5-2/conv5-2:0", "rnet/prob1:0"])
+    reg_n, prob_n = jax.jit(m.rnet)(mtcnn_params["rnet"], x)
+    np.testing.assert_allclose(np.asarray(reg_n), reg_g, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(prob_n), prob_g, atol=2e-5)
+
+    x = rng.rand(3, 48, 48, 3).astype(np.float32) * 2 - 1
+    reg_g, lmk_g, prob_g = golden.run_graph(
+        graph, {"onet/input": x},
+        ["onet/conv6-2/conv6-2:0", "onet/conv6-3/conv6-3:0", "onet/prob1:0"])
+    reg_n, lmk_n, prob_n = jax.jit(m.onet)(mtcnn_params["onet"], x)
+    np.testing.assert_allclose(np.asarray(reg_n), reg_g, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(lmk_n), lmk_g, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(prob_n), prob_g, atol=2e-5)
