@@ -27,14 +27,16 @@ def _build_analyzer(args):
     from .models import zoo
     from .pipelines.analyzer import FacialAnalyzer
 
+    oversample = getattr(args, "oversample", False)
     if getattr(args, "age_pb", None) and getattr(args, "gender_pb", None):
         # two-model configuration (reference age_gender_one_model=False)
         return FacialAnalyzer.from_two_model_pbs(
             args.mtcnn_pb or zoo.MTCNN_PB, args.age_pb, args.gender_pb,
-            sota=getattr(args, "sota", False), minsize=args.minsize)
+            sota=getattr(args, "sota", False), minsize=args.minsize,
+            oversample=oversample)
     return FacialAnalyzer.from_reference_models(
         args.mtcnn_pb or zoo.MTCNN_PB, args.agegender_pb or zoo.AGEGENDER_PB,
-        minsize=args.minsize)
+        minsize=args.minsize, oversample=oversample)
 
 
 def _add_model_args(p):
@@ -47,6 +49,10 @@ def _add_model_args(p):
     p.add_argument("--sota", action="store_true",
                    help="use_sota tensor taps (data/prob, softmax gender)")
     p.add_argument("--minsize", type=int, default=40)
+    p.add_argument("--oversample", action="store_true",
+                   help="5-crop oversampling: average age/gender over the "
+                        "base crop + four ±10 px diagonal shifts "
+                        "(facial_analysis.py:248-253, disabled upstream)")
 
 
 def cmd_analyze(args):
@@ -111,6 +117,25 @@ def cmd_video(args):
     if writer is not None:
         writer.release()
     print(f"\nprocessed {n} frames", file=sys.stderr)
+
+
+def cmd_webcam(args):
+    """Live webcam demo (reference ``show_webcam``, facial_analysis.py:
+    607-617): annotate camera frames in a window; ESC quits."""
+    import cv2
+
+    from .pipelines.video import annotated_camera_frames
+
+    analyzer = _build_analyzer(args)
+    try:
+        for annotated, faces in annotated_camera_frames(analyzer,
+                                                        args.camera_index):
+            cv2.imshow("hse_facerec_tf_tpu webcam", cv2.cvtColor(
+                annotated, cv2.COLOR_RGB2BGR))
+            if cv2.waitKey(1) == 27:   # esc to quit (reference :614-615)
+                break
+    finally:
+        cv2.destroyAllWindows()
 
 
 def cmd_album(args):
@@ -425,6 +450,11 @@ def main(argv=None):
     v.add_argument("--frame-skip", type=int, default=5)
     _add_model_args(v)
     v.set_defaults(fn=cmd_video)
+
+    wc = sub.add_parser("webcam", help="live webcam demo (ESC quits)")
+    wc.add_argument("--camera-index", type=int, default=0)
+    _add_model_args(wc)
+    wc.set_defaults(fn=cmd_webcam)
 
     al = sub.add_parser("album", help="organize a photo/video album by person")
     al.add_argument("album_dir")

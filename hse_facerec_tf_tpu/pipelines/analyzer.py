@@ -53,7 +53,8 @@ class FacialAnalyzer:
 
     def __init__(self, mtcnn_params, multihead_params=None, minsize: int = 40,
                  face_size: int = 224, bbox_dilation: int = 10, heads=None,
-                 head_batch: int = 16, **detector_kwargs):
+                 head_batch: int = 16, oversample: bool = False,
+                 **detector_kwargs):
         from .heads import MultiheadHeads
 
         if heads is None:
@@ -71,6 +72,11 @@ class FacialAnalyzer:
         # scatters results back, falling back to a full-width program when
         # more faces than that are valid (analyze() handles the re-run)
         self.head_batch = head_batch
+        # the reference's (upstream-disabled) 5-crop oversampling
+        # (facial_analysis.py:248-253): base box + four ±10 px diagonal
+        # shifts, ages/genders averaged over the five crops, identity
+        # features from the base crop
+        self.oversample = oversample
         self._jitted: Dict[Tuple[int, int, int], object] = {}
 
     @classmethod
@@ -107,26 +113,45 @@ class FacialAnalyzer:
             boxes, scores, points, valid, truncated = detect(img)
             n = boxes.shape[0]
             img_f = img.astype(jnp.float32)
-            # dilate + clip (reference :240-263); box coords here are float
-            x1 = jnp.clip(jnp.floor(boxes[:, 0]) - dil, 0, w)
-            y1 = jnp.clip(jnp.floor(boxes[:, 1]) - dil, 0, h)
-            x2 = jnp.clip(jnp.floor(boxes[:, 2]) + dil, 0, w)
-            y2 = jnp.clip(jnp.floor(boxes[:, 3]) + dil, 0, h)
-            crop_rect = jnp.stack([y1, x1, y2, x2], axis=1)
+            # dilate (reference :240-244); box coords here are float
+            x1 = jnp.floor(boxes[:, 0]) - dil
+            y1 = jnp.floor(boxes[:, 1]) - dil
+            x2 = jnp.floor(boxes[:, 2]) + dil
+            y2 = jnp.floor(boxes[:, 3]) + dil
             # compact to the first k valid boxes: most of a full-width head
             # pass is padding work (a 4-face photo paying 64 multi-head 224²
             # forwards). argsort of ~valid is stable, so valid lanes keep
             # their original order; results scatter back to full width.
             sel = jnp.argsort(~valid)[:k]
-            crops = crop_resize_bilinear(img_f, crop_rect[sel], self.face_size,
+            rect = jnp.stack([y1, x1, y2, x2], axis=1)[sel]   # pre-clip
+            if self.oversample:
+                # base + 4 diagonal ±10 shifts (reference :248-253), each
+                # clipped separately (:255-263)
+                d = 10.0
+                offs = jnp.asarray([[0, 0], [-d, -d], [d, -d], [-d, d], [d, d]],
+                                   jnp.float32)   # (5, [dy, dx])
+                rects = rect[None] + jnp.concatenate([offs, offs], axis=1)[:, None, :]
+            else:
+                rects = rect[None]                              # (1, k, 4)
+            v = rects.shape[0]
+            hw = jnp.asarray([h, w, h, w], jnp.float32)
+            rects = jnp.clip(rects.reshape(v * k, 4), 0.0, hw)
+            crops = crop_resize_bilinear(img_f, rects, self.face_size,
                                          supersample=1, outside="clamp")
-            ages_k, gender_k, identity_k = heads.apply(params, crops)
+            ages_v, gender_v, identity_v = heads.apply(params, crops)
+            # average predictions over the crop variants; identity comes
+            # from the base crop (the reference keeps the last-processed
+            # features, and its boxes[::-1] order ends on the base box)
+            ages_k = ages_v.reshape(v, k).mean(axis=0)
+            gender_k = gender_v.reshape(v, k).mean(axis=0)
+            identity_k = identity_v.reshape(v, k, -1)[0]
             ages = jnp.zeros((n,), ages_k.dtype).at[sel].set(ages_k)
             gender_prob = jnp.zeros((n,), gender_k.dtype).at[sel].set(gender_k)
             identity = jnp.zeros((n, identity_k.shape[1]),
                                  identity_k.dtype).at[sel].set(identity_k)
             head_truncated = jnp.sum(valid) > k
-            dilated = jnp.stack([x1, y1, x2, y2], axis=1)
+            dilated = jnp.stack([jnp.clip(x1, 0, w), jnp.clip(y1, 0, h),
+                                 jnp.clip(x2, 0, w), jnp.clip(y2, 0, h)], axis=1)
             return (boxes, dilated, scores, points, valid, ages,
                     gender_prob, identity, truncated, head_truncated)
 

@@ -202,3 +202,55 @@ def test_analyze_with_rotations_rotated_fixture(analyzer, fixture_img):
     assert [f.bbox for f in faces] == [f.bbox for f in want]
     for got_f, want_f in zip(faces, want):
         assert got_f.age == pytest.approx(want_f.age, abs=1e-6)
+
+
+def test_analyzer_oversampling_semantics(fixture_img):
+    """5-crop oversampling (reference facial_analysis.py:248-253, disabled
+    upstream): base box + four ±10 diagonal shifts of the DILATED box, each
+    clipped, predictions averaged, identity from the base crop. Verified
+    with deterministic crop-content heads against a host recomputation of
+    the offsets/clip/averaging."""
+    import jax.numpy as jnp
+
+    from hse_facerec_tf_tpu.models.mtcnn import import_mtcnn_params
+    from hse_facerec_tf_tpu.ops.resize import crop_resize_bilinear
+
+    class FakeHeads:
+        identity_dim = 3
+        params = {}
+
+        def apply(self, params, crops):
+            ages = crops.mean(axis=(1, 2, 3))
+            gender = crops[:, 0, 0, 0] / 255.0
+            identity = crops.mean(axis=(1, 2))
+            return ages, gender, identity
+
+    mtcnn = import_mtcnn_params(str(MTCNN_PB))
+    over = FacialAnalyzer(mtcnn, heads=FakeHeads(), minsize=40, oversample=True)
+    base = FacialAnalyzer(mtcnn, heads=FakeHeads(), minsize=40)
+    got = over.analyze(fixture_img)
+    plain = base.analyze(fixture_img)
+    assert len(got) == len(plain) >= 2
+
+    h, w = fixture_img.shape[:2]
+    img_f = fixture_img.astype(np.float32)
+    for g in got:
+        x1, y1, x2, y2 = (np.floor(np.asarray(g.raw_bbox))
+                          + np.array([-10, -10, 10, 10]))
+        rects = []
+        for dy, dx in ((0, 0), (-10, -10), (10, -10), (-10, 10), (10, 10)):
+            rects.append([np.clip(y1 + dy, 0, h), np.clip(x1 + dx, 0, w),
+                          np.clip(y2 + dy, 0, h), np.clip(x2 + dx, 0, w)])
+        crops = np.asarray(crop_resize_bilinear(
+            img_f, jnp.asarray(np.asarray(rects, np.float32)), 224,
+            supersample=1, outside="clamp"))
+        want_age = crops.mean(axis=(1, 2, 3)).mean()
+        want_gender = (crops[:, 0, 0, 0] / 255.0).mean()
+        want_identity = crops[0].mean(axis=(0, 1))
+        assert g.age == pytest.approx(want_age, abs=1e-3)
+        assert g.gender_prob == pytest.approx(want_gender, abs=1e-4)
+        np.testing.assert_allclose(g.identity, want_identity, atol=1e-3)
+    # identity must equal the base (non-oversampled) crop's identity
+    for g, p in zip(got, plain):
+        np.testing.assert_allclose(g.identity, p.identity, atol=1e-4)
+        assert g.bbox == p.bbox
