@@ -35,13 +35,17 @@ class MultiheadHeads:
 
     identity_dim = 1024
 
-    def __init__(self, params):
+    def __init__(self, params, precision=jax.lax.Precision.HIGH):
+        # HIGH (bf16_3x) is f32-exact for this model on TPU (bench.py pins
+        # HIGH-vs-HIGHEST embedding cosine > 0.999 every run) and measurably
+        # faster; on CPU all precisions lower to the same f32 kernels.
         self.params = params
+        self.precision = precision
         self._means = jnp.asarray(IMAGENET_MEANS_BGR, dtype=jnp.float32)
 
     def apply(self, params, crops):
         x = crops[..., ::-1] - self._means
-        out = multihead_apply(params, x)
+        out = multihead_apply(params, x, precision=self.precision)
         ages = 1.0 + expected_age_top_k(out.age_probs, k=2)
         return ages, out.gender_prob, out.identity
 
