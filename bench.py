@@ -8,6 +8,7 @@ perf story:
   - detect_ms_per_image     — full MTCNN cascade @640x480, single image
   - detect_batch_ips        — vmapped cascade, batch 8 @640x480
   - analyze_ms_per_image    — fused detect+crop+3-heads program @640x480
+  - analyze_batch8_ips      — vmapped fused analyze, batch 8 (album scan)
   - roofline                — per-path FLOPs / bytes (XLA cost analysis),
                               achieved TFLOP/s and GB/s, % of v5e peak, and
                               the implied bound (HBM vs MXU)
@@ -231,7 +232,9 @@ def bench_detection(chain=40):
 
 
 def bench_analyze(img, chain=40):
-    """Fused detect+crop+3-heads program @640x480 (the analyze CLI path)."""
+    """Fused detect+crop+3-heads program @640x480: single-image ms (the
+    analyze CLI path) and the vmapped batch-8 images/sec (the album-scan
+    path, AlbumOrganizer.scan_album batching)."""
     import jax
     import jax.numpy as jnp
 
@@ -253,7 +256,17 @@ def bench_analyze(img, chain=40):
     flops, bytes_ = _cost_analysis(
         jax.jit(lambda a: fn(params, a)).lower(x).compile())
     roofline = _roofline_entry(flops, bytes_, ips)
-    return 1000.0 / ips, roofline
+
+    nb = 8
+    bfn = analyzer._analyze_batch_fn(480, 640)
+
+    def step_batch(eps, xb):
+        out = bfn(params, xb + eps)
+        return jnp.sum(out[5]) + jnp.sum(out[6])
+    many_b = _chain_fori(step_batch, chain)
+    xb = jnp.asarray(np.tile(img.astype(np.float32)[None], (nb, 1, 1, 1)))
+    batch_ips = _time_chained(many_b, xb, chain, nb * chain)
+    return 1000.0 / ips, batch_ips, roofline
 
 
 def bench_knn(chain=6):
@@ -315,7 +328,7 @@ def main():
     assert cos.min() > 0.999, f"fast-path embedding drift: cosine {cos.min()}"
 
     detect_ms, detect_batch_ips, img640, roof_detect = bench_detection()
-    analyze_ms, roof_analyze = bench_analyze(img640)
+    analyze_ms, analyze_batch_ips, roof_analyze = bench_analyze(img640)
     knn_pallas_ms, knn_xla_ms = bench_knn()
 
     try:
@@ -333,6 +346,7 @@ def main():
             "detect_ms_per_image_640x480": round(detect_ms, 2),
             "detect_batch8_ips_640x480": round(detect_batch_ips, 1),
             "analyze_ms_per_image_640x480": round(analyze_ms, 2),
+            "analyze_batch8_ips_640x480": round(analyze_batch_ips, 1),
             "knn_8kx1M_pallas_ms": round(knn_pallas_ms, 1),
             "knn_8kx1M_chunked_xla_ms": round(knn_xla_ms, 1),
             "roofline": {

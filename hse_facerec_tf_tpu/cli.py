@@ -151,7 +151,7 @@ def cmd_album(args):
     if args.threshold is not None:
         cfg.distance_threshold = args.threshold
     analyzer = _build_analyzer(args)
-    organizer = AlbumOrganizer(analyzer, cfg)
+    organizer = AlbumOrganizer(analyzer, cfg, analyze_batch=args.batch_size)
     result = organizer.process_album(args.album_dir, use_cache=not args.no_cache)
     print(json.dumps({k: v for k, v in result.items() if k != "clusters"}, indent=2))
     print(f"{len(result['clusters'])} clusters -> {args.album_dir}/clusters/")
@@ -461,6 +461,9 @@ def main(argv=None):
     al.add_argument("--config", default=None, help="reference-format config.txt")
     al.add_argument("--threshold", type=float, default=None)
     al.add_argument("--no-cache", action="store_true")
+    al.add_argument("--batch-size", type=int, default=8,
+                    help="photos per fused vmapped analyze program "
+                         "(same-shape photos batch together; 1 = sequential)")
     _add_model_args(al)
     al.set_defaults(fn=cmd_album)
 

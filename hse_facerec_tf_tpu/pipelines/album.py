@@ -82,21 +82,23 @@ def fused_distance_matrix(features: np.ndarray, born_years: np.ndarray,
 
 
 class AlbumOrganizer:
-    def __init__(self, analyzer: FacialAnalyzer, config: Optional[AlbumConfig] = None):
+    """``analyze_batch``: photos sharing a (H, W) shape are analyzed in fused
+    vmapped batches of this size (padding partial batches so each shape
+    compiles exactly one program). 1 disables batching (the reference's
+    photo-at-a-time loop, ``process_photos.py:238-261``)."""
+
+    def __init__(self, analyzer: FacialAnalyzer, config: Optional[AlbumConfig] = None,
+                 analyze_batch: int = 8):
         self.analyzer = analyzer
         self.config = config or AlbumConfig()
+        self.analyze_batch = max(1, int(analyze_batch))
 
     # ---------- per-item processing ----------
 
-    def _process_photo(self, img: np.ndarray):
-        """One photo -> (face_crops_224, ages, genders, normed_features,
-        has_big_face). Mirrors reference ``process_image`` (:30-42)."""
-        faces, rotation = self.analyzer.analyze_with_rotations(img)
-        if rotation:
-            # face boxes are in rotated-image coordinates — crop from the same
-            # orientation the detector saw (reference rotates the photo itself,
-            # process_photos.py:241-247)
-            img = np.ascontiguousarray(np.rot90(img, 3 if rotation == 90 else 1))
+    def _faces_to_outputs(self, img: np.ndarray, faces):
+        """Host-side per-photo assembly from FaceResults: 224² crops, ages,
+        genders, L2-normed features, big-face flag (reference ``process_image``
+        :30-42)."""
         width = img.shape[1]
         crops, ages, genders, feats = [], [], [], []
         has_center_face = False
@@ -113,6 +115,17 @@ class AlbumOrganizer:
             if (x2 - x1) / width >= self.config.min_face_width_percent:
                 has_center_face = True
         return crops, ages, genders, feats, has_center_face
+
+    def _process_photo(self, img: np.ndarray):
+        """One photo -> (face_crops_224, ages, genders, normed_features,
+        has_big_face). Mirrors reference ``process_image`` (:30-42)."""
+        faces, rotation = self.analyzer.analyze_with_rotations(img)
+        if rotation:
+            # face boxes are in rotated-image coordinates — crop from the same
+            # orientation the detector saw (reference rotates the photo itself,
+            # process_photos.py:241-247)
+            img = np.ascontiguousarray(np.rot90(img, 3 if rotation == 90 else 1))
+        return self._faces_to_outputs(img, faces)
 
     def process_video(self, path: str, mdate: time.struct_time):
         """Frame loop with adaptive skip; cluster within the clip; return
@@ -169,6 +182,45 @@ class AlbumOrganizer:
 
     # ---------- album scan ----------
 
+    def _analyze_photos(self, album_dir: str, files: List[str]) -> Dict[int, Tuple]:
+        """Analyze every photo, batching same-shape photos through the fused
+        vmapped program. Photos where the batch pass finds no face fall back
+        to the single-image path with the reference's 90°/270° rotation retry
+        (``process_photos.py:241-247``). Returns {photo_index: per-photo
+        outputs} (see ``_faces_to_outputs``)."""
+        per_photo: Dict[int, Tuple] = {}
+        if self.analyze_batch <= 1:
+            for i, f in enumerate(files):
+                per_photo[i] = self._process_photo(imread_rgb(os.path.join(album_dir, f)))
+            return per_photo
+
+        def flush(bucket):
+            idxs = [i for i, _ in bucket]
+            imgs = np.stack([im for _, im in bucket])
+            pad = self.analyze_batch - len(bucket)
+            if pad:   # pad partial batches: one compiled program per shape
+                imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, axis=0)])
+            all_faces = self.analyzer.analyze_batch(imgs)
+            for (i, im), faces in zip(bucket, all_faces):
+                if faces:
+                    per_photo[i] = self._faces_to_outputs(im, faces)
+                else:
+                    per_photo[i] = self._process_photo(im)   # rotation retry
+
+        buckets: Dict[Tuple[int, int], list] = {}
+        for i, f in enumerate(files):
+            img = imread_rgb(os.path.join(album_dir, f))
+            shape = (img.shape[0], img.shape[1])
+            bucket = buckets.setdefault(shape, [])
+            bucket.append((i, img))
+            if len(bucket) == self.analyze_batch:
+                flush(bucket)
+                buckets[shape] = []
+        for bucket in buckets.values():
+            if bucket:
+                flush(bucket)
+        return per_photo
+
     def scan_album(self, album_dir: str, use_cache: bool = True) -> AlbumFaces:
         cache = os.path.join(album_dir, "features.npz")
         files = sorted(f for f in next(os.walk(album_dir))[2] if is_image(f))
@@ -184,11 +236,11 @@ class AlbumOrganizer:
 
         mtimes = [os.path.getmtime(os.path.join(album_dir, f)) for f in files]
         mdates = [time.gmtime(t) for t in mtimes]
+        per_photo = self._analyze_photos(album_dir, files)
         facial_images, born_years, genders, features, indices, private = \
             [], [], [], [], [], []
-        for i, f in enumerate(files):
-            img = imread_rgb(os.path.join(album_dir, f))
-            crops, ages, g, feats, big_face = self._process_photo(img)
+        for i in range(len(files)):
+            crops, ages, g, feats, big_face = per_photo[i]
             if big_face:
                 private.append(i)
             facial_images.extend(crops)

@@ -77,7 +77,8 @@ class FacialAnalyzer:
         # shifts, ages/genders averaged over the five crops, identity
         # features from the base crop
         self.oversample = oversample
-        self._jitted: Dict[Tuple[int, int, int], object] = {}
+        self._jitted: Dict[Tuple, object] = {}
+        self._cores: Dict[Tuple[int, int, int], object] = {}
 
     @classmethod
     def from_reference_models(cls, mtcnn_pb: str, agegender_pb: str, **kwargs):
@@ -155,23 +156,28 @@ class FacialAnalyzer:
             return (boxes, dilated, scores, points, valid, ages,
                     gender_prob, identity, truncated, head_truncated)
 
+        self._cores[key] = fn
         self._jitted[key] = jax.jit(fn)
         return self._jitted[key]
 
-    def analyze(self, img: np.ndarray) -> List[FaceResult]:
-        """RGB uint8/float (H, W, 3) -> per-face results."""
-        h, w = img.shape[:2]
-        fn = self._analyze_fn(h, w)
-        out = fn(self.mh_params, jnp.asarray(img))
-        if bool(out[9]) and self.head_batch < self.detector.max_stage3:
-            # more valid faces than the compact head budget: re-run the
-            # full-width program (compiled once, cached) so every face gets
-            # real head outputs
-            fn = self._analyze_fn(h, w, self.detector.max_stage3)
-            out = fn(self.mh_params, jnp.asarray(img))
+    def _analyze_batch_fn(self, h: int, w: int, head_batch: Optional[int] = None):
+        """vmapped fused program: (params, (N, h, w, 3)) -> per-image outputs
+        stacked on a leading axis. One XLA program for the whole batch — the
+        album-scan throughput path (the reference loops per photo,
+        ``process_photos.py:238-261``)."""
+        k = head_batch or self.head_batch
+        key = ("batch", h, w, k)
+        if key not in self._jitted:
+            self._analyze_fn(h, w, k)   # builds the shared core
+            core = self._cores[(h, w, k)]
+            self._jitted[key] = jax.jit(jax.vmap(core, in_axes=(None, 0)))
+        return self._jitted[key]
+
+    @staticmethod
+    def _assemble_results(out_np) -> List[FaceResult]:
+        """One image's host-side arrays -> FaceResult list."""
         (boxes, dilated, scores, points, valid, ages, genders, identity,
-         truncated, _) = [np.asarray(a) for a in out]
-        self.detector._warn_truncated(bool(truncated))
+         _, _) = out_np
         results = []
         for i in np.where(valid)[0]:
             x1, y1, x2, y2 = boxes[i, :4]
@@ -186,6 +192,43 @@ class FacialAnalyzer:
                 identity=identity[i],
                 landmarks=points[i],
             ))
+        return results
+
+    def analyze(self, img: np.ndarray) -> List[FaceResult]:
+        """RGB uint8/float (H, W, 3) -> per-face results."""
+        h, w = img.shape[:2]
+        fn = self._analyze_fn(h, w)
+        out = fn(self.mh_params, jnp.asarray(img))
+        if bool(out[9]) and self.head_batch < self.detector.max_stage3:
+            # more valid faces than the compact head budget: re-run the
+            # full-width program (compiled once, cached) so every face gets
+            # real head outputs
+            fn = self._analyze_fn(h, w, self.detector.max_stage3)
+            out = fn(self.mh_params, jnp.asarray(img))
+        out_np = [np.asarray(a) for a in out]
+        self.detector._warn_truncated(bool(out_np[8]))
+        return self._assemble_results(out_np)
+
+    def analyze_batch(self, images: np.ndarray) -> List[List[FaceResult]]:
+        """Uniform-size RGB batch (N, H, W, 3) -> per-image FaceResult lists.
+
+        Runs the whole batch as ONE fused XLA program (vmapped detect + crop
+        + heads). Lanes whose valid-face count exceeds the compact head
+        budget are re-analyzed individually through the full-width
+        single-image program (rare). Each distinct (N, H, W) compiles once —
+        callers batching a stream should pad to a fixed N (see
+        ``AlbumOrganizer.scan_album``)."""
+        images = np.asarray(images)
+        n, h, w = images.shape[0], images.shape[1], images.shape[2]
+        fn = self._analyze_batch_fn(h, w)
+        out = [np.asarray(a) for a in fn(self.mh_params, jnp.asarray(images))]
+        self.detector._warn_truncated(bool(out[8].any()))
+        results = []
+        for i in range(n):
+            if bool(out[9][i]) and self.head_batch < self.detector.max_stage3:
+                results.append(self.analyze(images[i]))
+            else:
+                results.append(self._assemble_results([a[i] for a in out]))
         return results
 
     def analyze_with_rotations(self, img: np.ndarray) -> Tuple[List[FaceResult], int]:

@@ -94,21 +94,55 @@ class EmbeddingExtractor:
             out.append(np.asarray(fn(self.params, jnp.asarray(chunk))))
         return np.concatenate(out)[:n]
 
-    def extract_files(self, paths: Sequence[str], loader=None) -> np.ndarray:
-        """Decode + group by source size + extract; order preserved."""
+    def extract_files(self, paths: Sequence[str], loader=None,
+                      decode_workers: int = 4) -> np.ndarray:
+        """Streamed file extraction, order preserved: threaded JPEG decode
+        (``utils/prefetch.bounded_thread_map``) feeds per-source-size batch
+        buckets; full buckets dispatch to the device WITHOUT blocking (JAX
+        async dispatch), so host decode of the next batch overlaps device
+        compute of the current one. Memory stays bounded by
+        decode depth + open buckets — the reference decodes serially, one
+        image per ``sess.run`` (``facerec_test.py:390-394``).
+
+        ``decode_workers=0`` decodes inline (deterministic single-thread)."""
         from ..utils.image_io import imread_rgb
+        from ..utils.prefetch import bounded_thread_map
 
         loader = loader or imread_rgb
-        imgs = [loader(p) for p in paths]
-        by_size: Dict[Tuple[int, int], List[int]] = {}
-        for i, im in enumerate(imgs):
-            by_size.setdefault(im.shape[:2], []).append(i)
-        dim: Optional[int] = None
-        feats: List[Optional[np.ndarray]] = [None] * len(imgs)
-        for size, idxs in by_size.items():
-            batch = np.stack([imgs[i] for i in idxs])
-            emb = self.extract_batch(batch)
-            dim = emb.shape[1]
-            for j, i in enumerate(idxs):
-                feats[i] = emb[j]
+        feats: List[Optional[np.ndarray]] = [None] * len(paths)
+        buckets: Dict[Tuple[int, int], List[Tuple[int, np.ndarray]]] = {}
+        in_flight: List[Tuple[List[int], int, object]] = []
+
+        def dispatch(bucket):
+            idxs = [i for i, _ in bucket]
+            batch = np.stack([im for _, im in bucket])
+            in_hw = (batch.shape[1], batch.shape[2])
+            fn = self._fn_for(in_hw)
+            padded, n = pad_batch(batch, self.batch_size)
+            for s in range(0, len(padded), self.batch_size):
+                chunk_idxs = idxs[s : s + self.batch_size]
+                dev = fn(self.params, jnp.asarray(padded[s : s + self.batch_size]))
+                in_flight.append((chunk_idxs, len(chunk_idxs), dev))
+
+        def drain():
+            for idxs, n, dev in in_flight:
+                emb = np.asarray(dev)[:n]
+                for j, i in enumerate(idxs):
+                    feats[i] = emb[j]
+            in_flight.clear()
+
+        for i, img in enumerate(bounded_thread_map(loader, paths,
+                                                   workers=decode_workers,
+                                                   depth=2 * self.batch_size)):
+            bucket = buckets.setdefault(img.shape[:2], [])
+            bucket.append((i, img))
+            if len(bucket) == self.batch_size:
+                dispatch(bucket)
+                buckets[img.shape[:2]] = []
+            if len(in_flight) >= 2:   # bound device-side queueing + host copies
+                drain()
+        for bucket in buckets.values():
+            if bucket:
+                dispatch(bucket)
+        drain()
         return np.stack(feats)

@@ -57,6 +57,38 @@ def test_analyzer_head_compaction_fallback(analyzer, fixture_img):
         np.testing.assert_allclose(a.identity, b.identity, atol=1e-4)
 
 
+def test_analyze_batch_matches_single(analyzer, fixture_img, rng):
+    """The vmapped fused batch program must reproduce the single-image
+    program's results lane-for-lane, including a no-face lane."""
+    img2 = np.clip(fixture_img.astype(np.int16) + 8, 0, 255).astype(np.uint8)
+    noise = (rng.rand(*fixture_img.shape) * 255).astype(np.uint8)
+    batch = np.stack([fixture_img, img2, noise])
+    got = analyzer.analyze_batch(batch)
+    want = [analyzer.analyze(im) for im in batch]
+    assert [len(g) for g in got] == [len(w) for w in want]
+    assert len(got[0]) >= 2 and len(got[2]) == 0
+    for g_faces, w_faces in zip(got, want):
+        for g, w in zip(g_faces, w_faces):
+            assert g.bbox == w.bbox
+            assert g.age == pytest.approx(w.age, abs=1e-4)
+            assert g.gender_prob == pytest.approx(w.gender_prob, abs=1e-5)
+            np.testing.assert_allclose(g.identity, w.identity, atol=1e-3)
+
+
+def test_analyze_batch_head_compaction_fallback(fixture_img):
+    """A lane with more valid faces than the compact head budget must be
+    re-analyzed through the full-width single-image path."""
+    small = FacialAnalyzer.from_reference_models(str(MTCNN_PB), str(AGEGENDER_PB),
+                                                 minsize=40, head_batch=2)
+    got = small.analyze_batch(np.stack([fixture_img, fixture_img]))
+    want = small.analyze(fixture_img)
+    assert len(want) > 2
+    for g_faces in got:
+        assert [f.bbox for f in g_faces] == [f.bbox for f in want]
+        for g, w in zip(g_faces, want):
+            assert g.age == pytest.approx(w.age, abs=1e-4)
+
+
 def test_analyzer_matches_host_crop_path(analyzer, fixture_img):
     """Fused on-device crop+multihead ≈ host cv2 crop + direct model call
     (the reference's two-step path, facial_analysis.py:264-284)."""
@@ -128,6 +160,28 @@ def test_album_organizer(analyzer, fixture_img, tmp_path_factory, rng):
     pub = res_dir / "public"
     assert "c.jpg" in os.listdir(pub)
     assert cv2.imread(str(pub / "c.jpg")).shape[1] == 200
+
+
+def test_album_batched_scan_matches_sequential(analyzer, fixture_img,
+                                               tmp_path_factory, rng):
+    """Batched same-shape analysis (with partial-bucket padding and the
+    no-face fallback) must produce the same album features as the
+    reference-style photo-at-a-time loop."""
+    album = tmp_path_factory.mktemp("album_batched")
+    img2 = np.clip(fixture_img.astype(np.int16) + 8, 0, 255).astype(np.uint8)
+    noise = (rng.rand(240, 320, 3) * 255).astype(np.uint8)   # different shape
+    cv2.imwrite(str(album / "a.jpg"), cv2.cvtColor(fixture_img, cv2.COLOR_RGB2BGR))
+    cv2.imwrite(str(album / "b.jpg"), cv2.cvtColor(img2, cv2.COLOR_RGB2BGR))
+    cv2.imwrite(str(album / "c.jpg"), cv2.cvtColor(noise, cv2.COLOR_RGB2BGR))
+
+    batched = AlbumOrganizer(analyzer, AlbumConfig(), analyze_batch=2)
+    seq = AlbumOrganizer(analyzer, AlbumConfig(), analyze_batch=1)
+    fb = batched.scan_album(str(album), use_cache=False)
+    fs = seq.scan_album(str(album), use_cache=False)
+    assert fb.indices == fs.indices
+    np.testing.assert_allclose(fb.features, fs.features, atol=1e-3)
+    np.testing.assert_allclose(fb.born_years, fs.born_years, atol=1e-3)
+    assert fb.private_photo_indices == fs.private_photo_indices
 
 
 def test_album_cache_roundtrip(analyzer, fixture_img, tmp_path_factory):

@@ -48,6 +48,60 @@ def test_extract_sharded_mesh(mh_params, rng):
     np.testing.assert_allclose(feats, feats1, atol=1e-3)
 
 
+def test_bounded_thread_map_order_and_bound():
+    """Results come back in input order; in-flight work never exceeds depth
+    (submission is throttled, unlike ThreadPoolExecutor.map)."""
+    import threading
+
+    from hse_facerec_tf_tpu.utils.prefetch import bounded_thread_map
+
+    lock = threading.Lock()
+    live = 0
+    max_live = 0
+
+    def work(x):
+        nonlocal live, max_live
+        with lock:
+            live += 1
+            max_live = max(max_live, live)
+        out = x * x
+        with lock:
+            live -= 1
+        return out
+
+    got = list(bounded_thread_map(work, range(100), workers=4, depth=6))
+    assert got == [x * x for x in range(100)]
+    assert max_live <= 6
+    # inline mode
+    assert list(bounded_thread_map(work, range(5), workers=0)) == [0, 1, 4, 9, 16]
+
+
+def test_extract_files_streamed_matches_batch(mh_params, rng, tmp_path):
+    """The streamed file loader (threaded decode + async device dispatch +
+    size buckets) must reproduce extract_batch exactly, across mixed source
+    sizes, partial buckets, and both worker modes."""
+    import cv2
+
+    sizes = [(100, 100), (80, 120), (100, 100), (100, 100), (80, 120),
+             (100, 100), (100, 100)]
+    paths, imgs = [], []
+    for i, (h, w) in enumerate(sizes):
+        img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        p = str(tmp_path / f"img_{i}.png")
+        cv2.imwrite(p, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+        paths.append(p)
+        imgs.append(img)
+
+    ex = EmbeddingExtractor(identity_fn, mh_params, (224, 224),
+                            normalization="vggface2", resize_method="cv2_linear",
+                            batch_size=3)
+    want = np.stack([ex.extract_batch(im[None])[0] for im in imgs])
+    got = ex.extract_files(paths, decode_workers=4)
+    np.testing.assert_allclose(got, want, atol=1e-3)
+    got0 = ex.extract_files(paths, decode_workers=0)
+    np.testing.assert_allclose(got0, want, atol=1e-3)
+
+
 def _synthetic_classes(rng, n_classes=12, per_class=6, dim=64, noise=0.15):
     centers = rng.randn(n_classes, dim).astype(np.float32)
     feats, labels = [], []
