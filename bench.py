@@ -9,6 +9,7 @@ perf story:
   - detect_batch_ips        — vmapped cascade, batch 8 @640x480
   - analyze_ms_per_image    — fused detect+crop+3-heads program @640x480
   - analyze_batch8_ips      — vmapped fused analyze, batch 8 (album scan)
+  - train_face_id_ips       — fused face-ID train step, batch 256, 9131-way
   - roofline                — per-path FLOPs / bytes (XLA cost analysis),
                               achieved TFLOP/s and GB/s, % of v5e peak, and
                               the implied bound (HBM vs MXU)
@@ -269,6 +270,49 @@ def bench_analyze(img, chain=40):
     return 1000.0 / ips, batch_ips, roofline
 
 
+def bench_train(chain=8, batch=256, size=224, n_classes=9131):
+    """Face-ID training throughput: the full fused train step (augment +
+    bf16 forward + backward + Adam + BN-stat update) at the reference's
+    class count (VGGFace2, 9131 — ``facerec_test.py:325-334``) and image
+    size. Steps chain via lax.scan inside one jit (state-carried), so the
+    tunnel RTT amortizes exactly as in a real epoch loop."""
+    import jax
+    import jax.numpy as jnp
+
+    from hse_facerec_tf_tpu.config import TrainConfig
+    from hse_facerec_tf_tpu.models.mobilenet import init_mobilenet_params
+    from hse_facerec_tf_tpu.train.augment import AugmentConfig
+    from hse_facerec_tf_tpu.train.face_id import make_optimizer, make_train_step
+
+    cfg = TrainConfig()
+    optimizer = make_optimizer(cfg)
+    step = make_train_step(cfg, optimizer, AugmentConfig())
+    params = init_mobilenet_params(jax.random.PRNGKey(1), n_classes=n_classes)
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def many(params, opt_state, keys, images, labels):
+        def body(carry, key):
+            p, o = carry
+            p, o, m = step(p, o, key, images, labels)
+            return (p, o), m["loss"]
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), keys)
+        return losses[-1]
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(batch, size, size, 3).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, n_classes, batch))
+    keys = jax.random.split(jax.random.PRNGKey(0), chain)
+    loss = np.asarray(many(params, opt_state, keys, images, labels))
+    assert np.isfinite(loss), f"train bench diverged: loss={loss}"
+    t0 = time.perf_counter()
+    iters = 3
+    for _ in range(iters):
+        np.asarray(many(params, opt_state, keys, images, labels))
+    return batch * chain * iters / (time.perf_counter() - t0)
+
+
 def bench_knn(chain=6):
     """Matrix-free Pallas 1-NN at its design point — 8192 probes × 1M × 512-d
     gallery, where the XLA path's (M, N) f32 matrix (32 GB) exceeds HBM —
@@ -330,6 +374,7 @@ def main():
     detect_ms, detect_batch_ips, img640, roof_detect = bench_detection()
     analyze_ms, analyze_batch_ips, roof_analyze = bench_analyze(img640)
     knn_pallas_ms, knn_xla_ms = bench_knn()
+    train_ips = bench_train()
 
     try:
         cpu_ips = measure_cpu_baseline()
@@ -347,6 +392,7 @@ def main():
             "detect_batch8_ips_640x480": round(detect_batch_ips, 1),
             "analyze_ms_per_image_640x480": round(analyze_ms, 2),
             "analyze_batch8_ips_640x480": round(analyze_batch_ips, 1),
+            "train_face_id_ips_bs256": round(train_ips, 1),
             "knn_8kx1M_pallas_ms": round(knn_pallas_ms, 1),
             "knn_8kx1M_chunked_xla_ms": round(knn_xla_ms, 1),
             "roofline": {

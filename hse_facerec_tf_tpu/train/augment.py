@@ -53,28 +53,53 @@ def _sample_affine(key, cfg: AugmentConfig, h: int, w: int) -> jnp.ndarray:
                       [c, d, cy - c * (cx + tx) - d * (cy + ty)]])
 
 
+def _tri(t):
+    """Bilinear (hat) kernel."""
+    return jnp.maximum(0.0, 1.0 - jnp.abs(t))
+
+
 def _warp_one(img, mat, fill):
+    """Inverse-affine bilinear warp as TWO per-line matmul resamplings
+    (Catmull-Smith two-pass decomposition) instead of a 2-D point gather.
+
+    TPU point-gathers execute as scalar loads — the 4-tap gather form of
+    this warp ran the whole augmentation at ~340 img/s, 18x slower than the
+    entire fused train step it feeds. Decomposing the affine into a vertical
+    then a horizontal shear-scale pass turns each into ``out_line = W @
+    in_line`` with per-line hat-function weight matrices (built on the fly
+    in bf16) that run on the MXU — same trick as ops/resize.py's crop
+    kernel, measured ~25x faster end-to-end. The two-pass form is exact for
+    axis-aligned transforms and adds only sub-pixel smoothing under
+    shear/rotation (augmentation noise, not a parity surface). Valid for
+    |m00| bounded away from 0 — true for the reference's augmentation
+    ranges (rotation <= 10 deg, zoom <= 1.2: |m00| >= 0.8).
+    """
     h, w, _ = img.shape
-    ys = jnp.arange(h, dtype=jnp.float32)
+    m00, m01, m02 = mat[0, 0], mat[0, 1], mat[0, 2]
+    m10, m11, m12 = mat[1, 0], mat[1, 1], mat[1, 2]
+    # x_in = m00*xo + m01*yo + m02 ; y_in = m10*xo + m11*yo + m12.
+    # Pass A (vertical, on original columns):  IA(o, x) = I(a*o + b*x + g, x)
+    # Pass B (horizontal, on IA rows):         out(y, xo) = IA(y, m00*xo + m01*y + m02)
+    # Composing: b*m00 = m10, a + b*m01 = m11, g + b*m02 = m12.
+    m00_safe = jnp.where(jnp.abs(m00) < 1e-3,
+                         jnp.where(m00 < 0, -1e-3, 1e-3), m00)
+    b = m10 / m00_safe
+    a = m11 - b * m01
+    g = m12 - b * m02
+    yo = jnp.arange(h, dtype=jnp.float32)
     xs = jnp.arange(w, dtype=jnp.float32)
-    gx, gy = jnp.meshgrid(xs, ys)
-    sx = mat[0, 0] * gx + mat[0, 1] * gy + mat[0, 2]
-    sy = mat[1, 0] * gx + mat[1, 1] * gy + mat[1, 2]
-    x0 = jnp.floor(sx)
-    y0 = jnp.floor(sy)
-    wx = sx - x0
-    wy = sy - y0
+
+    r = jnp.clip(a * yo[:, None] + b * xs[None, :] + g, 0.0, h - 1.0)  # (Ho, W)
+    wa = _tri(r[:, :, None] - jnp.arange(h, dtype=jnp.float32)[None, None, :])
+    ia = jnp.einsum("oxi,ixc->oxc", wa.astype(jnp.bfloat16), img)      # (Ho, W, C)
+
+    c = jnp.clip(m00 * xs[None, :] + m01 * yo[:, None] + m02, 0.0, w - 1.0)
+    wb = _tri(c[:, :, None] - jnp.arange(w, dtype=jnp.float32)[None, None, :])
+    out = jnp.einsum("yoi,yic->yoc", wb.astype(jnp.bfloat16), ia)      # (H, Wo, C)
+
+    sx = m00 * xs[None, :] + m01 * yo[:, None] + m02
+    sy = m10 * xs[None, :] + m11 * yo[:, None] + m12
     valid = (sx >= 0) & (sx <= w - 1) & (sy >= 0) & (sy <= h - 1)
-
-    def at(yi, xi):
-        yi = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
-        xi = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
-        return img[yi, xi]
-
-    out = (at(y0, x0) * ((1 - wx) * (1 - wy))[..., None]
-           + at(y0, x0 + 1) * (wx * (1 - wy))[..., None]
-           + at(y0 + 1, x0) * ((1 - wx) * wy)[..., None]
-           + at(y0 + 1, x0 + 1) * (wx * wy)[..., None])
     return jnp.where(valid[..., None], out, fill)
 
 

@@ -45,6 +45,44 @@ def test_augment_batch_shapes_and_variation(rng):
     np.testing.assert_allclose(out3, imgs, atol=1e-5)
 
 
+def test_augment_two_pass_matches_direct_warp(rng):
+    """The MXU two-pass (Catmull-Smith) warp must agree with a direct
+    single-pass bilinear inverse-affine warp (host numpy) up to the
+    sub-pixel smoothing the decomposition introduces — tight on smooth
+    images (real photos), which is what augmentation sees."""
+    import jax.numpy as jnp
+    from scipy.ndimage import gaussian_filter
+
+    from hse_facerec_tf_tpu.train.augment import _sample_affine, _warp_one
+
+    img = gaussian_filter(rng.rand(48, 56, 3).astype(np.float32), (2, 2, 0))
+
+    def warp_ref(img, mat, fill=0.0):
+        h, w, _ = img.shape
+        gx, gy = np.meshgrid(np.arange(w), np.arange(h))
+        sx = mat[0, 0] * gx + mat[0, 1] * gy + mat[0, 2]
+        sy = mat[1, 0] * gx + mat[1, 1] * gy + mat[1, 2]
+        x0, y0 = np.floor(sx), np.floor(sy)
+        wx, wy = sx - x0, sy - y0
+        valid = (sx >= 0) & (sx <= w - 1) & (sy >= 0) & (sy <= h - 1)
+
+        def at(yi, xi):
+            return img[np.clip(yi, 0, h - 1).astype(int),
+                       np.clip(xi, 0, w - 1).astype(int)]
+
+        out = (at(y0, x0) * ((1 - wx) * (1 - wy))[..., None]
+               + at(y0, x0 + 1) * (wx * (1 - wy))[..., None]
+               + at(y0 + 1, x0) * ((1 - wx) * wy)[..., None]
+               + at(y0 + 1, x0 + 1) * (wx * wy)[..., None])
+        return np.where(valid[..., None], out, fill)
+
+    for s in range(5):
+        mat = np.asarray(_sample_affine(jax.random.PRNGKey(s), AugmentConfig(),
+                                        48, 56))
+        got = np.asarray(_warp_one(jnp.asarray(img), jnp.asarray(mat), 0.0))
+        np.testing.assert_allclose(got, warp_ref(img, mat), atol=0.02)
+
+
 def test_face_id_training_learns(rng):
     images, labels = _toy_face_data(rng)
     cfg = TrainConfig(batch_size=8, learning_rate=3e-3)
