@@ -53,7 +53,7 @@ class FacialAnalyzer:
 
     def __init__(self, mtcnn_params, multihead_params=None, minsize: int = 40,
                  face_size: int = 224, bbox_dilation: int = 10, heads=None,
-                 head_batch: int = 16, oversample: bool = False,
+                 head_batch: int = 16, oversample: bool = False, mesh=None,
                  **detector_kwargs):
         from .heads import MultiheadHeads
 
@@ -61,6 +61,10 @@ class FacialAnalyzer:
             if multihead_params is None:
                 raise ValueError("pass multihead_params or heads")
             heads = MultiheadHeads(multihead_params)
+        # optional device mesh: analyze_batch shards images over the 'data'
+        # axis (pure batch DP — no cross-image communication exists in the
+        # cascade, so scaling is embarrassingly parallel over ICI)
+        self.mesh = mesh
         self.detector = MTCNNDetector(mtcnn_params, minsize=minsize, **detector_kwargs)
         self.heads = heads
         self.mh_params = heads.params
@@ -160,17 +164,32 @@ class FacialAnalyzer:
         self._jitted[key] = jax.jit(fn)
         return self._jitted[key]
 
-    def _analyze_batch_fn(self, h: int, w: int, head_batch: Optional[int] = None):
+    def _analyze_batch_fn(self, h: int, w: int, head_batch: Optional[int] = None,
+                          mesh=None):
         """vmapped fused program: (params, (N, h, w, 3)) -> per-image outputs
         stacked on a leading axis. One XLA program for the whole batch — the
         album-scan throughput path (the reference loops per photo,
-        ``process_photos.py:238-261``)."""
+        ``process_photos.py:238-261``).
+
+        With ``mesh``, the program is GSPMD-sharded: images split over the
+        'data' axis (params replicated), every per-image stage — pyramid,
+        P/R/O nets, masked NMS loops, crops, heads — runs fully
+        batch-parallel across devices with no cross-image collectives."""
         k = head_batch or self.head_batch
-        key = ("batch", h, w, k)
+        key = ("batch", h, w, k, id(mesh) if mesh is not None else None)
         if key not in self._jitted:
             self._analyze_fn(h, w, k)   # builds the shared core
             core = self._cores[(h, w, k)]
-            self._jitted[key] = jax.jit(jax.vmap(core, in_axes=(None, 0)))
+            vfn = jax.vmap(core, in_axes=(None, 0))
+            if mesh is not None:
+                from ..parallel.sharding import batch_sharding, replicated
+
+                out_s = batch_sharding(mesh)   # every output is per-image
+                self._jitted[key] = jax.jit(
+                    vfn, in_shardings=(replicated(mesh), batch_sharding(mesh)),
+                    out_shardings=tuple([out_s] * 10))
+            else:
+                self._jitted[key] = jax.jit(vfn)
         return self._jitted[key]
 
     @staticmethod
@@ -220,7 +239,7 @@ class FacialAnalyzer:
         ``AlbumOrganizer.scan_album``)."""
         images = np.asarray(images)
         n, h, w = images.shape[0], images.shape[1], images.shape[2]
-        fn = self._analyze_batch_fn(h, w)
+        fn = self._analyze_batch_fn(h, w, mesh=self.mesh)
         out = [np.asarray(a) for a in fn(self.mh_params, jnp.asarray(images))]
         self.detector._warn_truncated(bool(out[8].any()))
         results = []

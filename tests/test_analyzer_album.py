@@ -89,6 +89,36 @@ def test_analyze_batch_head_compaction_fallback(fixture_img):
             assert g.age == pytest.approx(w.age, abs=1e-4)
 
 
+def test_analyze_batch_sharded_mesh(analyzer, fixture_img, rng):
+    """analyze_batch GSPMD-sharded over an 8-device 'data' mesh must equal
+    the single-device batch path (pure batch DP — the cascade has no
+    cross-image communication)."""
+    from hse_facerec_tf_tpu.models.mtcnn import import_mtcnn_params
+    from hse_facerec_tf_tpu.models.multihead import import_multihead_params
+    from hse_facerec_tf_tpu.parallel.sharding import make_mesh
+
+    mesh = make_mesh()   # 8 virtual CPU devices (conftest)
+    assert mesh.devices.size == 8
+    small = cv2.resize(fixture_img, (320, 240))
+    imgs = np.stack([np.clip(small.astype(np.int16) + 4 * i, 0, 255
+                             ).astype(np.uint8) for i in range(8)])
+    sharded = FacialAnalyzer(import_mtcnn_params(str(MTCNN_PB)),
+                             import_multihead_params(str(AGEGENDER_PB)),
+                             minsize=40, mesh=mesh)
+    plain = FacialAnalyzer(import_mtcnn_params(str(MTCNN_PB)),
+                           import_multihead_params(str(AGEGENDER_PB)),
+                           minsize=40)
+    got = sharded.analyze_batch(imgs)
+    want = plain.analyze_batch(imgs)
+    assert [len(g) for g in got] == [len(w) for w in want]
+    assert sum(len(g) for g in got) >= 8
+    for g_faces, w_faces in zip(got, want):
+        for g, w in zip(g_faces, w_faces):
+            assert g.bbox == w.bbox
+            assert g.age == pytest.approx(w.age, abs=1e-4)
+            np.testing.assert_allclose(g.identity, w.identity, atol=1e-3)
+
+
 def test_analyzer_matches_host_crop_path(analyzer, fixture_img):
     """Fused on-device crop+multihead ≈ host cv2 crop + direct model call
     (the reference's two-step path, facial_analysis.py:264-284)."""
