@@ -174,8 +174,15 @@ class FacialAnalyzer:
         With ``mesh``, the program is GSPMD-sharded: images split over the
         'data' axis (params replicated), every per-image stage — pyramid,
         P/R/O nets, masked NMS loops, crops, heads — runs fully
-        batch-parallel across devices with no cross-image collectives."""
-        k = head_batch or self.head_batch
+        batch-parallel across devices with no cross-image collectives.
+
+        The per-lane head budget defaults to half the single-image budget
+        (min 8): at batch 8 the 224² crop+multi-head forwards dominate the
+        program (~9 of 18 ms at budget 16), almost all of it padding —
+        lanes that exceed the budget re-run through the single-image
+        full-width path (``analyze_batch``'s fallback), so crowd photos
+        stay correct."""
+        k = head_batch or max(8, self.head_batch // 2)
         key = ("batch", h, w, k, id(mesh) if mesh is not None else None)
         if key not in self._jitted:
             self._analyze_fn(h, w, k)   # builds the shared core
