@@ -28,10 +28,13 @@ import numpy as np
 
 
 class _BatchingWorker:
-    """Coalesces concurrent embed requests into batched device calls."""
+    """Coalesces concurrent requests into batched device calls.
 
-    def __init__(self, extractor, max_batch: int = 32, max_wait_ms: float = 5.0):
-        self.extractor = extractor
+    ``process``: (stacked same-shape images (N, H, W, 3)) -> sequence of N
+    per-image results (one array / FaceResult list per image)."""
+
+    def __init__(self, process, max_batch: int = 32, max_wait_ms: float = 5.0):
+        self.process = process
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1e3
         self.queue: "queue.Queue" = queue.Queue()
@@ -67,7 +70,7 @@ class _BatchingWorker:
             for items in by_size.values():
                 try:
                     imgs = np.stack([it[0] for it in items])
-                    feats = self.extractor.extract_batch(imgs)
+                    feats = self.process(imgs)
                     for (_, d, s), f in zip(items, feats):
                         s["result"] = f
                         d.set()
@@ -77,7 +80,18 @@ class _BatchingWorker:
                         d.set()
 
 
-def make_handler(worker: _BatchingWorker, analyzer):
+def _analyze_batch_pow2(analyzer, imgs: np.ndarray):
+    """Cross-request analyze batching: pad the lane count to the next power
+    of two (max 8 distinct compiled programs per image shape) so arbitrary
+    coalesced batch sizes reuse a handful of cached XLA programs."""
+    n = imgs.shape[0]
+    lanes = 1 << max(0, n - 1).bit_length()
+    if lanes != n:
+        imgs = np.concatenate([imgs, np.repeat(imgs[-1:], lanes - n, axis=0)])
+    return analyzer.analyze_batch(imgs)[:n]
+
+
+def make_handler(worker: _BatchingWorker, analyze_worker):
     import cv2
 
     class Handler(BaseHTTPRequestHandler):
@@ -122,11 +136,11 @@ def make_handler(worker: _BatchingWorker, analyzer):
                     self._json(200, {"embedding": np.asarray(feats, np.float64)
                                      .round(6).tolist()})
                 elif self.path == "/analyze":
-                    if analyzer is None:
+                    if analyze_worker is None:
                         self._json(503, {"error": "analyzer disabled "
                                          "(server started with --no-analyzer)"})
                         return
-                    faces = analyzer.analyze(img)
+                    faces = analyze_worker.submit(img)
                     self._json(200, {"faces": [{
                         "bbox": list(f.bbox), "score": round(f.score, 4),
                         "age": round(f.age, 1),
@@ -150,14 +164,19 @@ def build_server(port: int = 8000, model: str = "agegender_identity",
     from .models.zoo import build_extractor
 
     extractor = build_extractor(model)
-    worker = _BatchingWorker(extractor, max_batch=max_batch)
-    analyzer = None
+    worker = _BatchingWorker(extractor.extract_batch, max_batch=max_batch)
+    analyze_worker = None
     if with_analyzer:
+        import functools
+
         from .pipelines.analyzer import FacialAnalyzer
 
         analyzer = FacialAnalyzer.from_reference_models(zoo.MTCNN_PB,
                                                         zoo.AGEGENDER_PB)
-    return ThreadingHTTPServer(("0.0.0.0", port), make_handler(worker, analyzer))
+        analyze_worker = _BatchingWorker(
+            functools.partial(_analyze_batch_pow2, analyzer), max_batch=8)
+    return ThreadingHTTPServer(("0.0.0.0", port),
+                               make_handler(worker, analyze_worker))
 
 
 def main(argv=None):

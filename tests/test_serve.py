@@ -22,7 +22,7 @@ class _FakeExtractor:
 
 def test_batching_worker_coalesces(rng):
     ex = _FakeExtractor()
-    worker = _BatchingWorker(ex, max_batch=8, max_wait_ms=500.0)
+    worker = _BatchingWorker(ex.extract_batch, max_batch=8, max_wait_ms=500.0)
     imgs = [(rng.rand(16, 16, 3) * 255).astype(np.uint8) for _ in range(6)]
     results = [None] * 6
 
@@ -40,14 +40,38 @@ def test_batching_worker_coalesces(rng):
     assert max(ex.batch_sizes) > 1
 
 
+def test_analyze_pow2_padding():
+    """Cross-request analyze batching pads lanes to powers of two so only a
+    bounded set of programs compiles per shape, and trims the results back."""
+    from hse_facerec_tf_tpu.serve import _analyze_batch_pow2
+
+    class FakeAnalyzer:
+        def __init__(self):
+            self.lane_counts = []
+
+        def analyze_batch(self, imgs):
+            self.lane_counts.append(len(imgs))
+            return [[("face", float(im.sum()))] for im in imgs]
+
+    fa = FakeAnalyzer()
+    for n, lanes in [(1, 1), (2, 2), (3, 4), (5, 8), (8, 8)]:
+        imgs = np.arange(n, dtype=np.float32).reshape(n, 1, 1, 1) * np.ones(
+            (n, 4, 4, 3), np.float32)
+        out = _analyze_batch_pow2(fa, imgs)
+        assert fa.lane_counts[-1] == lanes
+        assert len(out) == n
+        assert out[-1][0][1] == imgs[-1].sum()
+
+
 def test_http_endpoints(rng):
     from http.server import ThreadingHTTPServer
 
     from hse_facerec_tf_tpu.serve import make_handler
 
     fake = _FakeExtractor()
-    server = ThreadingHTTPServer(("127.0.0.1", 0),
-                                 make_handler(_BatchingWorker(fake), analyzer=None))
+    server = ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        make_handler(_BatchingWorker(fake.extract_batch), analyze_worker=None))
     port = server.server_address[1]
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
