@@ -152,6 +152,34 @@ def resize(img: jnp.ndarray, out_hw: Tuple[int, int], method: str = "cv2_linear"
     return x
 
 
+def resize_pyramid(img: jnp.ndarray, out_hws, method: str = "cv2_area",
+                   precision=jax.lax.Precision.HIGHEST):
+    """Resize one (..., H, W, C) image to SEVERAL output sizes at once.
+
+    Semantically identical to ``[resize(img, hw, method) for hw in out_hws]``
+    (same trace-time weight matrices, same contraction), but the row
+    reductions of all levels stack into ONE (Σoh, H) matmul against the
+    source — for the MTCNN scale pyramid this replaces 8 skinny einsums
+    (M=14..144) with one well-shaped M≈500 matmul the MXU can tile,
+    measured ~5x faster than the per-level form at 640x480. The per-level
+    column matmuls stay separate (they are tiny and shape-heterogeneous).
+    """
+    h, w = img.shape[-3], img.shape[-2]
+    wfn = _WEIGHT_FNS[method]
+    stacked = jnp.asarray(np.concatenate([wfn(h, oh) for oh, _ in out_hws]))
+    x = img.astype(jnp.float32)
+    rows = jnp.einsum("oh,...hwc->...owc", stacked, x, precision=precision)
+    outs = []
+    off = 0
+    for oh, ow in out_hws:
+        mw = jnp.asarray(wfn(w, ow))
+        outs.append(jnp.einsum("pw,...owc->...opc", mw,
+                               rows[..., off:off + oh, :, :],
+                               precision=precision))
+        off += oh
+    return outs
+
+
 def _hat_weights(coord: jnp.ndarray, size: int, clamp: bool) -> jnp.ndarray:
     """Per-box bilinear hat weights, built on device from traced coords.
 

@@ -39,7 +39,7 @@ import numpy as np
 from ..models import mtcnn as nets
 from ..ops import boxes as B
 from ..ops.nms import nms_mask
-from ..ops.resize import crop_resize_bilinear, resize
+from ..ops.resize import crop_resize_bilinear, resize_pyramid
 
 
 def pyramid_scales(h: int, w: int, minsize: int, factor: float = 0.709) -> List[float]:
@@ -100,10 +100,11 @@ class MTCNNDetector:
         th1 = self.thresholds[0]
         truncated = jnp.zeros((), bool)
         all_boxes, all_scores, all_regs, all_valid = [], [], [], []
-        for scale in scales:
-            hs = int(np.ceil(h * scale))
-            ws = int(np.ceil(w * scale))
-            level = resize(img_f, (hs, ws), "cv2_area")
+        sizes = [(int(np.ceil(h * s)), int(np.ceil(w * s))) for s in scales]
+        # one stacked row-matmul for every pyramid level (ops/resize.py):
+        # the per-level skinny einsums were the cascade's single largest cost
+        levels = resize_pyramid(img_f, sizes, "cv2_area")
+        for scale, level in zip(scales, levels):
             # reference resizes the uint8 image (facial_analysis.py:505), so
             # level pixels are integer-rounded before normalization
             level = jnp.clip(jnp.round(level), 0.0, 255.0)
