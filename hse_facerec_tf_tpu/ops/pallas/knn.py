@@ -14,9 +14,13 @@ Measured on v5e-1 (bf16 MXU inputs):
     matmul+argmin — XLA's hand-tuned pipeline wins while the matrix fits, so
     ``nearest_neighbor_auto`` defaults to XLA there;
   - design point (M=8192, D=512, N=1,048,576 — the (M, N) f32 matrix is
-    32 GB, 2× HBM): 105.3 ms vs 133.2 ms for the probe-chunked XLA
+    32 GB, 2× HBM): 60.6 ms vs 126 ms for the probe-chunked XLA
     alternative (``nearest_neighbor_chunked_xla``) — the matrix-free sweep
-    wins by ~21% in the regime it exists for (bench.py knn_8kx1M rows).
+    wins 2.1× in the regime it exists for (bench.py knn_8kx1M rows).
+    Gallery HBM traffic bounds the sweep: (M / TILE_M) full re-reads, so
+    TILE_M=1024 (8 sweeps) + pre-cast bf16 operands cut 97 ms → 60.6 ms.
+    The iota+where argmin beats jnp.argmin inside the kernel (60.6 vs
+    69.1 ms, measured) — keep it.
 
 Grid: (probe_tiles, gallery_tiles), gallery innermost (TPU grids execute
 sequentially, so VMEM scratch persists across the gallery sweep).
@@ -33,22 +37,23 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_M = 256   # probe rows per tile
+# TILE_M sets how often the gallery is re-swept from HBM: traffic is
+# (M / TILE_M) x gallery bytes, the kernel's dominant cost at the design
+# point. 1024 probe rows x 1024-d bf16 operands still fit VMEM comfortably
+# alongside the (TILE_M, TILE_N) f32 distance tile.
+TILE_M = 1024  # probe rows per tile
 TILE_N = 1024  # gallery rows per tile
 
 
-def _make_kernel(bf16: bool):
+def _make_kernel():
     def kernel(a_ref, bt_ref, a2_ref, b2_ref, min_ref, idx_ref,
                state_min, state_idx):
         j = pl.program_id(1)
         nj = pl.num_programs(1)
 
-        a = a_ref[:]
-        bt = bt_ref[:]
-        if bf16:
-            a = a.astype(jnp.bfloat16)
-            bt = bt.astype(jnp.bfloat16)
-        ab = jnp.dot(a, bt, preferred_element_type=jnp.float32)
+        # operands arrive pre-cast (bf16 or f32) — casting BEFORE the kernel
+        # halves the HBM gallery traffic, which is what bounds the sweep
+        ab = jnp.dot(a_ref[:], bt_ref[:], preferred_element_type=jnp.float32)
         d = a2_ref[:] + b2_ref[:] - 2.0 * ab          # (TILE_M, TILE_N)
 
         local_min = jnp.min(d, axis=1, keepdims=True)  # (TILE_M, 1)
@@ -97,10 +102,13 @@ def nearest_neighbor_tpu(probes: jnp.ndarray, gallery: jnp.ndarray,
     b2 = jnp.sum(b * b, axis=1)
     b2 = jnp.where(jnp.arange(np_) < n, b2, jnp.inf)[None, :]        # (1, np_)
     bt = b.T                                                          # (d, np_)
+    if bf16:
+        a = a.astype(jnp.bfloat16)
+        bt = bt.astype(jnp.bfloat16)
 
     grid = (mp // TILE_M, np_ // TILE_N)
     min_d, idx = pl.pallas_call(
-        _make_kernel(bf16),
+        _make_kernel(),
         grid=grid,
         in_specs=[
             pl.BlockSpec((TILE_M, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
