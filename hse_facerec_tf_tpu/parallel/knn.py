@@ -1,0 +1,74 @@
+"""Gallery-sharded distributed 1-NN over a device mesh.
+
+The identification hot path — "for each probe, the nearest gallery
+embedding" (reference: a host-side sklearn k-NN over the full gallery,
+``facerec_test.py:269-281,430-432``) — scaled past one chip the idiomatic
+SPMD way: the GALLERY is sharded over the mesh's 'data' axis (it is the
+axis that grows — millions of enrolled identities), probes are replicated,
+each device sweeps only its gallery shard with the single-chip kernel
+(``ops/pallas/knn.py`` matrix-free sweep on TPU, XLA matmul+argmin
+elsewhere), and the per-shard (min, argmin) pairs combine with ONE tiny
+all-gather of (P, M) scalars — no distance matrix or embedding ever
+crosses ICI.
+
+Combine semantics match the single-device kernel exactly: ties between
+shards resolve to the lowest global index (each shard's argmin is already
+its lowest local index, shard offsets preserve the order).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def nearest_neighbor_sharded(probes: jnp.ndarray, gallery: jnp.ndarray,
+                             mesh: Mesh, axis: str = "data",
+                             force_pallas: bool = False
+                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(M, D) probes × (N, D) gallery -> (min_sq_dist (M,), argmin (M,)).
+
+    ``gallery`` is padded to a multiple of the mesh axis size and split
+    along it; padded rows are masked with +inf distance. Global indices
+    refer to the unpadded gallery.
+    """
+    from ..ops.pallas.knn import nearest_neighbor_auto
+
+    n_dev = mesh.shape[axis]
+    m, d = probes.shape
+    n = gallery.shape[0]
+    shard = -(-n // n_dev)
+    n_pad = shard * n_dev
+    if n_pad != n:
+        # pad rows must LOSE every local argmin (a zero row would win for
+        # small-norm probes); 1e4-magnitude rows give ~1e8 sq-distances,
+        # far above any real embedding pair, and stay exact in f32/bf16
+        gallery = jnp.concatenate(
+            [gallery, jnp.full((n_pad - n, d), 1e4, gallery.dtype)])
+
+    def local(probes_l, gallery_l):
+        # gallery_l: this device's (shard, D) slice; probes replicated
+        dmin, idx = nearest_neighbor_auto(probes_l, gallery_l,
+                                          force_pallas=force_pallas)
+        offset = jax.lax.axis_index(axis) * shard
+        gidx = idx + offset
+        dmin = jnp.where(gidx < n, dmin, jnp.inf)   # mask padded rows
+        # one (n_dev, M) all-gather of scalars — the only collective
+        all_min = jax.lax.all_gather(dmin, axis)     # (n_dev, M)
+        all_idx = jax.lax.all_gather(gidx, axis)
+        best = jnp.argmin(all_min, axis=0)           # ties -> lowest shard
+        take = lambda a: jnp.take_along_axis(a, best[None, :], axis=0)[0]
+        return take(all_min), take(all_idx)
+
+    # check_vma=False: after the all_gather the combine is computed
+    # redundantly on every device, which the replication checker cannot
+    # infer statically
+    fn = jax.shard_map(local, mesh=mesh,
+                       in_specs=(P(), P(axis)),
+                       out_specs=(P(), P()), check_vma=False)
+    dmin, idx = fn(probes, gallery)
+    return dmin, idx

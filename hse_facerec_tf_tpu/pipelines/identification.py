@@ -24,12 +24,19 @@ from ..ops.distance import l2_normalize, nearest_neighbor, top_k_neighbors
 
 
 class KNNIdentifier:
-    """k-NN classifier over L2-normalized embeddings, fully on device."""
+    """k-NN classifier over L2-normalized embeddings, fully on device.
 
-    def __init__(self, k: int = 1, metric: str = "euclidean", normalize: bool = True):
+    ``mesh``: optional device mesh — k=1 euclidean prediction then runs the
+    gallery-sharded distributed sweep (``parallel/knn.py``: gallery split
+    over the 'data' axis, one (devices, M) all-gather combine) instead of
+    the single-device matmul."""
+
+    def __init__(self, k: int = 1, metric: str = "euclidean", normalize: bool = True,
+                 mesh=None):
         self.k = k
         self.metric = metric
         self.normalize = normalize
+        self.mesh = mesh
         self._gallery = None
         self._labels = None
 
@@ -46,6 +53,11 @@ class KNNIdentifier:
         if self.normalize:
             p = l2_normalize(p)
         if self.k == 1:
+            if self.mesh is not None and self.metric == "euclidean":
+                from ..parallel.knn import nearest_neighbor_sharded
+
+                _, idx = nearest_neighbor_sharded(p, self._gallery, self.mesh)
+                return np.asarray(self._labels)[np.asarray(idx)]
             pred, _ = nearest_neighbor(self._gallery, self._labels, p, self.metric)
             return np.asarray(pred)
         idx, _ = top_k_neighbors(self._gallery, p, self.k, self.metric)

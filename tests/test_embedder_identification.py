@@ -48,6 +48,19 @@ def test_extract_sharded_mesh(mh_params, rng):
     np.testing.assert_allclose(feats, feats1, atol=1e-3)
 
 
+def test_knn_identifier_sharded_mesh(rng):
+    """KNNIdentifier(mesh=...) routes k=1 euclidean through the
+    gallery-sharded distributed sweep and matches the single-device path."""
+    from hse_facerec_tf_tpu.parallel.sharding import make_mesh
+
+    feats, labels = _synthetic_classes(rng)
+    probe_idx = rng.permutation(len(feats))[:20]
+    sharded = ident.KNNIdentifier(mesh=make_mesh()).fit(feats, labels)
+    plain = ident.KNNIdentifier().fit(feats, labels)
+    np.testing.assert_array_equal(sharded.predict(feats[probe_idx]),
+                                  plain.predict(feats[probe_idx]))
+
+
 def test_bounded_thread_map_order_and_bound():
     """Results come back in input order; in-flight work never exceeds depth
     (submission is throttled, unlike ThreadPoolExecutor.map)."""

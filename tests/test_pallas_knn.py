@@ -72,6 +72,28 @@ def test_chunked_xla_matches_reference(rng):
     np.testing.assert_allclose(np.asarray(dmin), want_d, rtol=1e-4, atol=1e-3)
 
 
+def test_sharded_knn_matches_single_device(rng):
+    """Gallery-sharded distributed 1-NN over the 8-device mesh == the
+    single-device reference, including cross-shard tie-break (lowest global
+    index) and gallery padding."""
+    from hse_facerec_tf_tpu.parallel.knn import nearest_neighbor_sharded
+    from hse_facerec_tf_tpu.parallel.sharding import make_mesh
+
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    p = rng.randn(37, 64).astype(np.float32)
+    g = rng.randn(1003, 64).astype(np.float32)   # pads to 8*126
+    # plant exact duplicates in different shards: tie must resolve to the
+    # LOWEST global index, as argmin does on one device
+    g[900] = g[10]
+    p[0] = g[10]
+    dmin, idx = nearest_neighbor_sharded(jnp.asarray(p), jnp.asarray(g), mesh)
+    want_d, want_i = _reference_nn(p, g)
+    np.testing.assert_array_equal(np.asarray(idx), want_i)
+    assert int(idx[0]) == 10
+    np.testing.assert_allclose(np.asarray(dmin), want_d, rtol=1e-4, atol=1e-3)
+
+
 def test_auto_dispatch_routing_rule():
     """The Pallas path engages exactly when the (M, N) f32 matrix exceeds the
     HBM comfort limit on a TPU backend (design point: 8192 probes x 1M
