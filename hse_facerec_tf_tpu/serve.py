@@ -10,6 +10,7 @@ Endpoints:
   POST /embed    image bytes (jpeg/png) -> {"embedding": [...]}
   POST /analyze  image bytes -> {"faces": [{bbox, age, gender_prob, ...}]}
   GET  /healthz  -> {"ok": true, "device": ...}
+  GET  /stats    -> per-endpoint latency {count, mean_ms, p50_ms, p95_ms}
 
 Run: ``python -m hse_facerec_tf_tpu.serve --port 8000``
 """
@@ -94,6 +95,10 @@ def _analyze_batch_pow2(analyzer, imgs: np.ndarray):
 def make_handler(worker: _BatchingWorker, analyze_worker):
     import cv2
 
+    from .utils.profiling import StageTimer
+
+    timer = StageTimer()
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet
             pass
@@ -122,6 +127,10 @@ def make_handler(worker: _BatchingWorker, analyze_worker):
                 import jax
 
                 self._json(200, {"ok": True, "device": str(jax.devices()[0])})
+            elif self.path == "/stats":
+                # per-endpoint request latency (count / mean / p50 / p95 ms),
+                # measured around the batching-worker round trip
+                self._json(200, timer.stats())
             else:
                 self._json(404, {"error": "unknown path"})
 
@@ -132,7 +141,8 @@ def make_handler(worker: _BatchingWorker, analyze_worker):
                 return
             try:
                 if self.path == "/embed":
-                    feats = worker.submit(img)
+                    with timer.stage("embed"):
+                        feats = worker.submit(img)
                     self._json(200, {"embedding": np.asarray(feats, np.float64)
                                      .round(6).tolist()})
                 elif self.path == "/analyze":
@@ -140,7 +150,8 @@ def make_handler(worker: _BatchingWorker, analyze_worker):
                         self._json(503, {"error": "analyzer disabled "
                                          "(server started with --no-analyzer)"})
                         return
-                    faces = analyze_worker.submit(img)
+                    with timer.stage("analyze"):
+                        faces = analyze_worker.submit(img)
                     self._json(200, {"faces": [{
                         "bbox": list(f.bbox), "score": round(f.score, 4),
                         "age": round(f.age, 1),

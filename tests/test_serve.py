@@ -101,5 +101,12 @@ def test_http_endpoints(rng):
         conn.request("POST", "/analyze", body=enc.tobytes())
         r = conn.getresponse()
         assert r.status == 503  # analyzer disabled
+
+        conn.request("GET", "/stats")
+        r = conn.getresponse()
+        assert r.status == 200
+        stats = json.loads(r.read())
+        assert stats["embed"]["count"] == 1
+        assert stats["embed"]["p95_ms"] >= 0
     finally:
         server.shutdown()
