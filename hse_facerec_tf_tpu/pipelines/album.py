@@ -194,6 +194,8 @@ class AlbumOrganizer:
                 per_photo[i] = self._process_photo(imread_rgb(os.path.join(album_dir, f)))
             return per_photo
 
+        from ..utils.prefetch import bounded_thread_map
+
         def flush(bucket):
             idxs = [i for i, _ in bucket]
             imgs = np.stack([im for _, im in bucket])
@@ -208,8 +210,12 @@ class AlbumOrganizer:
                     per_photo[i] = self._process_photo(im)   # rotation retry
 
         buckets: Dict[Tuple[int, int], list] = {}
-        for i, f in enumerate(files):
-            img = imread_rgb(os.path.join(album_dir, f))
+        # threaded decode, bounded in-flight (utils/prefetch): photo decode
+        # overlaps the device-side batch analysis of earlier buckets
+        decoded = bounded_thread_map(
+            lambda f: imread_rgb(os.path.join(album_dir, f)), files,
+            workers=4, depth=2 * self.analyze_batch)
+        for i, img in enumerate(decoded):
             shape = (img.shape[0], img.shape[1])
             bucket = buckets.setdefault(shape, [])
             bucket.append((i, img))
