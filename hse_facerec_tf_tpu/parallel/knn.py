@@ -22,8 +22,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 def nearest_neighbor_sharded(probes: jnp.ndarray, gallery: jnp.ndarray,

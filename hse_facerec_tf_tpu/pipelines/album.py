@@ -127,6 +127,18 @@ class AlbumOrganizer:
             img = np.ascontiguousarray(np.rot90(img, 3 if rotation == 90 else 1))
         return self._faces_to_outputs(img, faces)
 
+    def _rotation_retry(self, img: np.ndarray):
+        """Rotations-only retry for a photo the batch pass already analyzed
+        upright and found no face in: skip the redundant (and
+        per-shape-compile-costing) unrotated pass and go straight to the
+        90°/270° attempts (reference ``process_photos.py:241-247``)."""
+        for rot in (90, 270):
+            rotated = np.ascontiguousarray(np.rot90(img, 3 if rot == 90 else 1))
+            faces = self.analyzer.analyze(rotated)
+            if faces:
+                return self._faces_to_outputs(rotated, faces)
+        return self._faces_to_outputs(img, [])
+
     def process_video(self, path: str, mdate: time.struct_time):
         """Frame loop with adaptive skip; cluster within the clip; return
         per-person medians (reference ``process_video`` :80-156)."""
@@ -196,18 +208,18 @@ class AlbumOrganizer:
 
         from ..utils.prefetch import bounded_thread_map
 
+        from ..parallel.sharding import pad_batch
+
         def flush(bucket):
-            idxs = [i for i, _ in bucket]
             imgs = np.stack([im for _, im in bucket])
-            pad = self.analyze_batch - len(bucket)
-            if pad:   # pad partial batches: one compiled program per shape
-                imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, axis=0)])
+            # pad partial batches: one compiled program per shape
+            imgs, _ = pad_batch(imgs, self.analyze_batch)
             all_faces = self.analyzer.analyze_batch(imgs)
             for (i, im), faces in zip(bucket, all_faces):
                 if faces:
                     per_photo[i] = self._faces_to_outputs(im, faces)
                 else:
-                    per_photo[i] = self._process_photo(im)   # rotation retry
+                    per_photo[i] = self._rotation_retry(im)
 
         buckets: Dict[Tuple[int, int], list] = {}
         # threaded decode, bounded in-flight (utils/prefetch): photo decode

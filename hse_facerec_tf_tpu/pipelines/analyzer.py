@@ -182,7 +182,7 @@ class FacialAnalyzer:
         lanes that exceed the budget re-run through the single-image
         full-width path (``analyze_batch``'s fallback), so crowd photos
         stay correct."""
-        k = head_batch or max(8, self.head_batch // 2)
+        k = head_batch or self._batch_head_budget()
         key = ("batch", h, w, k, id(mesh) if mesh is not None else None)
         if key not in self._jitted:
             self._analyze_fn(h, w, k)   # builds the shared core
@@ -198,6 +198,11 @@ class FacialAnalyzer:
             else:
                 self._jitted[key] = jax.jit(vfn)
         return self._jitted[key]
+
+    def _batch_head_budget(self) -> int:
+        """Default per-lane head budget for the batch path (see
+        ``_analyze_batch_fn``), never above the detector's full width."""
+        return min(max(8, self.head_batch // 2), self.detector.max_stage3)
 
     @staticmethod
     def _assemble_results(out_np) -> List[FaceResult]:
@@ -250,8 +255,12 @@ class FacialAnalyzer:
         out = [np.asarray(a) for a in fn(self.mh_params, jnp.asarray(images))]
         self.detector._warn_truncated(bool(out[8].any()))
         results = []
+        # the fallback gate must test the BATCH path's (halved) budget, not
+        # head_batch: with head_batch >= max_stage3 the lanes still ran at
+        # the smaller batch budget and their truncated outputs are zeros
+        k = self._batch_head_budget()
         for i in range(n):
-            if bool(out[9][i]) and self.head_batch < self.detector.max_stage3:
+            if bool(out[9][i]) and k < self.detector.max_stage3:
                 results.append(self.analyze(images[i]))
             else:
                 results.append(self._assemble_results([a[i] for a in out]))

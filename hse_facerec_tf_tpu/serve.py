@@ -85,10 +85,11 @@ def _analyze_batch_pow2(analyzer, imgs: np.ndarray):
     """Cross-request analyze batching: pad the lane count to the next power
     of two (max 8 distinct compiled programs per image shape) so arbitrary
     coalesced batch sizes reuse a handful of cached XLA programs."""
+    from .parallel.sharding import pad_batch
+
     n = imgs.shape[0]
     lanes = 1 << max(0, n - 1).bit_length()
-    if lanes != n:
-        imgs = np.concatenate([imgs, np.repeat(imgs[-1:], lanes - n, axis=0)])
+    imgs, _ = pad_batch(imgs, lanes)
     return analyzer.analyze_batch(imgs)[:n]
 
 

@@ -11,6 +11,7 @@ work so device time is actually measured, and an opt-in hook into
 from __future__ import annotations
 
 import contextlib
+import threading
 import time
 from collections import defaultdict
 from typing import Dict, Iterator, List, Optional
@@ -19,11 +20,14 @@ import numpy as np
 
 
 class StageTimer:
-    """Accumulates wall-clock samples per named stage."""
+    """Accumulates wall-clock samples per named stage. Thread-safe: samples
+    may arrive from concurrent request handlers (serve.py) while another
+    thread snapshots stats()."""
 
     def __init__(self, enabled: bool = True):
         self.enabled = enabled
         self.samples: Dict[str, List[float]] = defaultdict(list)
+        self._lock = threading.Lock()
 
     @contextlib.contextmanager
     def stage(self, name: str) -> Iterator[None]:
@@ -38,7 +42,9 @@ class StageTimer:
         try:
             yield
         finally:
-            self.samples[name].append(time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            with self._lock:
+                self.samples[name].append(dt)
 
     def timed(self, name: str):
         """Decorator: times the call and blocks on the jax output."""
@@ -51,14 +57,20 @@ class StageTimer:
                 t0 = time.perf_counter()
                 out = fn(*a, **kw)
                 jax.block_until_ready(out)
-                self.samples[name].append(time.perf_counter() - t0)
+                dt = time.perf_counter() - t0
+                with self._lock:
+                    self.samples[name].append(dt)
                 return out
             return inner
         return wrap
 
     def stats(self) -> Dict[str, Dict[str, float]]:
+        with self._lock:
+            snapshot = {name: list(xs) for name, xs in self.samples.items()}
         out = {}
-        for name, xs in self.samples.items():
+        for name, xs in snapshot.items():
+            if not xs:
+                continue
             a = np.asarray(xs)
             out[name] = {
                 "count": int(a.size),
@@ -77,7 +89,8 @@ class StageTimer:
         return "\n".join(lines)
 
     def reset(self):
-        self.samples.clear()
+        with self._lock:
+            self.samples.clear()
 
 
 @contextlib.contextmanager
