@@ -67,6 +67,10 @@ class MTCNNDetector:
         crop-resize einsums. Default HIGH (bf16_3x): measured drift vs
         HIGHEST on TPU is ~1e-6 on net probabilities (well inside the
         cascade's decision margins) for ~0.7 ms less per 640x480 image.
+        Precision.DEFAULT (pure bf16) is the fast mode: 1.27 vs 1.66 ms
+        @640x480, identical detections on the fixture, but crop pixels
+        carry ~0.25-LSB noise so scores drift ~1e-3 — borderline
+        detections near the 0.6/0.7/0.9 thresholds may flip.
         The pyramid resize always runs HIGHEST — its output is rounded to
         integer pixels to match cv2's uint8 resize bit-exactly, so rounding
         sits on .5 boundaries that bf16_3x error could flip.
