@@ -221,7 +221,15 @@ def crop_resize_bilinear(img: jnp.ndarray, boxes: jnp.ndarray, out_size: int,
     ≤2e-3 pixel units.
     """
     img = jnp.asarray(img, jnp.float32)
-    H, W = img.shape[0], img.shape[1]
+    R, C = _crop_weights(boxes, img.shape[0], img.shape[1], out_size,
+                         supersample, outside)
+    rows = jnp.einsum("nih,hwc->niwc", R, img, precision=precision)
+    return jnp.einsum("niwc,njw->nijc", rows, C, precision=precision)
+
+
+def _crop_weights(boxes, H: int, W: int, out_size: int, supersample: int,
+                  outside: str):
+    """Per-box row/column hat-weight matrices ((N, out, H), (N, out, W))."""
     s = supersample * out_size
     boxes = boxes.astype(jnp.float32)
     y1, x1, y2, x2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
@@ -235,5 +243,25 @@ def crop_resize_bilinear(img: jnp.ndarray, boxes: jnp.ndarray, out_size: int,
         # fold the s×s box filter into the weight matrices
         R = R.reshape(R.shape[0], out_size, supersample, H).mean(axis=2)
         C = C.reshape(C.shape[0], out_size, supersample, W).mean(axis=2)
-    rows = jnp.einsum("nih,hwc->niwc", R, img, precision=precision)
+    return R, C
+
+
+def crop_resize_bilinear_lanes(images: jnp.ndarray, lanes: jnp.ndarray,
+                               boxes: jnp.ndarray, out_size: int,
+                               supersample: int = 1, outside: str = "clamp",
+                               precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+    """``crop_resize_bilinear`` where each box crops from ITS OWN image of a
+    batch: images (L, H, W, C), lanes (N,) int image index per box, boxes
+    (N, 4) [y1, x1, y2, x2] -> (N, out, out, C).
+
+    The per-box source image is a whole-row axis-0 gather (large contiguous
+    blocks — cheap, unlike point gathers); the resample itself is the same
+    two-matmul hat-weight form. This is what lets a batched pipeline compact
+    boxes ACROSS batch lanes before paying crop+head compute
+    (``pipelines/analyzer.py`` batch path)."""
+    images = jnp.asarray(images, jnp.float32)
+    R, C = _crop_weights(boxes, images.shape[1], images.shape[2], out_size,
+                         supersample, outside)
+    per_box = images[lanes]                                       # (N, H, W, C)
+    rows = jnp.einsum("nih,nhwc->niwc", R, per_box, precision=precision)
     return jnp.einsum("niwc,njw->nijc", rows, C, precision=precision)

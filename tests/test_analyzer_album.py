@@ -89,34 +89,57 @@ def test_analyze_batch_head_compaction_fallback(fixture_img):
             assert g.age == pytest.approx(w.age, abs=1e-4)
 
 
-def test_analyze_batch_fallback_with_large_head_batch(fixture_img):
-    """Regression: with head_batch >= max_stage3 the batch path still runs
-    at its HALVED budget, so its fallback gate must compare that batch
-    budget — not head_batch — or truncated lanes silently return zeroed
-    head outputs."""
+class _CropContentHeads:
+    """Deterministic heads for budget/fallback tests (no multihead compile)."""
+
+    identity_dim = 2
+    params = {}
+
+    def apply(self, params, crops):
+        ages = crops.mean(axis=(1, 2, 3)) + 1.0
+        gender = crops[:, 0, 0, 0] / 255.0
+        identity = crops.mean(axis=(1, 2))[:, :2]
+        return ages, gender, identity
+
+
+def test_analyze_batch_compact_fallback(fixture_img):
+    """The cross-lane-compacted batch path must fall back to the
+    single-image program for lanes whose faces overflow the GLOBAL head
+    budget — every face still gets real head outputs."""
     from hse_facerec_tf_tpu.models.mtcnn import import_mtcnn_params
 
-    class FakeHeads:
-        identity_dim = 2
-        params = {}
-
-        def apply(self, params, crops):
-            ages = crops.mean(axis=(1, 2, 3)) + 1.0
-            gender = crops[:, 0, 0, 0] / 255.0
-            identity = crops.mean(axis=(1, 2))[:, :2]
-            return ages, gender, identity
-
     tiled = np.concatenate([fixture_img] * 3, axis=0)   # 12 faces
-    an = FacialAnalyzer(import_mtcnn_params(str(MTCNN_PB)), heads=FakeHeads(),
-                        minsize=40, head_batch=16, max_stage3=16)
-    assert an._batch_head_budget() == 8
+    an = FacialAnalyzer(import_mtcnn_params(str(MTCNN_PB)),
+                        heads=_CropContentHeads(), minsize=40,
+                        head_batch=16, max_stage3=16, batch_head_total=8)
     want = an.analyze(tiled)              # budget 16 >= all faces: no fallback
-    assert len(want) > 8                  # exceeds the batch budget
+    assert len(want) > 8                  # exceeds the global batch budget
     got = an.analyze_batch(tiled[None])[0]
     assert [f.bbox for f in got] == [f.bbox for f in want]
     for g, w_ in zip(got, want):
         assert g.age == pytest.approx(w_.age, abs=1e-4)
         assert g.age > 0.5                # fallback produced real head outputs
+
+
+def test_analyze_batch_vmapped_fallback_gate(fixture_img):
+    """Regression (vmapped batch path, used by oversample/mesh modes): with
+    head_batch >= max_stage3 the lanes still run at the HALVED batch budget,
+    so the fallback gate must compare that budget — not head_batch — or
+    truncated lanes silently return zeroed head outputs."""
+    from hse_facerec_tf_tpu.models.mtcnn import import_mtcnn_params
+
+    tiled = np.concatenate([fixture_img] * 3, axis=0)   # 12 faces
+    an = FacialAnalyzer(import_mtcnn_params(str(MTCNN_PB)),
+                        heads=_CropContentHeads(), minsize=40,
+                        head_batch=16, max_stage3=16, oversample=True)
+    assert an._batch_head_budget() == 8
+    want = an.analyze(tiled)
+    assert len(want) > 8
+    got = an.analyze_batch(tiled[None])[0]
+    assert [f.bbox for f in got] == [f.bbox for f in want]
+    for g, w_ in zip(got, want):
+        assert g.age == pytest.approx(w_.age, abs=1e-4)
+        assert g.age > 0.5
 
 
 def test_analyze_batch_sharded_mesh(analyzer, fixture_img, rng):
