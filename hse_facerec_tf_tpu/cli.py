@@ -150,8 +150,16 @@ def cmd_album(args):
     cfg = AlbumConfig.from_file(args.config) if args.config else AlbumConfig()
     if args.threshold is not None:
         cfg.distance_threshold = args.threshold
+    downscale = None
+    if args.downscale:
+        try:
+            w, h = (int(v) for v in args.downscale.lower().split("x"))
+            downscale = (w, h)
+        except ValueError:
+            sys.exit(f"error: --downscale expects WxH, got {args.downscale!r}")
     analyzer = _build_analyzer(args)
-    organizer = AlbumOrganizer(analyzer, cfg, analyze_batch=args.batch_size)
+    organizer = AlbumOrganizer(analyzer, cfg, analyze_batch=args.batch_size,
+                               downscale=downscale)
     result = organizer.process_album(args.album_dir, use_cache=not args.no_cache)
     print(json.dumps({k: v for k, v in result.items() if k != "clusters"}, indent=2))
     print(f"{len(result['clusters'])} clusters -> {args.album_dir}/clusters/")
@@ -464,6 +472,10 @@ def main(argv=None):
     al.add_argument("--batch-size", type=int, default=8,
                     help="photos per fused vmapped analyze program "
                          "(same-shape photos batch together; 1 = sequential)")
+    al.add_argument("--downscale", default=None, metavar="WxH",
+                    help="downscale larger photos before analysis (e.g. "
+                         "640x480) — bounds the set of compiled shapes for "
+                         "mixed-resolution albums")
     _add_model_args(al)
     al.set_defaults(fn=cmd_album)
 

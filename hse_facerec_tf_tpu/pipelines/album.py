@@ -85,13 +85,31 @@ class AlbumOrganizer:
     """``analyze_batch``: photos sharing a (H, W) shape are analyzed in fused
     vmapped batches of this size (padding partial batches so each shape
     compiles exactly one program). 1 disables batching (the reference's
-    photo-at-a-time loop, ``process_photos.py:238-261``)."""
+    photo-at-a-time loop, ``process_photos.py:238-261``).
+
+    ``downscale``: optional (max_w, max_h). Photos larger than this are
+    downscaled before analysis with the reference's video-path rule
+    (``facial_analysis.py:653-655``: resize to (min(w, max_w),
+    min(h, max_h))), which also collapses arbitrary camera resolutions onto
+    a few analysis shapes — each distinct shape costs a fresh XLA compile,
+    so unbounded photo sizes mean unbounded compiles. Off by default: the
+    reference's PHOTO pipeline analyzes at native size, and face crops /
+    features then derive from the downscaled image."""
 
     def __init__(self, analyzer: FacialAnalyzer, config: Optional[AlbumConfig] = None,
-                 analyze_batch: int = 8):
+                 analyze_batch: int = 8,
+                 downscale: Optional[Tuple[int, int]] = None):
         self.analyzer = analyzer
         self.config = config or AlbumConfig()
         self.analyze_batch = max(1, int(analyze_batch))
+        self.downscale = downscale
+
+    def _maybe_downscale(self, img: np.ndarray) -> np.ndarray:
+        if self.downscale is None:
+            return img
+        from .video import _downscale
+
+        return _downscale(img, *self.downscale)
 
     # ---------- per-item processing ----------
 
@@ -203,7 +221,8 @@ class AlbumOrganizer:
         per_photo: Dict[int, Tuple] = {}
         if self.analyze_batch <= 1:
             for i, f in enumerate(files):
-                per_photo[i] = self._process_photo(imread_rgb(os.path.join(album_dir, f)))
+                img = self._maybe_downscale(imread_rgb(os.path.join(album_dir, f)))
+                per_photo[i] = self._process_photo(img)
             return per_photo
 
         from ..utils.prefetch import bounded_thread_map
@@ -225,8 +244,8 @@ class AlbumOrganizer:
         # threaded decode, bounded in-flight (utils/prefetch): photo decode
         # overlaps the device-side batch analysis of earlier buckets
         decoded = bounded_thread_map(
-            lambda f: imread_rgb(os.path.join(album_dir, f)), files,
-            workers=4, depth=2 * self.analyze_batch)
+            lambda f: self._maybe_downscale(imread_rgb(os.path.join(album_dir, f))),
+            files, workers=4, depth=2 * self.analyze_batch)
         for i, img in enumerate(decoded):
             shape = (img.shape[0], img.shape[1])
             bucket = buckets.setdefault(shape, [])

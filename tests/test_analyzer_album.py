@@ -267,6 +267,25 @@ def test_album_batched_scan_matches_sequential(analyzer, fixture_img,
     assert fb.private_photo_indices == fs.private_photo_indices
 
 
+def test_album_downscale_buckets(analyzer, fixture_img, tmp_path_factory):
+    """With ``downscale``, photos of mixed large resolutions collapse onto
+    the downscaled analysis shape (bounding compiled-shape count) and faces
+    are still found; photos already within bounds are untouched."""
+    album = tmp_path_factory.mktemp("album_downscale")
+    big = cv2.resize(fixture_img, (960, 720))          # over both bounds
+    cv2.imwrite(str(album / "a.jpg"), cv2.cvtColor(big, cv2.COLOR_RGB2BGR))
+    cv2.imwrite(str(album / "b.jpg"), cv2.cvtColor(fixture_img, cv2.COLOR_RGB2BGR))
+
+    org = AlbumOrganizer(analyzer, AlbumConfig(), analyze_batch=2,
+                         downscale=(640, 480))
+    assert org._maybe_downscale(big).shape == (480, 640, 3)
+    assert org._maybe_downscale(fixture_img).shape == fixture_img.shape
+    faces = org.scan_album(str(album), use_cache=False)
+    # both photos analyzed at the 640x480 bucket; all faces found
+    assert faces.indices.count(0) >= 2 and faces.indices.count(1) >= 2
+    assert faces.features.shape[1] == 1024
+
+
 def test_album_cache_roundtrip(analyzer, fixture_img, tmp_path_factory):
     album = tmp_path_factory.mktemp("album_cache")
     cv2.imwrite(str(album / "a.jpg"), cv2.cvtColor(fixture_img, cv2.COLOR_RGB2BGR))
