@@ -65,6 +65,37 @@ def test_detector_vs_golden_on_fixture(params, test_img):
         assert dists.min() < 4.0
 
 
+def test_detector_vs_golden_fuzz_composites(params, test_img, rng):
+    """Randomized parity fuzz: face crops from the fixture composited onto
+    noise backgrounds at random positions/scales — box count, IoU, and score
+    agreement with the host golden cascade on every composite (one shared
+    image shape, so the device program compiles once)."""
+    faces_src = [test_img[110:210, 265:355],      # the boy
+                 test_img[200:280, 575:665]]      # the adult
+    det = MTCNNDetector(params, minsize=40)
+    for seed in range(4):
+        r = np.random.RandomState(seed)
+        canvas = (r.rand(240, 320, 3) * 255).astype(np.uint8)
+        n_faces = r.randint(1, 4)
+        for _ in range(n_faces):
+            crop = faces_src[r.randint(len(faces_src))]
+            size = r.randint(60, 100)
+            face = cv2.resize(crop, (size, size))
+            y = r.randint(0, 240 - size)
+            x = r.randint(0, 320 - size)
+            canvas[y:y + size, x:x + size] = face
+        golden_boxes, _ = detect_golden(params, canvas, minsize=40)
+        boxes, _ = det.detect(canvas)
+        assert len(boxes) == len(golden_boxes), (seed, len(boxes), len(golden_boxes))
+        used = set()
+        for gb in golden_boxes:
+            ious = [(_iou(gb, bb), i) for i, bb in enumerate(boxes) if i not in used]
+            best_iou, best = max(ious, default=(0.0, None))
+            assert best_iou > 0.8, (seed, gb, best_iou)
+            assert abs(boxes[best][4] - gb[4]) < 0.05
+            used.add(best)
+
+
 def test_detector_no_faces(params, rng):
     noise = (rng.rand(160, 160, 3) * 255).astype(np.uint8)
     det = MTCNNDetector(params, minsize=40)
