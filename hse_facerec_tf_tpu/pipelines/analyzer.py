@@ -156,13 +156,15 @@ class FacialAnalyzer:
             identity_k = identity_v.reshape(v, k, -1)[0]
             ages = jnp.zeros((n,), ages_k.dtype).at[sel].set(ages_k)
             gender_prob = jnp.zeros((n,), gender_k.dtype).at[sel].set(gender_k)
-            identity = jnp.zeros((n, identity_k.shape[1]),
-                                 identity_k.dtype).at[sel].set(identity_k)
             head_truncated = jnp.sum(valid) > k
             dilated = jnp.stack([jnp.clip(x1, 0, w), jnp.clip(y1, 0, h),
                                  jnp.clip(x2, 0, w), jnp.clip(y2, 0, h)], axis=1)
+            # identity stays COMPACT (k, D) + its scatter indices: the padded
+            # (n, D) form is ~30x the real payload and host->device downlinks
+            # can be the bottleneck (the dev tunnel downloads at ~7 MB/s);
+            # the host scatters it (analyze/_scatter_identity)
             return (boxes, dilated, scores, points, valid, ages,
-                    gender_prob, identity, truncated, head_truncated)
+                    gender_prob, identity_k, sel, truncated, head_truncated)
 
         self._cores[key] = fn
         self._jitted[key] = jax.jit(fn)
@@ -198,7 +200,7 @@ class FacialAnalyzer:
                 out_s = batch_sharding(mesh)   # every output is per-image
                 self._jitted[key] = jax.jit(
                     vfn, in_shardings=(replicated(mesh), batch_sharding(mesh)),
-                    out_shardings=tuple([out_s] * 10))
+                    out_shardings=tuple([out_s] * 11))
             else:
                 self._jitted[key] = jax.jit(vfn)
         return self._jitted[key]
@@ -243,25 +245,34 @@ class FacialAnalyzer:
             ln = lanes * n
             ages = jnp.zeros((ln,), ages_k.dtype).at[sel].set(ages_k)
             gender = jnp.zeros((ln,), gender_k.dtype).at[sel].set(gender_k)
-            identity = jnp.zeros((ln, identity_k.shape[1]), identity_k.dtype
-                                 ).at[sel].set(identity_k)
             # lane head-truncated ⇔ one of its valid faces ranked past the
             # global budget (rank = cumulative valid count, lane-major)
             rank = jnp.cumsum(flat_valid.astype(jnp.int32)).reshape(lanes, n)
             head_truncated = jnp.any(valid & (rank > k_total), axis=1)
             dilated = jnp.stack([jnp.clip(x1, 0, w), jnp.clip(y1, 0, h),
                                  jnp.clip(x2, 0, w), jnp.clip(y2, 0, h)], axis=-1)
+            # identity stays compact (k_total, D) + flat scatter indices —
+            # the padded (L, n, D) form is ~30x the real payload over the
+            # host downlink; the host scatters it (analyze_batch)
             return (boxes, dilated, scores, points, valid,
                     ages.reshape(lanes, n), gender.reshape(lanes, n),
-                    identity.reshape(lanes, n, -1), truncated, head_truncated)
+                    identity_k, sel, truncated, head_truncated)
 
         return fn
 
     @staticmethod
-    def _assemble_results(out_np) -> List[FaceResult]:
+    def _scatter_identity(identity_k: np.ndarray, sel: np.ndarray,
+                          n: int) -> np.ndarray:
+        """Host-side scatter of the compact identity rows back to full
+        width (sel positions beyond the valid count carry unused rows)."""
+        out = np.zeros((n, identity_k.shape[-1]), identity_k.dtype)
+        out[sel] = identity_k
+        return out
+
+    @staticmethod
+    def _assemble_results(out_np, identity: np.ndarray) -> List[FaceResult]:
         """One image's host-side arrays -> FaceResult list."""
-        (boxes, dilated, scores, points, valid, ages, genders, identity,
-         _, _) = out_np
+        boxes, dilated, scores, points, valid, ages, genders = out_np[:7]
         results = []
         for i in np.where(valid)[0]:
             x1, y1, x2, y2 = boxes[i, :4]
@@ -283,15 +294,16 @@ class FacialAnalyzer:
         h, w = img.shape[:2]
         fn = self._analyze_fn(h, w)
         out = fn(self.mh_params, jnp.asarray(img))
-        if bool(out[9]) and self.head_batch < self.detector.max_stage3:
+        if bool(out[10]) and self.head_batch < self.detector.max_stage3:
             # more valid faces than the compact head budget: re-run the
             # full-width program (compiled once, cached) so every face gets
             # real head outputs
             fn = self._analyze_fn(h, w, self.detector.max_stage3)
             out = fn(self.mh_params, jnp.asarray(img))
-        out_np = [np.asarray(a) for a in out]
-        self.detector._warn_truncated(bool(out_np[8]))
-        return self._assemble_results(out_np)
+        out_np = jax.device_get(out)   # ONE host transfer for all outputs
+        self.detector._warn_truncated(bool(out_np[9]))
+        identity = self._scatter_identity(out_np[7], out_np[8], len(out_np[4]))
+        return self._assemble_results(out_np, identity)
 
     def analyze_batch(self, images: np.ndarray) -> List[List[FaceResult]]:
         """Uniform-size RGB batch (N, H, W, 3) -> per-image FaceResult lists.
@@ -316,14 +328,26 @@ class FacialAnalyzer:
                     self._build_batch_compact_fn(n, h, w, total))
             fn = self._jitted[key]
             can_fallback = total < n * self.detector.max_stage3
-        out = [np.asarray(a) for a in fn(self.mh_params, jnp.asarray(images))]
-        self.detector._warn_truncated(bool(out[8].any()))
+        # ONE batched host transfer for the whole output tuple: per-array
+        # np.asarray costs a full host<->device round trip per buffer
+        out = jax.device_get(fn(self.mh_params, jnp.asarray(images)))
+        self.detector._warn_truncated(bool(out[9].any()))
+        identity_k, sel = out[7], out[8]
+        lanes, width = out[4].shape
+        if identity_k.ndim == 3:      # vmapped path: per-lane (L, k, D)
+            identity = np.stack([
+                self._scatter_identity(identity_k[i], sel[i], width)
+                for i in range(lanes)])
+        else:                          # compact path: flat (K, D) over L*n
+            identity = self._scatter_identity(
+                identity_k, sel, lanes * width).reshape(lanes, width, -1)
         results = []
         for i in range(n):
-            if bool(out[9][i]) and can_fallback:
+            if bool(out[10][i]) and can_fallback:
                 results.append(self.analyze(images[i]))
             else:
-                results.append(self._assemble_results([a[i] for a in out]))
+                results.append(self._assemble_results(
+                    [a[i] for a in out[:7]], identity[i]))
         return results
 
     def analyze_with_rotations(self, img: np.ndarray) -> Tuple[List[FaceResult], int]:

@@ -233,8 +233,8 @@ class MTCNNDetector:
         landmarks (10, n_i)) per image."""
         n, h, w = images.shape[0], images.shape[1], images.shape[2]
         fn = self.detect_batch_fn(h, w)
-        boxes, scores, points, valid, truncated = [np.asarray(a)
-                                                   for a in fn(jnp.asarray(images))]
+        boxes, scores, points, valid, truncated = jax.device_get(
+            fn(jnp.asarray(images)))
         self._warn_truncated(bool(truncated.any()))
         out = []
         for i in range(n):
@@ -264,12 +264,13 @@ class MTCNNDetector:
         ``self.last_truncated`` and warns when a box budget saturated."""
         h, w = img.shape[:2]
         fn = self.detect_fn(h, w)
-        boxes, scores, points, valid, truncated = fn(jnp.asarray(img))
+        boxes, scores, points, valid, truncated = jax.device_get(
+            fn(jnp.asarray(img)))
         self._warn_truncated(bool(truncated))
-        v = np.asarray(valid)
-        b = np.asarray(boxes)[v]
-        s = np.asarray(scores)[v]
-        p = np.asarray(points)[v]
+        v = valid
+        b = boxes[v]
+        s = scores[v]
+        p = points[v]
         out = np.concatenate([b, s[:, None]], axis=1)
         return out, p.T
 
