@@ -261,8 +261,7 @@ def bench_analyze(img, chain=40):
     nb = 8
     # the single-device batch path: vmapped detect + cross-lane-compacted
     # crop/head pass (what analyze_batch runs)
-    bfn = jax.jit(analyzer._build_batch_compact_fn(nb, 480, 640,
-                                                   max(16, 2 * nb)))
+    bfn = jax.jit(analyzer._build_batch_compact_fn(480, 640, max(16, 2 * nb)))
 
     def step_batch(eps, xb):
         out = bfn(params, xb + eps)

@@ -154,9 +154,12 @@ def cmd_album(args):
     if args.downscale:
         try:
             w, h = (int(v) for v in args.downscale.lower().split("x"))
-            downscale = (w, h)
         except ValueError:
             sys.exit(f"error: --downscale expects WxH, got {args.downscale!r}")
+        if w <= 0 or h <= 0:
+            sys.exit(f"error: --downscale dimensions must be positive, "
+                     f"got {args.downscale!r}")
+        downscale = (w, h)
     analyzer = _build_analyzer(args)
     organizer = AlbumOrganizer(analyzer, cfg, analyze_batch=args.batch_size,
                                downscale=downscale)

@@ -88,13 +88,15 @@ class AlbumOrganizer:
     photo-at-a-time loop, ``process_photos.py:238-261``).
 
     ``downscale``: optional (max_w, max_h). Photos larger than this are
-    downscaled before analysis with the reference's video-path rule
-    (``facial_analysis.py:653-655``: resize to (min(w, max_w),
-    min(h, max_h))), which also collapses arbitrary camera resolutions onto
-    a few analysis shapes — each distinct shape costs a fresh XLA compile,
-    so unbounded photo sizes mean unbounded compiles. Off by default: the
-    reference's PHOTO pipeline analyzes at native size, and face crops /
-    features then derive from the downscaled image."""
+    aspect-preservingly resized to fit and letterboxed (black) to exactly
+    (max_h, max_w) before analysis, collapsing arbitrary camera resolutions
+    onto ONE analysis shape — each distinct shape costs a fresh XLA
+    compile, so unbounded photo sizes mean unbounded compiles. (The
+    reference's video path downsizes with a distorting min() rule,
+    ``facial_analysis.py:653-655``; letterboxing keeps faces undistorted
+    for portrait photos.) Off by default: the reference's PHOTO pipeline
+    analyzes at native size, and face crops / features then derive from
+    the downscaled image."""
 
     def __init__(self, analyzer: FacialAnalyzer, config: Optional[AlbumConfig] = None,
                  analyze_batch: int = 8,
@@ -107,9 +109,18 @@ class AlbumOrganizer:
     def _maybe_downscale(self, img: np.ndarray) -> np.ndarray:
         if self.downscale is None:
             return img
-        from .video import _downscale
+        import cv2
 
-        return _downscale(img, *self.downscale)
+        max_w, max_h = self.downscale
+        h, w = img.shape[:2]
+        if w <= max_w and h <= max_h:
+            return img
+        s = min(max_w / w, max_h / h)
+        nw, nh = max(1, int(round(w * s))), max(1, int(round(h * s)))
+        resized = cv2.resize(img, (nw, nh))
+        out = np.zeros((max_h, max_w, 3), img.dtype)   # black letterbox
+        out[:nh, :nw] = resized
+        return out
 
     # ---------- per-item processing ----------
 
@@ -227,13 +238,16 @@ class AlbumOrganizer:
 
         from ..utils.prefetch import bounded_thread_map
 
-        from ..parallel.sharding import pad_batch
-
         def flush(bucket):
             imgs = np.stack([im for _, im in bucket])
-            # pad partial batches: one compiled program per shape
-            imgs, _ = pad_batch(imgs, self.analyze_batch)
-            all_faces = self.analyzer.analyze_batch(imgs)
+            # pad partial batches with ZERO images (one compiled program per
+            # shape; blank lanes detect nothing, so they consume no
+            # head-budget slots and never trigger fallback re-runs)
+            pad = self.analyze_batch - len(bucket)
+            if pad:
+                imgs = np.concatenate(
+                    [imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
+            all_faces = self.analyzer.analyze_batch(imgs, n_valid=len(bucket))
             for (i, im), faces in zip(bucket, all_faces):
                 if faces:
                     per_photo[i] = self._faces_to_outputs(im, faces)
@@ -263,13 +277,18 @@ class AlbumOrganizer:
         files = sorted(f for f in next(os.walk(album_dir))[2] if is_image(f))
         if use_cache and os.path.exists(cache):
             d = np.load(cache, allow_pickle=True)
-            return AlbumFaces(
-                files=list(d["files"]), mdates=[time.gmtime(t) for t in d["mtimes"]],
-                facial_images=[np.asarray(c, dtype=np.uint8)
-                               for c in d["facial_images"]],
-                born_years=d["born_years"], genders=d["genders"],
-                features=d["features"], indices=list(d["indices"]),
-                private_photo_indices=list(d["private"]))
+            # the cache is keyed on the analysis resolution: features saved
+            # at another --downscale setting must not be returned silently
+            stored_ds = str(d["downscale"]) if "downscale" in d else "None"
+            if stored_ds == str(self.downscale):
+                return AlbumFaces(
+                    files=list(d["files"]),
+                    mdates=[time.gmtime(t) for t in d["mtimes"]],
+                    facial_images=[np.asarray(c, dtype=np.uint8)
+                                   for c in d["facial_images"]],
+                    born_years=d["born_years"], genders=d["genders"],
+                    features=d["features"], indices=list(d["indices"]),
+                    private_photo_indices=list(d["private"]))
 
         mtimes = [os.path.getmtime(os.path.join(album_dir, f)) for f in files]
         mdates = [time.gmtime(t) for t in mtimes]
@@ -298,7 +317,8 @@ class AlbumOrganizer:
             np.savez(cache, files=files, mtimes=mtimes, facial_images=crops,
                      born_years=out.born_years, genders=out.genders,
                      features=out.features, indices=np.asarray(indices),
-                     private=np.asarray(private))
+                     private=np.asarray(private),
+                     downscale=str(self.downscale))
         return out
 
     def perform_clustering(self, faces: AlbumFaces, min_size: int,

@@ -108,6 +108,21 @@ class FacialAnalyzer:
         heads = TwoModelHeads(age_pb, gender_pb, sota=sota, **(head_kwargs or {}))
         return cls(import_mtcnn_params(mtcnn_pb), heads=heads, **kwargs)
 
+    def _dilated_geometry(self, boxes, h: int, w: int):
+        """Shared box geometry for the single and batch cores: dilate by
+        ``bbox_dilation`` (reference :240-244; box coords are float),
+        returning the [y1, x1, y2, x2] crop rects (pre-clip) and the
+        clipped [x1, y1, x2, y2] dilated boxes. ``boxes`` is (..., n, 4)."""
+        dil = float(self.bbox_dilation)
+        x1 = jnp.floor(boxes[..., 0]) - dil
+        y1 = jnp.floor(boxes[..., 1]) - dil
+        x2 = jnp.floor(boxes[..., 2]) + dil
+        y2 = jnp.floor(boxes[..., 3]) + dil
+        rect = jnp.stack([y1, x1, y2, x2], axis=-1)
+        dilated = jnp.stack([jnp.clip(x1, 0, w), jnp.clip(y1, 0, h),
+                             jnp.clip(x2, 0, w), jnp.clip(y2, 0, h)], axis=-1)
+        return rect, dilated
+
     def _analyze_fn(self, h: int, w: int, head_batch: Optional[int] = None):
         k = head_batch or self.head_batch
         key = (h, w, k)
@@ -115,24 +130,19 @@ class FacialAnalyzer:
             return self._jitted[key]
 
         detect = self.detector.detect_fn(h, w)
-        dil = float(self.bbox_dilation)
         heads = self.heads
 
         def fn(params, img):
             boxes, scores, points, valid, truncated = detect(img)
             n = boxes.shape[0]
             img_f = img.astype(jnp.float32)
-            # dilate (reference :240-244); box coords here are float
-            x1 = jnp.floor(boxes[:, 0]) - dil
-            y1 = jnp.floor(boxes[:, 1]) - dil
-            x2 = jnp.floor(boxes[:, 2]) + dil
-            y2 = jnp.floor(boxes[:, 3]) + dil
+            rect_all, dilated = self._dilated_geometry(boxes, h, w)
             # compact to the first k valid boxes: most of a full-width head
             # pass is padding work (a 4-face photo paying 64 multi-head 224²
             # forwards). argsort of ~valid is stable, so valid lanes keep
             # their original order; results scatter back to full width.
             sel = jnp.argsort(~valid)[:k]
-            rect = jnp.stack([y1, x1, y2, x2], axis=1)[sel]   # pre-clip
+            rect = rect_all[sel]                              # pre-clip
             if self.oversample:
                 # base + 4 diagonal ±10 shifts (reference :248-253), each
                 # clipped separately (:255-263)
@@ -157,8 +167,6 @@ class FacialAnalyzer:
             ages = jnp.zeros((n,), ages_k.dtype).at[sel].set(ages_k)
             gender_prob = jnp.zeros((n,), gender_k.dtype).at[sel].set(gender_k)
             head_truncated = jnp.sum(valid) > k
-            dilated = jnp.stack([jnp.clip(x1, 0, w), jnp.clip(y1, 0, h),
-                                 jnp.clip(x2, 0, w), jnp.clip(y2, 0, h)], axis=1)
             # identity stays COMPACT (k, D) + its scatter indices: the padded
             # (n, D) form is ~30x the real payload and host->device downlinks
             # can be the bottleneck (the dev tunnel downloads at ~7 MB/s);
@@ -210,7 +218,7 @@ class FacialAnalyzer:
         oversample modes), never above the detector's full width."""
         return min(max(8, self.head_batch // 2), self.detector.max_stage3)
 
-    def _build_batch_compact_fn(self, n_lanes: int, h: int, w: int, total: int):
+    def _build_batch_compact_fn(self, h: int, w: int, total: int):
         """Single-device batch program with CROSS-LANE head compaction:
         vmapped detection, then the valid boxes of ALL lanes compact into
         one ``total``-slot crop+multi-head pass (lane-indexed crop einsums,
@@ -219,7 +227,6 @@ class FacialAnalyzer:
         this replaces lanes×budget padded head forwards (the dominant cost
         of the vmapped form — ~6 of its 14 ms at batch 8) with ~2·lanes."""
         detect = self.detector.detect_fn(h, w)
-        dil = float(self.bbox_dilation)
         heads = self.heads
         k_total = total
 
@@ -227,17 +234,13 @@ class FacialAnalyzer:
             boxes, scores, points, valid, truncated = jax.vmap(detect)(imgs)
             lanes, n = valid.shape
             imgs_f = imgs.astype(jnp.float32)
-            x1 = jnp.floor(boxes[..., 0]) - dil        # (L, n), pre-clip
-            y1 = jnp.floor(boxes[..., 1]) - dil
-            x2 = jnp.floor(boxes[..., 2]) + dil
-            y2 = jnp.floor(boxes[..., 3]) + dil
+            rect_all, dilated = self._dilated_geometry(boxes, h, w)
             flat_valid = valid.reshape(-1)
             # first k_total valid boxes in lane-major order (stable argsort)
             sel = jnp.argsort(~flat_valid)[:k_total]
             lane = sel // n
             hw = jnp.asarray([h, w, h, w], jnp.float32)
-            rect = jnp.stack([y1, x1, y2, x2], axis=-1).reshape(lanes * n, 4)[sel]
-            rect = jnp.clip(rect, 0.0, hw)
+            rect = jnp.clip(rect_all.reshape(lanes * n, 4)[sel], 0.0, hw)
             crops = crop_resize_bilinear_lanes(imgs_f, lane, rect,
                                                self.face_size, supersample=1,
                                                outside="clamp")
@@ -249,8 +252,6 @@ class FacialAnalyzer:
             # global budget (rank = cumulative valid count, lane-major)
             rank = jnp.cumsum(flat_valid.astype(jnp.int32)).reshape(lanes, n)
             head_truncated = jnp.any(valid & (rank > k_total), axis=1)
-            dilated = jnp.stack([jnp.clip(x1, 0, w), jnp.clip(y1, 0, h),
-                                 jnp.clip(x2, 0, w), jnp.clip(y2, 0, h)], axis=-1)
             # identity stays compact (k_total, D) + flat scatter indices —
             # the padded (L, n, D) form is ~30x the real payload over the
             # host downlink; the host scatters it (analyze_batch)
@@ -293,19 +294,22 @@ class FacialAnalyzer:
         """RGB uint8/float (H, W, 3) -> per-face results."""
         h, w = img.shape[:2]
         fn = self._analyze_fn(h, w)
-        out = fn(self.mh_params, jnp.asarray(img))
-        if bool(out[10]) and self.head_batch < self.detector.max_stage3:
+        # fetch the whole tuple in ONE host transfer and test the truncation
+        # flag on host — a separate bool(out[10]) scalar fetch costs its own
+        # device round trip on every call
+        out_np = jax.device_get(fn(self.mh_params, jnp.asarray(img)))
+        if bool(out_np[10]) and self.head_batch < self.detector.max_stage3:
             # more valid faces than the compact head budget: re-run the
             # full-width program (compiled once, cached) so every face gets
             # real head outputs
             fn = self._analyze_fn(h, w, self.detector.max_stage3)
-            out = fn(self.mh_params, jnp.asarray(img))
-        out_np = jax.device_get(out)   # ONE host transfer for all outputs
+            out_np = jax.device_get(fn(self.mh_params, jnp.asarray(img)))
         self.detector._warn_truncated(bool(out_np[9]))
         identity = self._scatter_identity(out_np[7], out_np[8], len(out_np[4]))
         return self._assemble_results(out_np, identity)
 
-    def analyze_batch(self, images: np.ndarray) -> List[List[FaceResult]]:
+    def analyze_batch(self, images: np.ndarray,
+                      n_valid: Optional[int] = None) -> List[List[FaceResult]]:
         """Uniform-size RGB batch (N, H, W, 3) -> per-image FaceResult lists.
 
         Runs the whole batch as ONE fused XLA program. The single-device
@@ -314,9 +318,15 @@ class FacialAnalyzer:
         vmapped per-lane form. Lanes whose valid-face count exceeds the head
         budget are re-analyzed individually through the single-image path
         (rare). Each distinct (N, H, W) compiles once — callers batching a
-        stream should pad to a fixed N (see ``AlbumOrganizer.scan_album``)."""
+        stream should pad to a fixed N (see ``AlbumOrganizer.scan_album``).
+
+        ``n_valid``: with padded batches, the number of REAL leading lanes —
+        only those are returned, and pad lanes never trigger the
+        single-image fallback. Pad with ZERO images (not repeats): blank
+        lanes detect nothing, so they consume no head-budget slots."""
         images = np.asarray(images)
         n, h, w = images.shape[0], images.shape[1], images.shape[2]
+        n_valid = n if n_valid is None else min(n_valid, n)
         if self.mesh is not None or self.oversample:
             fn = self._analyze_batch_fn(h, w, mesh=self.mesh)
             can_fallback = self._batch_head_budget() < self.detector.max_stage3
@@ -325,13 +335,13 @@ class FacialAnalyzer:
             key = ("cbatch", n, h, w, total)
             if key not in self._jitted:
                 self._jitted[key] = jax.jit(
-                    self._build_batch_compact_fn(n, h, w, total))
+                    self._build_batch_compact_fn(h, w, total))
             fn = self._jitted[key]
             can_fallback = total < n * self.detector.max_stage3
         # ONE batched host transfer for the whole output tuple: per-array
         # np.asarray costs a full host<->device round trip per buffer
         out = jax.device_get(fn(self.mh_params, jnp.asarray(images)))
-        self.detector._warn_truncated(bool(out[9].any()))
+        self.detector._warn_truncated(bool(out[9][:n_valid].any()))
         identity_k, sel = out[7], out[8]
         lanes, width = out[4].shape
         if identity_k.ndim == 3:      # vmapped path: per-lane (L, k, D)
@@ -342,7 +352,7 @@ class FacialAnalyzer:
             identity = self._scatter_identity(
                 identity_k, sel, lanes * width).reshape(lanes, width, -1)
         results = []
-        for i in range(n):
+        for i in range(n_valid):
             if bool(out[10][i]) and can_fallback:
                 results.append(self.analyze(images[i]))
             else:

@@ -85,12 +85,12 @@ def _analyze_batch_pow2(analyzer, imgs: np.ndarray):
     """Cross-request analyze batching: pad the lane count to the next power
     of two (max 8 distinct compiled programs per image shape) so arbitrary
     coalesced batch sizes reuse a handful of cached XLA programs."""
-    from .parallel.sharding import pad_batch
-
     n = imgs.shape[0]
     lanes = 1 << max(0, n - 1).bit_length()
-    imgs, _ = pad_batch(imgs, lanes)
-    return analyzer.analyze_batch(imgs)[:n]
+    if lanes != n:   # zero pads: blank lanes consume no head-budget slots
+        imgs = np.concatenate(
+            [imgs, np.zeros((lanes - n,) + imgs.shape[1:], imgs.dtype)])
+    return analyzer.analyze_batch(imgs, n_valid=n)
 
 
 def make_handler(worker: _BatchingWorker, analyze_worker):

@@ -268,22 +268,39 @@ def test_album_batched_scan_matches_sequential(analyzer, fixture_img,
 
 
 def test_album_downscale_buckets(analyzer, fixture_img, tmp_path_factory):
-    """With ``downscale``, photos of mixed large resolutions collapse onto
-    the downscaled analysis shape (bounding compiled-shape count) and faces
-    are still found; photos already within bounds are untouched."""
+    """With ``downscale``, photos of mixed large resolutions (portrait AND
+    landscape) collapse onto ONE letterboxed analysis shape — aspect
+    preserved, faces still found; photos within bounds untouched; the
+    features cache keyed on the setting."""
     album = tmp_path_factory.mktemp("album_downscale")
-    big = cv2.resize(fixture_img, (960, 720))          # over both bounds
+    big = cv2.resize(fixture_img, (960, 720))          # landscape, over bounds
     cv2.imwrite(str(album / "a.jpg"), cv2.cvtColor(big, cv2.COLOR_RGB2BGR))
     cv2.imwrite(str(album / "b.jpg"), cv2.cvtColor(fixture_img, cv2.COLOR_RGB2BGR))
 
     org = AlbumOrganizer(analyzer, AlbumConfig(), analyze_batch=2,
                          downscale=(640, 480))
     assert org._maybe_downscale(big).shape == (480, 640, 3)
+    # portrait (720x960 after rot90): letterboxed into the SAME bucket with
+    # aspect preserved — content in a 360-wide column, black to the right
+    portrait = np.ascontiguousarray(np.rot90(big))     # (960, 720, 3)
+    pout = org._maybe_downscale(portrait)
+    assert pout.shape == (480, 640, 3)
+    assert pout[:, 361:].max() == 0
+    assert pout[:, :360].max() > 0
     assert org._maybe_downscale(fixture_img).shape == fixture_img.shape
-    faces = org.scan_album(str(album), use_cache=False)
+    faces = org.scan_album(str(album), use_cache=True)   # writes the cache
     # both photos analyzed at the 640x480 bucket; all faces found
     assert faces.indices.count(0) >= 2 and faces.indices.count(1) >= 2
     assert faces.features.shape[1] == 1024
+
+    # a different downscale setting must NOT be served the stale cache:
+    # the recompute rewrites it under the new setting
+    assert os.path.exists(album / "features.npz")
+    other = AlbumOrganizer(analyzer, AlbumConfig(), analyze_batch=2)
+    fresh = other.scan_album(str(album), use_cache=True)
+    assert len(fresh.indices) >= 4
+    d = np.load(album / "features.npz", allow_pickle=True)
+    assert str(d["downscale"]) == "None"
 
 
 def test_album_cache_roundtrip(analyzer, fixture_img, tmp_path_factory):

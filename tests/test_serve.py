@@ -49,9 +49,10 @@ def test_analyze_pow2_padding():
         def __init__(self):
             self.lane_counts = []
 
-        def analyze_batch(self, imgs):
+        def analyze_batch(self, imgs, n_valid=None):
             self.lane_counts.append(len(imgs))
-            return [[("face", float(im.sum()))] for im in imgs]
+            n = len(imgs) if n_valid is None else n_valid
+            return [[("face", float(im.sum()))] for im in imgs[:n]]
 
     fa = FakeAnalyzer()
     for n, lanes in [(1, 1), (2, 2), (3, 4), (5, 8), (8, 8)]:
