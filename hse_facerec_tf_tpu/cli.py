@@ -160,6 +160,10 @@ def cmd_album(args):
             sys.exit(f"error: --downscale dimensions must be positive, "
                      f"got {args.downscale!r}")
         downscale = (w, h)
+    if args.minsize is None:
+        # album parity: the reference organizer builds its engine with
+        # minsize=112 (process_photos.py:385); --minsize overrides
+        args.minsize = cfg.minsize
     analyzer = _build_analyzer(args)
     organizer = AlbumOrganizer(analyzer, cfg, analyze_batch=args.batch_size,
                                downscale=downscale)
@@ -307,8 +311,15 @@ def cmd_utkface(args):
     # the reference clamps predicted ages to 21-60 unconditionally on its
     # CSV-split path (utkface_test.py:354-358), independent of any gt filter
     clamp = (21, 60) if (args.csv_split or args.coral_subset) else None
+    host_resize_to = None
+    if args.host_resize:
+        if args.backend == "insightface":
+            sys.exit("error: --host-resize is invalid for the insightface "
+                     "backend (it letterboxes at the original aspect ratio)")
+        host_resize_to = (args.host_resize, args.host_resize)
     result = dict(evaluate_age_gender(predict, paths, age_range=age_range,
-                                      clamp_range=clamp))
+                                      clamp_range=clamp,
+                                      host_resize_to=host_resize_to))
     result["backend"] = args.backend
     print(json.dumps(result, indent=2))
 
@@ -480,7 +491,9 @@ def main(argv=None):
                          "640x480) — bounds the set of compiled shapes for "
                          "mixed-resolution albums")
     _add_model_args(al)
-    al.set_defaults(fn=cmd_album)
+    # None = "not explicitly set" so cmd_album can apply the reference
+    # album default minsize=112 (process_photos.py:385) over the generic 40
+    al.set_defaults(fn=cmd_album, minsize=None)
 
     idn = sub.add_parser("identify", help="gallery/probe 1-NN identification")
     idn.add_argument("gallery")
@@ -521,6 +534,12 @@ def main(argv=None):
     u.add_argument("--csv-split", action="store_true",
                    help="use utk_test.csv in the dataset dir "
                         "(utkface_test.py:316-330)")
+    u.add_argument("--host-resize", type=int, default=None, metavar="SIZE",
+                   help="resize every image host-side (exact device resize "
+                        "weights) to SIZE² before prediction — ONE compiled "
+                        "program for in-the-wild mixed-resolution datasets. "
+                        "Use the backend's input size (ours: 224). Invalid "
+                        "for letterboxing backends (insightface)")
     u.set_defaults(fn=cmd_utkface)
 
 

@@ -43,6 +43,10 @@ class AlbumConfig:
     input_directory: Optional[str] = None
     age_penalty_weight: float = 0.1  # reference :51
     clustering_method: str = "scipy"
+    # the reference album constructs its engine with minsize=112
+    # (process_photos.py:385) — NOT the demo default 40 — so small
+    # background faces never enter the album clustering
+    minsize: int = 112
 
     @classmethod
     def from_file(cls, path: str) -> "AlbumConfig":

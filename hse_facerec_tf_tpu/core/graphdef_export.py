@@ -162,6 +162,24 @@ class GraphBuilder:
         return self._node(name, "FusedBatchNorm",
                           [x, scale, offset, mean, variance], attrs)
 
+    def pad(self, name: str, x: str, pads) -> str:
+        """Explicit zero Pad — the frozen form of Keras ``ZeroPadding2D``
+        (keras_vggface ResNet stem)."""
+        pads_const = self.const(f"{name}/paddings",
+                                np.asarray(pads, dtype=np.int32))
+        attrs = self._attr_type("T", DT_FLOAT) + self._attr_type(
+            "Tpaddings", DT_INT32)
+        return self._node(name, "Pad", [x, pads_const], attrs)
+
+    def max_pool(self, name: str, x: str, k: int, stride: int,
+                 padding: str = "VALID") -> str:
+        attrs = (self._attr_type("T", DT_FLOAT)
+                 + self._attr_string("padding", padding)
+                 + self._attr_int_list("ksize", [1, k, k, 1])
+                 + self._attr_int_list("strides", [1, stride, stride, 1])
+                 + self._attr_string("data_format", "NHWC"))
+        return self._node(name, "MaxPool", [x], attrs)
+
     def mean(self, name: str, x: str, axes, keep_dims: bool = False) -> str:
         axes_const = self.const(f"{name}/reduction_indices",
                                 np.asarray(axes, dtype=np.int32))
@@ -290,6 +308,65 @@ def export_gender_pb(params: Dict, path: str, input_size: int = 224) -> None:
     """Standalone frozen gender graph (``input_1`` → ``predictions/Sigmoid``)
     from multi-head params — the two-model configuration's gender half."""
     _export_single_head_pb(params, path, "gender", "Sigmoid", input_size)
+
+
+def export_resnet_embedder_pb(params: Dict, path: str,
+                              input_size: int = 224) -> None:
+    """Write a ResNet-50 embedder (resnet.py pytree, BN or folded form) as a
+    frozen pb with the reference's vgg2_resnet tensor names
+    (``facerec_test.py:213``: ``input`` → ``pool5_7x7_s1``). Emitted in the
+    frozen-Keras form the reference's ``freeze_session`` produces
+    (``facerec_keras_train.py:70-83``): ZeroPadding as explicit ``Pad``,
+    unfolded ``FusedBatchNorm``, VALID 3×3/2 max-pool."""
+    from ..models.resnet import STAGES
+
+    g = GraphBuilder()
+    x = g.placeholder("input", [-1, input_size, input_size, 3])
+
+    def conv_affine(x, p, name, *, stride=1, padding="SAME"):
+        w = g.const(f"{name}/kernel", np.asarray(p["kernel"], np.float32))
+        x = g.conv2d(f"{name}/Conv2D", x, w, stride=stride, padding=padding)
+        if "bn" in p:
+            bn = p["bn"]
+            consts = [g.const(f"{name}/bn/{k}", np.asarray(bn[k], np.float32))
+                      for k in ("gamma", "beta", "mean", "var")]
+            return g.fused_batch_norm(f"{name}/bn/FusedBatchNorm", x, *consts,
+                                      epsilon=1e-3)
+        if "scale" in p:
+            s = g.const(f"{name}/scale", np.asarray(p["scale"], np.float32))
+            x = g.simple("Mul", f"{name}/Mul", [x, s])
+        b = g.const(f"{name}/bias",
+                    np.asarray(p.get("bias",
+                                     np.zeros(np.asarray(p["kernel"]).shape[-1])),
+                               np.float32))
+        return g.simple("BiasAdd", f"{name}/BiasAdd", [x, b])
+
+    x = g.pad("conv1/pad", x, [[0, 0], [3, 3], [3, 3], [0, 0]])
+    x = conv_affine(x, params["stem"], "conv1/7x7_s2", stride=2,
+                    padding="VALID")
+    x = g.simple("Relu", "conv1/relu", [x])
+    x = g.max_pool("pool1", x, 3, 2, "VALID")
+
+    for si, n_blocks in enumerate(STAGES):
+        for bi in range(n_blocks):
+            p = params[f"stage{si + 1}_block{bi + 1}"]
+            base = f"conv{si + 2}_{bi + 1}"
+            stride = 2 if (bi == 0 and si > 0) else 1
+            shortcut = x
+            if "proj" in p:
+                shortcut = conv_affine(x, p["proj"], f"{base}_1x1_proj",
+                                       stride=stride)
+            y = conv_affine(x, p["conv1"], f"{base}_1x1_reduce", stride=stride)
+            y = g.simple("Relu", f"{base}_1x1_reduce/relu", [y])
+            y = conv_affine(y, p["conv2"], f"{base}_3x3")
+            y = g.simple("Relu", f"{base}_3x3/relu", [y])
+            y = conv_affine(y, p["conv3"], f"{base}_1x1_increase")
+            x = g.simple("Add", f"{base}/add", [y, shortcut])
+            x = g.simple("Relu", f"{base}/relu", [x])
+
+    g.mean("pool5_7x7_s1", x, [1, 2])
+    with open(path, "wb") as f:
+        f.write(g.serialize())
 
 
 def export_mobilenet_embedder_pb(params: Dict, path: str,

@@ -31,12 +31,17 @@ def load_keras_h5(path: str) -> Dict[str, np.ndarray]:
                 out[name.split(":")[0]] = np.asarray(obj)
 
         root.visititems(visit)
-    # keys look like '<layer>/<layer>/<weight>' (keras nests) or '<layer>/<weight>'
+    # keys look like '<layer>/<layer>/<weight>' (keras nests the layer name
+    # twice) or '<layer>/<weight>'; layer names may themselves contain '/'
+    # (keras_vggface: 'conv1/7x7_s2/bn'), so try every split point where the
+    # doubled prefix matches and drop the longest one
     normalized = {}
     for k, v in out.items():
         parts = [p for p in k.split("/") if p]
-        if len(parts) >= 2 and parts[0] == parts[1]:
-            parts = parts[1:]
+        for n in range((len(parts) - 1) // 2, 0, -1):
+            if parts[:n] == parts[n:2 * n]:
+                parts = parts[n:]
+                break
         normalized["/".join(parts)] = v
     return normalized
 

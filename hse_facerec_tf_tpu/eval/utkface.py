@@ -61,18 +61,28 @@ def read_csv_split(db_dir: str, csv_name: str = "utk_test.csv") -> List[str]:
 def evaluate_age_gender(predict_fn: Callable[[np.ndarray], Tuple[np.ndarray, np.ndarray]],
                         image_paths: Sequence[str], batch_size: int = 64,
                         age_range: Optional[Tuple[int, int]] = None,
-                        clamp_range: Optional[Tuple[int, int]] = "auto",
+                        clamp_range: Optional[Tuple[int, int]] = None,
+                        clamp_to_age_range: bool = True,
+                        host_resize_to: Optional[Tuple[int, int]] = None,
+                        host_resize_method: str = "cv2_linear",
                         ) -> Dict[str, float]:
     """predict_fn: batch of RGB uint8 (N,H,W,3) -> (ages (N,), p_male (N,)).
 
     age_range: optional (lo, hi) ground-truth filter — e.g. (21, 60) for the
     CORAL-paper subset (``age_gender_identity/README.md:32``).
 
-    clamp_range: (lo, hi) to clamp PREDICTED ages into, as the reference's
-    CSV-split path does unconditionally (``utkface_test.py:354-358`` clamps to
-    21-60 whenever ``all_set`` is False, independent of any ground-truth
-    filter). Defaults to ``age_range`` for backward compatibility; pass None
-    to disable or an explicit range to clamp without filtering.
+    Predicted ages are clamped into ``clamp_range`` when given; otherwise
+    into ``age_range`` while ``clamp_to_age_range`` (the default — the
+    reference's CSV-split path clamps predictions to 21-60 unconditionally,
+    ``utkface_test.py:354-358``). Pass ``clamp_to_age_range=False`` to filter
+    ground truth without clamping predictions.
+
+    host_resize_to: resize every image on the HOST (exact device weight
+    matrices, ``ops.resize.resize_host``) to one (H, W) before prediction,
+    collapsing in-the-wild mixed-resolution datasets onto a single compiled
+    program. Only valid for backends whose device path starts with a plain
+    resize to that size (e.g. the multihead 'ours' backend) — letterboxing
+    backends (insightface) must see the original aspect ratio.
     """
     from ..utils.image_io import imread_rgb
 
@@ -93,6 +103,10 @@ def evaluate_age_gender(predict_fn: Callable[[np.ndarray], Tuple[np.ndarray, np.
     imgs = []
     for i, (p, _, _) in enumerate(records):
         im = imread_rgb(p)
+        if host_resize_to is not None and im.shape[:2] != tuple(host_resize_to):
+            from ..ops.resize import resize_host
+
+            im = resize_host(im, tuple(host_resize_to), host_resize_method)
         imgs.append(im)
         by_size.setdefault(im.shape[:2], []).append(i)
 
@@ -106,10 +120,10 @@ def evaluate_age_gender(predict_fn: Callable[[np.ndarray], Tuple[np.ndarray, np.
             pred_age[chunk] = np.asarray(ages)
             pred_male[chunk] = np.asarray(p_male)
 
-    if clamp_range == "auto":
-        clamp_range = age_range
-    if clamp_range is not None:
-        pred_age = np.clip(pred_age, clamp_range[0], clamp_range[1])
+    effective_clamp = clamp_range if clamp_range is not None else (
+        age_range if clamp_to_age_range else None)
+    if effective_clamp is not None:
+        pred_age = np.clip(pred_age, effective_clamp[0], effective_clamp[1])
 
     for i, (_, true_age, true_gender) in enumerate(records):
         pred_gender = 0 if pred_male[i] >= 0.6 else 1   # is_male threshold (:76-81)

@@ -26,9 +26,17 @@ STAGE_WIDTHS = ((64, 64, 256), (128, 128, 512), (256, 256, 1024), (512, 512, 204
 
 
 def _conv_bn(x, p, *, stride=1, padding="SAME", relu=True, precision):
+    """Conv + BN (or the folded {scale, bias} form produced by the frozen-pb
+    importer, core/pb_import.py) + optional ReLU."""
     x = conv2d(x, p["kernel"], stride=stride, padding=padding, precision=precision)
-    bn = p["bn"]
-    x = batch_norm(x, bn["gamma"], bn["beta"], bn["mean"], bn["var"])
+    if "bn" in p:
+        bn = p["bn"]
+        x = batch_norm(x, bn["gamma"], bn["beta"], bn["mean"], bn["var"])
+    else:
+        if "scale" in p:
+            x = x * p["scale"]
+        if "bias" in p:
+            x = x + p["bias"]
     return jax.nn.relu(x) if relu else x
 
 
@@ -44,10 +52,15 @@ def _bottleneck(x, p, *, stride, precision):
 
 def resnet50_backbone(params: Dict, x, *, precision=jax.lax.Precision.HIGHEST,
                       compute_dtype=jnp.float32):
-    """(N, H, W, 3) -> (N, H/32, W/32, 2048)."""
+    """(N, H, W, 3) -> (N, H/32, W/32, 2048).
+
+    Stem padding is the keras_vggface form — ``ZeroPadding2D((3, 3))`` +
+    7×7/2 VALID conv — NOT TF SAME (which pads (2, 3) and shifts the crop by
+    one pixel); then 3×3/2 VALID max-pool (Keras ``MaxPooling2D`` default)."""
     x = x.astype(compute_dtype)
     cast = lambda p: jax.tree.map(lambda a: a.astype(compute_dtype), p)
-    x = _conv_bn(x, cast(params["stem"]), stride=2, precision=precision)
+    x = _conv_bn(x, cast(params["stem"]), stride=2,
+                 padding=((3, 3), (3, 3)), precision=precision)
     x = max_pool(x, 3, 2, "VALID")
     for si, n_blocks in enumerate(STAGES):
         for bi in range(n_blocks):
@@ -104,4 +117,69 @@ def init_resnet50_params(rng: jax.Array, n_classes: Optional[int] = None) -> Dic
             "kernel": conv_init((in_ch, n_classes)),
             "bias": jnp.zeros((n_classes,)),
         }
+    return params
+
+
+def _h5_slot(weights: Dict, layer: str, kind: str) -> Optional[np.ndarray]:
+    """Find layer weight ``kind`` across Keras weight-name conventions
+    (``kernel`` vs old-style ``<base>_W_1``, BN ``moving_mean`` vs
+    ``running_mean``); returns None when absent."""
+    suffixes = {
+        "kernel": ("kernel", "_W_1", "_W"),
+        "bias": ("bias", "_b_1", "_b"),
+        "gamma": ("gamma",),
+        "beta": ("beta",),
+        "mean": ("moving_mean", "running_mean"),
+        "var": ("moving_variance", "running_std"),
+    }[kind]
+    prefix = layer + "/"
+    for key, v in weights.items():
+        if key.startswith(prefix) and key[len(prefix):].endswith(suffixes):
+            return np.asarray(v)
+    return None
+
+
+def resnet50_params_from_h5(path: str) -> Dict:
+    """keras_vggface (rcmalli) ResNet-50 h5 → resnet.py param pytree (BN
+    form). Layer naming per keras_vggface ``RESNET50``: stem
+    ``conv1/7x7_s2`` (+ ``/bn``), bottlenecks
+    ``conv{s}_{b}_1x1_reduce`` / ``_3x3`` / ``_1x1_increase`` /
+    ``_1x1_proj`` for stages s=2..5 (+ ``/bn`` each). The reference taps its
+    ``avg_pool`` output as the clustering feature extractor
+    (``facial_clustering_test.py:296-300``) — that equals
+    ``resnet50_embed``. Conv biases, when present, fold into the BN running
+    mean (``BN(x + b)`` ≡ BN with ``mean - b``)."""
+    from ..core.h5_import import load_keras_h5
+
+    w = load_keras_h5(path)
+
+    def block(layer: str) -> Dict:
+        kernel = _h5_slot(w, layer, "kernel")
+        if kernel is None:
+            raise KeyError(
+                f"resnet50 h5 import: layer {layer!r} has no kernel among "
+                f"{sorted(k for k in w if k.startswith(layer))[:4]}...")
+        bn_layer = f"{layer}/bn"
+        bn = {k: _h5_slot(w, bn_layer, k)
+              for k in ("gamma", "beta", "mean", "var")}
+        if any(v is None for v in bn.values()):
+            raise KeyError(f"resnet50 h5 import: incomplete BN for {bn_layer}")
+        bias = _h5_slot(w, layer, "bias")
+        if bias is not None:
+            bn["mean"] = bn["mean"] - bias
+        return {"kernel": jnp.asarray(kernel),
+                "bn": {k: jnp.asarray(v) for k, v in bn.items()}}
+
+    params: Dict = {"stem": block("conv1/7x7_s2")}
+    for si, n_blocks in enumerate(STAGES):
+        for bi in range(n_blocks):
+            s, b = si + 2, bi + 1
+            p = {
+                "conv1": block(f"conv{s}_{b}_1x1_reduce"),
+                "conv2": block(f"conv{s}_{b}_3x3"),
+                "conv3": block(f"conv{s}_{b}_1x1_increase"),
+            }
+            if bi == 0:
+                p["proj"] = block(f"conv{s}_{b}_1x1_proj")
+            params[f"stage{si + 1}_block{bi + 1}"] = p
     return params

@@ -21,6 +21,7 @@ MTCNN_PB = os.path.join(REFERENCE_ROOT, "age_gender_identity", "mtcnn.pb")
 AGEGENDER_PB = os.path.join(REFERENCE_ROOT, "age_gender_identity",
                             "age_gender_tf2_new-01-0.14-0.92_quantized.pb")
 VGG2_MOBILENET_H5 = os.path.join(REFERENCE_ROOT, "models", "vgg2_mobilenet.h5")
+VGG2_MOBILENET_PB = os.path.join(REFERENCE_ROOT, "models", "vgg2_mobilenet.pb")
 VGG2_RESNET_PB = os.path.join(REFERENCE_ROOT, "models", "vgg2_resnet.pb")
 
 
@@ -81,32 +82,47 @@ def weights_origin(name: str) -> str:
     """'imported' if the zoo entry resolves to trained reference weights on
     this machine, 'random' if building it would fall back to random init."""
     if name == "vgg2_mobilenet":
-        return "imported" if os.path.exists(VGG2_MOBILENET_H5) else "random"
+        return ("imported" if os.path.exists(VGG2_MOBILENET_H5)
+                or os.path.exists(VGG2_MOBILENET_PB) else "random")
     if name == "vgg2_resnet":
-        return "random"  # no .pb→resnet importer target exists upstream
+        return "imported" if os.path.exists(VGG2_RESNET_PB) else "random"
     if name == "insightface_arcface":
         return "imported" if os.path.exists(ARCFACE_NPZ) else "random"
     if name == "vggface_vgg16":
         return "imported" if os.path.exists(VGGFACE_VGG16_H5) else "random"
+    if name == "vggface_resnet50":
+        return "imported" if os.path.exists(VGGFACE_RESNET50_H5) else "random"
     return "imported"  # shipped pbs (mtcnn, quantized age/gender)
 
 
 def _vgg2_mobilenet_params():
-    """vgg2_mobilenet.h5 if present (missing upstream: .MISSING_LARGE_BLOBS);
-    falls back to random init — with a loud warning — so the pipeline stays
-    runnable."""
+    """vgg2_mobilenet weights: the Keras ``.h5`` if present, else the frozen
+    ``.pb`` via the structural importer (the reference consumes the pb form
+    directly, ``facerec_test.py:212``; both blobs are missing upstream:
+    .MISSING_LARGE_BLOBS). Falls back to random init — with a loud warning —
+    so the pipeline stays runnable."""
     from ..core.h5_import import mobilenet_params_from_h5
     from .mobilenet import init_mobilenet_params
 
     if os.path.exists(VGG2_MOBILENET_H5):
         return mobilenet_params_from_h5(VGG2_MOBILENET_H5)
+    if os.path.exists(VGG2_MOBILENET_PB):
+        from ..core.pb_import import mobilenet_params_from_pb
+
+        return mobilenet_params_from_pb(VGG2_MOBILENET_PB)
     _warn_random_init("vgg2_mobilenet", VGG2_MOBILENET_H5)
     return init_mobilenet_params(jax.random.PRNGKey(0))
 
 
 def _vgg2_resnet_params():
+    """vgg2_resnet.pb (reference ``facerec_test.py:213``; missing upstream)
+    via the structural frozen-pb importer; random init otherwise."""
     from .resnet import init_resnet50_params
 
+    if os.path.exists(VGG2_RESNET_PB):
+        from ..core.pb_import import resnet50_params_from_pb
+
+        return resnet50_params_from_pb(VGG2_RESNET_PB)
     _warn_random_init("vgg2_resnet", VGG2_RESNET_PB)
     return init_resnet50_params(jax.random.PRNGKey(0))
 
@@ -122,6 +138,21 @@ ARCFACE_NPZ = os.environ.get(
 VGGFACE_VGG16_H5 = os.environ.get(
     "HSE_FACEREC_VGGFACE16_H5",
     os.path.join(REFERENCE_ROOT, "models", "rcmalli_vggface_tf_vgg16.h5"))
+
+# keras_vggface ResNet-50 weights (rcmalli_vggface_tf_resnet50.h5 — the
+# 'resnet50'/avg_pool extractor variant, facial_clustering_test.py:296-300).
+VGGFACE_RESNET50_H5 = os.environ.get(
+    "HSE_FACEREC_VGGFACE_RESNET50_H5",
+    os.path.join(REFERENCE_ROOT, "models", "rcmalli_vggface_tf_resnet50.h5"))
+
+
+def _vggface_resnet50_params():
+    from .resnet import init_resnet50_params, resnet50_params_from_h5
+
+    if os.path.exists(VGGFACE_RESNET50_H5):
+        return resnet50_params_from_h5(VGGFACE_RESNET50_H5)
+    _warn_random_init("vggface_resnet50", VGGFACE_RESNET50_H5)
+    return init_resnet50_params(jax.random.PRNGKey(0))
 
 
 def _vgg16_params():
@@ -183,6 +214,13 @@ MODEL_ZOO: Dict[str, ModelSpec] = {
     "vggface_vgg16": ModelSpec(
         "vggface_vgg16", (224, 224), "vggface1", "pil_nearest", 4096,
         _vgg16_params, _vgg16_fn),
+    # keras_vggface ResNet-50, avg_pool tap (facial_clustering_test.py:
+    # 296-300: layers={'resnet50': 'avg_pool'}). Same preprocessing as the
+    # vgg16 variant: Keras load_img PIL-NEAREST resize + preprocess_input
+    # with its DEFAULT version=1 means (the reference passes no version arg).
+    "vggface_resnet50": ModelSpec(
+        "vggface_resnet50", (224, 224), "vggface1", "pil_nearest", 2048,
+        _vggface_resnet50_params, _resnet_fn),
 }
 
 

@@ -152,6 +152,25 @@ def resize(img: jnp.ndarray, out_hw: Tuple[int, int], method: str = "cv2_linear"
     return x
 
 
+def resize_host(img: np.ndarray, out_hw: Tuple[int, int],
+                method: str = "cv2_linear") -> np.ndarray:
+    """Host-side (NumPy) resize with the EXACT same 1-D weight matrices as
+    the on-device ``resize`` — for collapsing mixed-size datasets onto one
+    compiled program (each distinct source (H, W) otherwise costs a fresh
+    1-9 min XLA compile over the tunnel). Same separable contraction, f32.
+
+    Accepts (..., H, W, C); returns float32 (..., out_h, out_w, C)."""
+    h, w = img.shape[-3], img.shape[-2]
+    oh, ow = out_hw
+    wfn = _WEIGHT_FNS[method]
+    mh = wfn(h, oh)                       # (oh, h)
+    mw = wfn(w, ow)                       # (ow, w)
+    x = np.asarray(img, dtype=np.float32)
+    x = np.einsum("oh,...hwc->...owc", mh, x)
+    x = np.einsum("pw,...owc->...opc", mw, x)
+    return np.ascontiguousarray(x, dtype=np.float32)
+
+
 def resize_pyramid(img: jnp.ndarray, out_hws, method: str = "cv2_area",
                    precision=jax.lax.Precision.HIGHEST):
     """Resize one (..., H, W, C) image to SEVERAL output sizes at once.

@@ -106,29 +106,36 @@ class AlbumOrganizer:
         self.analyze_batch = max(1, int(analyze_batch))
         self.downscale = downscale
 
-    def _maybe_downscale(self, img: np.ndarray) -> np.ndarray:
+    def _maybe_downscale(self, img: np.ndarray):
+        """Returns ``(img, content_hw)``: the (possibly letterboxed) analysis
+        image plus the (h, w) of the real photo content inside it — the
+        letterbox padding must not count toward the big-face width fraction
+        (reference ``min_face_width_percent`` divides by the PHOTO width,
+        ``process_photos.py:41-42``)."""
         if self.downscale is None:
-            return img
+            return img, img.shape[:2]
         import cv2
 
         max_w, max_h = self.downscale
         h, w = img.shape[:2]
         if w <= max_w and h <= max_h:
-            return img
+            return img, (h, w)
         s = min(max_w / w, max_h / h)
         nw, nh = max(1, int(round(w * s))), max(1, int(round(h * s)))
         resized = cv2.resize(img, (nw, nh))
         out = np.zeros((max_h, max_w, 3), img.dtype)   # black letterbox
         out[:nh, :nw] = resized
-        return out
+        return out, (nh, nw)
 
     # ---------- per-item processing ----------
 
-    def _faces_to_outputs(self, img: np.ndarray, faces):
+    def _faces_to_outputs(self, img: np.ndarray, faces, content_w: Optional[int] = None):
         """Host-side per-photo assembly from FaceResults: 224² crops, ages,
         genders, L2-normed features, big-face flag (reference ``process_image``
-        :30-42)."""
-        width = img.shape[1]
+        :30-42). ``content_w``: real photo-content width when ``img`` is a
+        letterboxed canvas — the big-face fraction divides by it, not by the
+        padded canvas width."""
+        width = content_w if content_w else img.shape[1]
         crops, ages, genders, feats = [], [], [], []
         has_center_face = False
         for f in faces:
@@ -145,7 +152,7 @@ class AlbumOrganizer:
                 has_center_face = True
         return crops, ages, genders, feats, has_center_face
 
-    def _process_photo(self, img: np.ndarray):
+    def _process_photo(self, img: np.ndarray, content_hw=None):
         """One photo -> (face_crops_224, ages, genders, normed_features,
         has_big_face). Mirrors reference ``process_image`` (:30-42)."""
         faces, rotation = self.analyzer.analyze_with_rotations(img)
@@ -154,9 +161,12 @@ class AlbumOrganizer:
             # orientation the detector saw (reference rotates the photo itself,
             # process_photos.py:241-247)
             img = np.ascontiguousarray(np.rot90(img, 3 if rotation == 90 else 1))
-        return self._faces_to_outputs(img, faces)
+            if content_hw is not None:
+                content_hw = content_hw[::-1]  # rot90 swaps content h/w
+        return self._faces_to_outputs(
+            img, faces, content_hw and content_hw[1])
 
-    def _rotation_retry(self, img: np.ndarray):
+    def _rotation_retry(self, img: np.ndarray, content_hw=None):
         """Rotations-only retry for a photo the batch pass already analyzed
         upright and found no face in: skip the redundant (and
         per-shape-compile-costing) unrotated pass and go straight to the
@@ -165,8 +175,9 @@ class AlbumOrganizer:
             rotated = np.ascontiguousarray(np.rot90(img, 3 if rot == 90 else 1))
             faces = self.analyzer.analyze(rotated)
             if faces:
-                return self._faces_to_outputs(rotated, faces)
-        return self._faces_to_outputs(img, [])
+                return self._faces_to_outputs(
+                    rotated, faces, content_hw and content_hw[::-1][1])
+        return self._faces_to_outputs(img, [], content_hw and content_hw[1])
 
     def process_video(self, path: str, mdate: time.struct_time):
         """Frame loop with adaptive skip; cluster within the clip; return
@@ -232,14 +243,15 @@ class AlbumOrganizer:
         per_photo: Dict[int, Tuple] = {}
         if self.analyze_batch <= 1:
             for i, f in enumerate(files):
-                img = self._maybe_downscale(imread_rgb(os.path.join(album_dir, f)))
-                per_photo[i] = self._process_photo(img)
+                img, chw = self._maybe_downscale(
+                    imread_rgb(os.path.join(album_dir, f)))
+                per_photo[i] = self._process_photo(img, chw)
             return per_photo
 
         from ..utils.prefetch import bounded_thread_map
 
         def flush(bucket):
-            imgs = np.stack([im for _, im in bucket])
+            imgs = np.stack([im for _, im, _ in bucket])
             # pad partial batches with ZERO images (one compiled program per
             # shape; blank lanes detect nothing, so they consume no
             # head-budget slots and never trigger fallback re-runs)
@@ -248,11 +260,11 @@ class AlbumOrganizer:
                 imgs = np.concatenate(
                     [imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
             all_faces = self.analyzer.analyze_batch(imgs, n_valid=len(bucket))
-            for (i, im), faces in zip(bucket, all_faces):
+            for (i, im, chw), faces in zip(bucket, all_faces):
                 if faces:
-                    per_photo[i] = self._faces_to_outputs(im, faces)
+                    per_photo[i] = self._faces_to_outputs(im, faces, chw[1])
                 else:
-                    per_photo[i] = self._rotation_retry(im)
+                    per_photo[i] = self._rotation_retry(im, chw)
 
         buckets: Dict[Tuple[int, int], list] = {}
         # threaded decode, bounded in-flight (utils/prefetch): photo decode
@@ -260,10 +272,10 @@ class AlbumOrganizer:
         decoded = bounded_thread_map(
             lambda f: self._maybe_downscale(imread_rgb(os.path.join(album_dir, f))),
             files, workers=4, depth=2 * self.analyze_batch)
-        for i, img in enumerate(decoded):
+        for i, (img, chw) in enumerate(decoded):
             shape = (img.shape[0], img.shape[1])
             bucket = buckets.setdefault(shape, [])
-            bucket.append((i, img))
+            bucket.append((i, img, chw))
             if len(bucket) == self.analyze_batch:
                 flush(bucket)
                 buckets[shape] = []

@@ -38,10 +38,23 @@ class EmbeddingExtractor:
     def __init__(self, model_fn: Callable, params, input_size: Tuple[int, int],
                  normalization: str = "caffe", resize_method: str = "pil_bilinear",
                  batch_size: int = 64, mesh=None, compute_dtype=jnp.float32,
-                 flip_tta: bool = False, l2_normalize_output: bool = False):
+                 flip_tta: bool = False, l2_normalize_output: bool = False,
+                 host_resize: str = "auto", max_compiled_shapes: int = 4):
         """flip_tta sums features of the image and its horizontal mirror, and
         l2_normalize_output normalizes rows — the reference's InsightFace
-        extractor behavior (``insightface_face_embedding.py:47-62``)."""
+        extractor behavior (``insightface_face_embedding.py:47-62``).
+
+        host_resize bounds the number of compiled programs on mixed-size
+        datasets (each distinct source (H, W) otherwise costs a fresh XLA
+        compile — unbounded for in-the-wild sets like UTKFace):
+          - 'auto' (default): the first ``max_compiled_shapes`` distinct
+            shapes get fused on-device resize programs; further shapes are
+            resized on the host with the EXACT same weight matrices
+            (``ops.resize.resize_host``) and routed through the one
+            ``input_size`` program.
+          - 'always': every non-native shape resizes on host (exactly one
+            compiled program per model).
+          - 'never': previous behavior (one program per source shape)."""
         self.model_fn = model_fn
         self.params = params
         self.input_size = tuple(input_size)
@@ -52,9 +65,27 @@ class EmbeddingExtractor:
         self.compute_dtype = compute_dtype
         self.flip_tta = flip_tta
         self.l2_normalize_output = l2_normalize_output
+        if host_resize not in ("auto", "always", "never"):
+            raise ValueError(f"host_resize must be auto|always|never, "
+                             f"got {host_resize!r}")
+        self.host_resize = host_resize
+        self.max_compiled_shapes = max_compiled_shapes
         self._jitted: Dict[Tuple[int, int], Callable] = {}
         if mesh is not None:
             self.params = jax.device_put(params, replicated(mesh))
+
+    def _maybe_host_resize(self, batch: np.ndarray) -> np.ndarray:
+        """Apply the host-side exact resize when the shape budget says so."""
+        in_hw = (batch.shape[1], batch.shape[2])
+        if in_hw == self.input_size or self.host_resize == "never":
+            return batch
+        if self.host_resize == "always" or (
+                in_hw not in self._jitted
+                and len(self._jitted) >= self.max_compiled_shapes):
+            from ..ops.resize import resize_host
+
+            return resize_host(batch, self.input_size, self.resize_method)
+        return batch
 
     def _fn_for(self, in_hw: Tuple[int, int]) -> Callable:
         if in_hw not in self._jitted:
@@ -85,6 +116,7 @@ class EmbeddingExtractor:
 
     def extract_batch(self, images: np.ndarray) -> np.ndarray:
         """(N, H, W, 3) uint8/float RGB (uniform size) -> (N, D) float32."""
+        images = self._maybe_host_resize(np.asarray(images))
         in_hw = (images.shape[1], images.shape[2])
         fn = self._fn_for(in_hw)
         out: List[np.ndarray] = []
@@ -115,7 +147,7 @@ class EmbeddingExtractor:
 
         def dispatch(bucket):
             idxs = [i for i, _ in bucket]
-            batch = np.stack([im for _, im in bucket])
+            batch = self._maybe_host_resize(np.stack([im for _, im in bucket]))
             in_hw = (batch.shape[1], batch.shape[2])
             fn = self._fn_for(in_hw)
             padded, n = pad_batch(batch, self.batch_size)

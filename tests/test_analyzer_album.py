@@ -279,15 +279,31 @@ def test_album_downscale_buckets(analyzer, fixture_img, tmp_path_factory):
 
     org = AlbumOrganizer(analyzer, AlbumConfig(), analyze_batch=2,
                          downscale=(640, 480))
-    assert org._maybe_downscale(big).shape == (480, 640, 3)
+    ds, chw = org._maybe_downscale(big)
+    assert ds.shape == (480, 640, 3) and chw == (480, 640)
     # portrait (720x960 after rot90): letterboxed into the SAME bucket with
     # aspect preserved — content in a 360-wide column, black to the right
     portrait = np.ascontiguousarray(np.rot90(big))     # (960, 720, 3)
-    pout = org._maybe_downscale(portrait)
+    pout, pchw = org._maybe_downscale(portrait)
     assert pout.shape == (480, 640, 3)
+    assert pchw == (480, 360)
     assert pout[:, 361:].max() == 0
     assert pout[:, :360].max() > 0
-    assert org._maybe_downscale(fixture_img).shape == fixture_img.shape
+    same, same_chw = org._maybe_downscale(fixture_img)
+    assert same.shape == fixture_img.shape
+    assert same_chw == fixture_img.shape[:2]
+    # big-face privacy fraction divides by the CONTENT width (360), not the
+    # padded canvas (640): a 90px face is 25% of the real portrait photo
+    face = type("F", (), {"bbox": (10, 10, 100, 100), "age": 30.0,
+                          "gender_prob": 0.7,
+                          "identity": np.ones(1024, np.float32)})()
+    *_, big_face = org._faces_to_outputs(pout, [face], pchw[1])
+    assert big_face          # 90/360 = 0.25 >= 0.05
+    org_strict = AlbumOrganizer(
+        analyzer, AlbumConfig(min_face_width_percent=0.26), analyze_batch=2,
+        downscale=(640, 480))
+    *_, big_face = org_strict._faces_to_outputs(pout, [face], pchw[1])
+    assert not big_face      # 0.25 < 0.26 (would pass vs canvas: 90/640)
     faces = org.scan_album(str(album), use_cache=True)   # writes the cache
     # both photos analyzed at the 640x480 bucket; all faces found
     assert faces.indices.count(0) >= 2 and faces.indices.count(1) >= 2
@@ -427,3 +443,28 @@ def test_analyzer_oversampling_semantics(fixture_img):
     for g, p in zip(got, plain):
         np.testing.assert_allclose(g.identity, p.identity, atol=1e-4)
         assert g.bbox == p.bbox
+
+
+def test_cli_album_minsize_default(tmp_path, monkeypatch):
+    """``cmd_album`` builds its engine with the reference album default
+    minsize=112 (``process_photos.py:385``), while an explicit ``--minsize``
+    still overrides it."""
+    from hse_facerec_tf_tpu import cli
+
+    seen = {}
+
+    class _Stop(Exception):
+        pass
+
+    def fake_build(args):
+        seen["minsize"] = args.minsize
+        raise _Stop
+
+    monkeypatch.setattr(cli, "_build_analyzer", fake_build)
+    (tmp_path / "x.jpg").write_bytes(b"")   # pass cmd_analyze's exists check
+    for argv, want in ((["album", str(tmp_path)], 112),
+                       (["album", str(tmp_path), "--minsize", "40"], 40),
+                       (["analyze", str(tmp_path / "x.jpg")], 40)):
+        with pytest.raises(_Stop):
+            cli.main(argv)
+        assert seen.pop("minsize") == want, argv

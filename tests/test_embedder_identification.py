@@ -191,3 +191,58 @@ def test_flip_tta_and_l2_output(mh_params, rng):
     # flip symmetry: mirrored input gives identical TTA features
     feats_m = ex.extract_batch(imgs[:, :, ::-1, :])
     np.testing.assert_allclose(feats, feats_m, atol=1e-3)
+
+
+def test_host_resize_matches_device(mh_params, rng):
+    """ops.resize.resize_host applies the EXACT same weight matrices as the
+    on-device resize; embeddings through the host path match the fused
+    device-resize path."""
+    from hse_facerec_tf_tpu.ops.resize import resize, resize_host
+
+    img = (rng.rand(3, 97, 131, 3) * 255).astype(np.uint8)
+    for method in ("cv2_linear", "pil_bilinear", "cv2_area", "pil_nearest"):
+        host = resize_host(img, (224, 224), method)
+        dev = np.asarray(resize(jax.numpy.asarray(img, dtype=jax.numpy.float32),
+                                (224, 224), method))
+        np.testing.assert_allclose(host, dev, atol=2e-3)
+
+    dev_ex = EmbeddingExtractor(identity_fn, mh_params, (224, 224),
+                                normalization="vggface2",
+                                resize_method="cv2_linear", batch_size=4,
+                                host_resize="never")
+    host_ex = EmbeddingExtractor(identity_fn, mh_params, (224, 224),
+                                 normalization="vggface2",
+                                 resize_method="cv2_linear", batch_size=4,
+                                 host_resize="always")
+    want = dev_ex.extract_batch(img)
+    got = host_ex.extract_batch(img)
+    np.testing.assert_allclose(got, want, atol=1e-2)
+    cos = np.sum(got * want, axis=1) / (
+        np.linalg.norm(got, axis=1) * np.linalg.norm(want, axis=1))
+    assert cos.min() > 0.999999
+    # 'always' must compile only the native-size program
+    assert list(host_ex._jitted) == [(224, 224)]
+
+
+def test_host_resize_auto_bounds_compiles(mh_params, rng):
+    """'auto' compiles at most max_compiled_shapes device programs; further
+    shapes route through the native-size program via host resize, with
+    matching embeddings."""
+    ex = EmbeddingExtractor(identity_fn, mh_params, (224, 224),
+                            normalization="vggface2",
+                            resize_method="cv2_linear", batch_size=2,
+                            host_resize="auto", max_compiled_shapes=2)
+    ref = EmbeddingExtractor(identity_fn, mh_params, (224, 224),
+                             normalization="vggface2",
+                             resize_method="cv2_linear", batch_size=2,
+                             host_resize="never")
+    shapes = [(50, 60), (70, 50), (90, 110), (41, 33)]
+    for hw in shapes:
+        img = (rng.rand(2, *hw, 3) * 255).astype(np.uint8)
+        got = ex.extract_batch(img)
+        want = ref.extract_batch(img)
+        cos = np.sum(got * want, axis=1) / (
+            np.linalg.norm(got, axis=1) * np.linalg.norm(want, axis=1))
+        assert cos.min() > 0.999999
+    assert len(ex._jitted) <= 3   # 2 device-shape programs + the 224 program
+    assert (224, 224) in ex._jitted

@@ -253,3 +253,65 @@ def test_sharded_age_gender_pair_runs():
     metrics = run_one_sharded_age_gender_pair(mesh)
     assert np.isfinite(metrics["age_loss"]) and np.isfinite(metrics["gender_loss"])
     assert 0.0 <= metrics["age_acc"] <= 1.0
+
+
+def test_utkface_host_resize_single_program(tmp_path, rng):
+    """host_resize_to collapses mixed-resolution images onto one prediction
+    bucket; with a size-invariant oracle the metrics are unchanged, and the
+    predict fn sees exactly one (H, W)."""
+    import cv2
+
+    from hse_facerec_tf_tpu.eval import utkface
+
+    paths = []
+    sizes = [(100, 80), (200, 160), (64, 64)]
+    for i, (age, g) in enumerate([(30, 0), (40, 1), (25, 0)]):
+        img = np.zeros((*sizes[i], 3), np.uint8)
+        img[:, :, 0] = age
+        img[:, :, 1] = 255 * (1 - g)
+        p = str(tmp_path / f"{age}_{g}_x_{i}.png")   # lossless
+        cv2.imwrite(p, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+        paths.append(p)
+
+    seen = []
+
+    class Oracle:
+        def __call__(self, batch):
+            seen.append(batch.shape[1:3])
+            ages = batch[:, 0, 0, 0].astype(np.float32)
+            males = (batch[:, 0, 0, 1] > 127).astype(np.float32)
+            return np.round(ages), males
+
+    stats = utkface.evaluate_age_gender(Oracle(), paths,
+                                        host_resize_to=(64, 64))
+    assert set(seen) == {(64, 64)}
+    assert stats["n"] == 3
+    assert stats["gender_accuracy"] == 1.0
+    assert stats["age_mae"] <= 0.5   # constant image, exact resize
+
+
+def test_utkface_clamp_flags(tmp_path, rng):
+    """clamp_to_age_range=False filters ground truth without touching
+    predictions; explicit clamp_range clamps without filtering."""
+    import cv2
+
+    from hse_facerec_tf_tpu.eval import utkface
+
+    img = np.zeros((32, 32, 3), np.uint8)
+    img[:, :, 0] = 30
+    img[:, :, 1] = 255
+    p = str(tmp_path / "30_0_x_0.jpg")
+    cv2.imwrite(p, img)
+
+    class Off:  # predicts 90, male
+        def __call__(self, batch):
+            return np.full(len(batch), 90.0), np.ones(len(batch))
+
+    # default: clamp to the gt filter range (reference CSV-split behavior)
+    s1 = utkface.evaluate_age_gender(Off(), [p], age_range=(21, 60))
+    assert s1["age_mae"] == 30.0          # 90 clamped to 60
+    s2 = utkface.evaluate_age_gender(Off(), [p], age_range=(21, 60),
+                                     clamp_to_age_range=False)
+    assert s2["age_mae"] == 60.0          # unclamped
+    s3 = utkface.evaluate_age_gender(Off(), [p], clamp_range=(21, 50))
+    assert s3["age_mae"] == 20.0          # explicit clamp, no filter
