@@ -51,8 +51,10 @@ BATCH = 1024
 WARMUP = 2
 ITERS = 4
 
-# TPU v5e (v5 lite) single-chip peaks: 394 TFLOP/s bf16 MXU, 819 GB/s HBM.
-V5E_PEAK_BF16_TFLOPS = 394.0
+# TPU v5e (v5 lite) single-chip peaks: 197 TFLOP/s bf16 MXU (394 is the
+# int8 figure — r02's roofline used it by mistake, halving every reported
+# MXU fraction), 819 GB/s HBM.
+V5E_PEAK_BF16_TFLOPS = 197.0
 V5E_PEAK_HBM_GBS = 819.0
 
 
@@ -312,7 +314,12 @@ def bench_train(chain=8, batch=256, size=224, n_classes=9131):
     iters = 3
     for _ in range(iters):
         np.asarray(many(params, opt_state, keys, images, labels))
-    return batch * chain * iters / (time.perf_counter() - t0)
+    ips = batch * chain * iters / (time.perf_counter() - t0)
+    flops, bytes_ = _cost_analysis(
+        many.lower(params, opt_state, keys, images, labels).compile())
+    roofline = _roofline_entry(flops / (batch * chain),
+                               bytes_ / (batch * chain), ips)
+    return ips, roofline
 
 
 def bench_knn(chain=6):
@@ -348,7 +355,18 @@ def bench_knn(chain=6):
 
     pallas_ms = chained(lambda p, g: nearest_neighbor_tpu(p, g))
     xla_ms = chained(lambda p, g: nearest_neighbor_chunked_xla(p, g, chunk=512))
-    return pallas_ms, xla_ms
+
+    # XLA cost analysis can't see inside the Pallas custom call, so the knn
+    # roofline is analytic: 2·M·N·D MXU FLOPs; HBM traffic = bf16 gallery
+    # re-read once per probe-tile sweep + operands/outputs (ops/pallas/knn.py
+    # docstring has the measured decomposition: the kernel is MXU-bound).
+    from hse_facerec_tf_tpu.ops.pallas.knn import TILE_M
+
+    flops = 2.0 * M * N * D
+    bytes_ = (-(-M // TILE_M)) * N * D * 2 + M * D * 2 + M * 8
+    calls_per_sec = 1000.0 / pallas_ms
+    roofline = _roofline_entry(flops, bytes_, calls_per_sec)
+    return pallas_ms, xla_ms, roofline
 
 
 def main():
@@ -375,8 +393,8 @@ def main():
 
     detect_ms, detect_batch_ips, img640, roof_detect = bench_detection()
     analyze_ms, analyze_batch_ips, roof_analyze = bench_analyze(img640)
-    knn_pallas_ms, knn_xla_ms = bench_knn()
-    train_ips = bench_train()
+    knn_pallas_ms, knn_xla_ms, roof_knn = bench_knn()
+    train_ips, roof_train = bench_train()
 
     try:
         cpu_ips = measure_cpu_baseline()
@@ -404,6 +422,8 @@ def main():
                 "embed_bf16": roof_bf16,
                 "detect_batch8": roof_detect,
                 "analyze": roof_analyze,
+                "train_bs256": roof_train,
+                "knn_8kx1M": roof_knn,
             },
         },
     }))

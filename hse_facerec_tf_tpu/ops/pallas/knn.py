@@ -14,13 +14,33 @@ Measured on v5e-1 (bf16 MXU inputs):
     matmul+argmin — XLA's hand-tuned pipeline wins while the matrix fits, so
     ``nearest_neighbor_auto`` defaults to XLA there;
   - design point (M=8192, D=512, N=1,048,576 — the (M, N) f32 matrix is
-    32 GB, 2× HBM): 60.6 ms vs 126 ms for the probe-chunked XLA
+    32 GB, 2× HBM): 57.1 ms vs 126 ms for the probe-chunked XLA
     alternative (``nearest_neighbor_chunked_xla``) — the matrix-free sweep
-    wins 2.1× in the regime it exists for (bench.py knn_8kx1M rows).
-    Gallery HBM traffic bounds the sweep: (M / TILE_M) full re-reads, so
-    TILE_M=1024 (8 sweeps) + pre-cast bf16 operands cut 97 ms → 60.6 ms.
+    wins 2.2× in the regime it exists for (bench.py knn_8kx1M rows).
     The iota+where argmin beats jnp.argmin inside the kernel (60.6 vs
     69.1 ms, measured) — keep it.
+
+Where the 57 ms sit on the roof (r3 ablation, all measured): the kernel is
+**MXU-bound, at 78% of true speed-of-light**. v5e peak is 197 TFLOP/s bf16
+(394 is the int8 number), so the 2·M·N·D = 8.8 TFLOP of distances floor at
+~45 ms; gallery HBM traffic is only ~5 ms at TILE_M=2048 (4 sweeps ×
+1.07 GB / 819 GB/s). Per-tile cost decomposition at (2048, 1024):
+matmul + one fused min-reduce = 59.0 ms; the full argmin adds just +0.7 ms
+(59.7); splitting each tile into two independent dot→argmin chains lets the
+scheduler overlap VPU of half 1 with MXU of half 2 → 57.1 ms (the shipped
+form, ``_SPLITS = 2``).
+
+Measured dead ends (do not retry without new Mosaic evidence):
+  - TILE_M ∈ {4096, 8192}, TILE_N = 2048, and ≥4-way splits all FAIL to
+    compile (Mosaic rejects the larger per-tile elementwise temporaries);
+    TILE_M=2048/TILE_N=1024 is the largest admitted config and is only 2%
+    faster than 1024² — traffic was never the binding constraint.
+  - Software pipelining via ab-scratch ping-pong (matmul of tile j alongside
+    drain of tile j-1 under alternating ``pl.when``): 105 ms — Mosaic does
+    not overlap the units across conditional regions, and the extra VMEM
+    round-trip of the (TILE_M, TILE_N) scores tile costs ~2 full passes.
+  - Deferring the per-row ``a2`` add out of the kernel: 65.8 ms (the fused
+    ``a2+b2-2ab`` epilogue is FREE next to the dot; breaking it hurts).
 
 Grid: (probe_tiles, gallery_tiles), gallery innermost (TPU grids execute
 sequentially, so VMEM scratch persists across the gallery sweep).
@@ -37,30 +57,45 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# TILE_M sets how often the gallery is re-swept from HBM: traffic is
-# (M / TILE_M) x gallery bytes, the kernel's dominant cost at the design
-# point. 1024 probe rows x 1024-d bf16 operands still fit VMEM comfortably
-# alongside the (TILE_M, TILE_N) f32 distance tile.
-TILE_M = 1024  # probe rows per tile
+# TILE_M sets how often the gallery is re-swept from HBM (traffic =
+# ceil(M / TILE_M) × gallery bytes); 2048×1024 is the largest tile Mosaic
+# admits and the measured best. _SPLITS independent dot→argmin chains per
+# tile let the scheduler overlap one chain's VPU argmin with the next
+# chain's MXU matmul (57.1 vs 59.6 ms; see module docstring).
+TILE_M = 2048  # probe rows per tile
 TILE_N = 1024  # gallery rows per tile
+_SPLITS = 2    # independent dot→argmin chains per tile
 
 
-def _make_kernel():
+def _make_kernel(tile_n: int, splits: int):
+    h = tile_n // splits
+
     def kernel(a_ref, bt_ref, a2_ref, b2_ref, min_ref, idx_ref,
                state_min, state_idx):
         j = pl.program_id(1)
         nj = pl.num_programs(1)
+        a = a_ref[:]
 
         # operands arrive pre-cast (bf16 or f32) — casting BEFORE the kernel
-        # halves the HBM gallery traffic, which is what bounds the sweep
-        ab = jnp.dot(a_ref[:], bt_ref[:], preferred_element_type=jnp.float32)
-        d = a2_ref[:] + b2_ref[:] - 2.0 * ab          # (TILE_M, TILE_N)
+        # halves the HBM gallery traffic. The `splits` half-tiles form
+        # independent MXU→VPU chains the scheduler can overlap.
+        abs_ = [jnp.dot(a, bt_ref[:, k * h:(k + 1) * h],
+                        preferred_element_type=jnp.float32)
+                for k in range(splits)]
 
-        local_min = jnp.min(d, axis=1, keepdims=True)  # (TILE_M, 1)
-        cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
-        is_min = d <= local_min
-        local_arg = jnp.min(jnp.where(is_min, cols, jnp.int32(2 ** 30)), axis=1,
-                            keepdims=True) + j * TILE_N
+        local_min = local_arg = None
+        for k, ab in enumerate(abs_):
+            d = a2_ref[:] + b2_ref[:, k * h:(k + 1) * h] - 2.0 * ab
+            lm = jnp.min(d, axis=1, keepdims=True)     # (tile_m, 1)
+            cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+            la = jnp.min(jnp.where(d <= lm, cols, jnp.int32(2 ** 30)),
+                         axis=1, keepdims=True) + j * tile_n + k * h
+            if local_min is None:
+                local_min, local_arg = lm, la
+            else:
+                take = lm < local_min
+                local_min = jnp.where(take, lm, local_min)
+                local_arg = jnp.where(take, la, local_arg)
 
         @pl.when(j == 0)
         def _():
@@ -81,18 +116,27 @@ def _make_kernel():
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("bf16", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("bf16", "interpret", "tile_m", "tile_n",
+                                    "splits"))
 def nearest_neighbor_tpu(probes: jnp.ndarray, gallery: jnp.ndarray,
-                         bf16: bool = True, interpret: bool = False
+                         bf16: bool = True, interpret: bool = False,
+                         tile_m: int = TILE_M, tile_n: int = TILE_N,
+                         splits: int = _SPLITS,
                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(M, D) probes × (N, D) gallery -> (min_sq_dist (M,), argmin (M,)).
 
     Squared-L2 metric. Pads to tile multiples internally; padded gallery rows
     are excluded via +inf norms. ``bf16`` feeds the MXU bf16 operands (same
     numerics as the XLA default-precision path); set False for exact f32.
+    ``tile_m`` caps probe rows per gallery sweep (gallery HBM traffic =
+    ceil(M / tile_m) × gallery bytes); the defaults are the measured best.
     """
     m, d = probes.shape
     n, _ = gallery.shape
+    TILE_M, TILE_N = tile_m, tile_n
+    if TILE_N % splits or (TILE_N // splits) % 128:
+        splits = 1   # half-tiles must stay lane-aligned
     mp = -(-m // TILE_M) * TILE_M
     np_ = -(-n // TILE_N) * TILE_N
 
@@ -108,7 +152,7 @@ def nearest_neighbor_tpu(probes: jnp.ndarray, gallery: jnp.ndarray,
 
     grid = (mp // TILE_M, np_ // TILE_N)
     min_d, idx = pl.pallas_call(
-        _make_kernel(),
+        _make_kernel(TILE_N, splits),
         grid=grid,
         in_specs=[
             pl.BlockSpec((TILE_M, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
