@@ -106,12 +106,19 @@ def measure_cpu_baseline():
 
 def _time_chained(many, x, chain, per_call, warmup=WARMUP, iters=ITERS):
     """Execute the chained jit program; return units/sec where one chained
-    call covers ``per_call`` units (images)."""
+    call covers ``per_call`` units (images).
+
+    All ``iters`` calls are dispatched asynchronously and ONE result is
+    fetched at the end: the device executes the queue back-to-back, so the
+    wall time is iters×program + a single tunnel round trip, instead of
+    paying the ~32 ms host-fetch RTT once per iteration (which shaved ~20%
+    off every short-program throughput number in r02 — the r3 profiler
+    traces showed the device timeline itself is gapless)."""
     for _ in range(warmup):
         np.asarray(many(x))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        np.asarray(many(x))
+    outs = [many(x) for _ in range(iters)]   # async dispatch, in-order queue
+    np.asarray(outs[-1])                      # single drain + fetch
     elapsed = time.perf_counter() - t0
     return per_call * iters / elapsed
 
@@ -179,6 +186,65 @@ def _roofline_entry(flops_per_unit, bytes_per_unit, units_per_sec):
     }
 
 
+def profile_fusions(many, x, label, top: int = 8):
+    """Per-fusion device-time table from a ``jax.profiler`` trace of one
+    chained call (VERDICT-2 #2: decompose the bandwidth story per fusion
+    instead of asserting it). Returns {busy_ms, hbm_gbs_busy, top: [...]}
+    where each row carries the fusion's HLO category, time share, bytes and
+    achieved GB/s. Returns None if profiling is unavailable."""
+    import glob
+    import gzip
+    import tempfile
+
+    import jax
+
+    try:
+        tracedir = tempfile.mkdtemp(prefix=f"bench_trace_{label}_")
+        with jax.profiler.trace(tracedir):
+            np.asarray(many(x))
+        path = sorted(glob.glob(
+            tracedir + "/plugins/profile/*/*.trace.json.gz"))[-1]
+        trace = json.loads(gzip.open(path).read())
+    except Exception:
+        return None
+    pids = {e["pid"]: e["args"]["name"] for e in trace["traceEvents"]
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
+    dev = {pid for pid, name in pids.items() if "TPU" in name}
+    agg = {}
+    busy_us = 0.0
+    bytes_total = 0.0
+    for e in trace["traceEvents"]:
+        if e.get("ph") != "X" or e.get("pid") not in dev or "dur" not in e:
+            continue
+        if e["name"].startswith("jit_"):     # whole-program envelope
+            continue
+        args = e.get("args", {})
+        key = args.get("deduplicated_name", e["name"])
+        row = agg.setdefault(key, {
+            "fusion": key,
+            "category": args.get("hlo_category", "?"),
+            "ms": 0.0, "bytes": 0.0, "calls": 0,
+        })
+        row["ms"] += e["dur"] / 1e3
+        row["bytes"] += float(args.get("bytes_accessed", 0))
+        row["calls"] += 1
+        busy_us += e["dur"]
+        bytes_total += float(args.get("bytes_accessed", 0))
+    busy_ms = busy_us / 1e3
+    rows = sorted(agg.values(), key=lambda r: -r["ms"])[:top]
+    for r in rows:
+        r["pct_busy"] = round(100 * r["ms"] / busy_ms, 1) if busy_ms else 0.0
+        r["gbs"] = round(r["bytes"] / 1e9 / (r["ms"] / 1e3), 1) if r["ms"] else 0.0
+        r["ms"] = round(r["ms"], 2)
+        r["bytes"] = round(r["bytes"] / 1e6, 1)     # MB
+    return {
+        "busy_ms": round(busy_ms, 2),
+        "hbm_gbs_busy": round(bytes_total / 1e9 / (busy_ms / 1e3), 1)
+        if busy_ms else 0.0,
+        "top": rows,
+    }
+
+
 def bench_embed(precision, compute_dtype, chain=10):
     import jax
     import jax.numpy as jnp
@@ -191,6 +257,13 @@ def bench_embed(precision, compute_dtype, chain=10):
     ips = _time_chained(many, x, chain, BATCH * chain)
     flops, bytes_ = _cost_analysis(jax.jit(forward).lower(x).compile())
     roofline = _roofline_entry(flops / BATCH, bytes_ / BATCH, ips)
+    prof = profile_fusions(many, x, f"embed_{compute_dtype.__name__}")
+    if prof is not None:
+        # device-busy rate: what the chip itself sustains, excluding the
+        # host-side dispatch/fetch overhead still in the wall number
+        prof["busy_ms_per_forward"] = round(prof["busy_ms"] / chain, 2)
+        prof["device_ips_busy"] = round(BATCH * chain / (prof["busy_ms"] / 1e3), 1)
+        roofline["fusion_profile"] = prof
     return ips, forward, x, roofline
 
 
@@ -312,8 +385,9 @@ def bench_train(chain=8, batch=256, size=224, n_classes=9131):
     assert np.isfinite(loss), f"train bench diverged: loss={loss}"
     t0 = time.perf_counter()
     iters = 3
-    for _ in range(iters):
-        np.asarray(many(params, opt_state, keys, images, labels))
+    outs = [many(params, opt_state, keys, images, labels)
+            for _ in range(iters)]           # async dispatch, single drain
+    np.asarray(outs[-1])
     ips = batch * chain * iters / (time.perf_counter() - t0)
     flops, bytes_ = _cost_analysis(
         many.lower(params, opt_state, keys, images, labels).compile())

@@ -197,7 +197,12 @@ class FacialAnalyzer:
         full-width path (``analyze_batch``'s fallback), so crowd photos
         stay correct."""
         k = head_batch or self._batch_head_budget()
-        key = ("batch", h, w, k, id(mesh) if mesh is not None else None)
+        # stable mesh identity: id() can be reused after GC, silently serving
+        # a program compiled for a different topology
+        mesh_key = (tuple(mesh.axis_names), tuple(mesh.shape.values()),
+                    tuple(d.id for d in mesh.devices.flat)) \
+            if mesh is not None else None
+        key = ("batch", h, w, k, mesh_key)
         if key not in self._jitted:
             self._analyze_fn(h, w, k)   # builds the shared core
             core = self._cores[(h, w, k)]
@@ -261,6 +266,24 @@ class FacialAnalyzer:
 
         return fn
 
+    def _batch_compact_sharded_fn(self, h: int, w: int, total: int):
+        """Mesh-mode batch program WITHOUT the per-lane-budget downgrade:
+        ``shard_map`` runs the cross-lane compacted program
+        (``_build_batch_compact_fn``) independently on each device's local
+        lane shard — compaction needs no cross-device gather because every
+        stage of the per-shard program is lane-local. ``total`` is the
+        PER-SHARD head budget. Outputs concatenate along the lane/K axis;
+        each shard's ``sel`` indexes its LOCAL (lanes/P)·n flat box space
+        (``analyze_batch`` adds the shard offsets host-side)."""
+        from jax.sharding import PartitionSpec
+
+        core = self._build_batch_compact_fn(h, w, total)
+        data = PartitionSpec("data")
+        fn = jax.shard_map(core, mesh=self.mesh,
+                           in_specs=(PartitionSpec(), data),
+                           out_specs=tuple([data] * 11), check_vma=False)
+        return jax.jit(fn)
+
     @staticmethod
     def _scatter_identity(identity_k: np.ndarray, sel: np.ndarray,
                           n: int) -> np.ndarray:
@@ -314,11 +337,14 @@ class FacialAnalyzer:
 
         Runs the whole batch as ONE fused XLA program. The single-device
         default compacts head work ACROSS lanes
-        (``_build_batch_compact_fn``); ``mesh``/``oversample`` modes use the
-        vmapped per-lane form. Lanes whose valid-face count exceeds the head
-        budget are re-analyzed individually through the single-image path
-        (rare). Each distinct (N, H, W) compiles once — callers batching a
-        stream should pad to a fixed N (see ``AlbumOrganizer.scan_album``).
+        (``_build_batch_compact_fn``); ``mesh`` mode runs the SAME compacted
+        program per device shard via ``shard_map`` (per-shard head budget —
+        no cross-device gather needed), zero-padding the lane count up to a
+        mesh multiple when needed; ``oversample`` mode is vmapped per-lane. Lanes whose valid-face
+        count exceeds the head budget are re-analyzed individually through
+        the single-image path (rare). Each distinct (N, H, W) compiles once
+        — callers batching a stream should pad to a fixed N (see
+        ``AlbumOrganizer.scan_album``).
 
         ``n_valid``: with padded batches, the number of REAL leading lanes —
         only those are returned, and pad lanes never trigger the
@@ -327,9 +353,30 @@ class FacialAnalyzer:
         images = np.asarray(images)
         n, h, w = images.shape[0], images.shape[1], images.shape[2]
         n_valid = n if n_valid is None else min(n_valid, n)
-        if self.mesh is not None or self.oversample:
+        n_shards = 0
+        if self.oversample:
+            # 5-crop oversampling only exists in the vmapped per-lane form
             fn = self._analyze_batch_fn(h, w, mesh=self.mesh)
             can_fallback = self._batch_head_budget() < self.detector.max_stage3
+        elif self.mesh is not None:
+            n_shards = int(np.prod(list(self.mesh.shape.values())))
+            if n % n_shards:
+                # pad with ZERO lanes to the next mesh multiple (blank lanes
+                # detect nothing and consume no head-budget slots); sharding
+                # requires the lane count to divide the mesh either way
+                pad = n_shards - n % n_shards
+                images = np.concatenate(
+                    [images, np.zeros((pad,) + images.shape[1:],
+                                      images.dtype)])
+                n = len(images)
+            lanes_ps = n // n_shards
+            total = self.batch_head_total or max(16, 2 * lanes_ps)
+            key = ("cbatch_mesh", n, h, w, total,
+                   tuple(d.id for d in self.mesh.devices.flat))
+            if key not in self._jitted:
+                self._jitted[key] = self._batch_compact_sharded_fn(h, w, total)
+            fn = self._jitted[key]
+            can_fallback = total < lanes_ps * self.detector.max_stage3
         else:
             total = self.batch_head_total or max(16, 2 * n)
             key = ("cbatch", n, h, w, total)
@@ -348,6 +395,13 @@ class FacialAnalyzer:
             identity = np.stack([
                 self._scatter_identity(identity_k[i], sel[i], width)
                 for i in range(lanes)])
+        elif n_shards:                 # sharded compact: per-shard-local sel
+            k_ps = identity_k.shape[0] // n_shards
+            offsets = np.repeat(np.arange(n_shards), k_ps) * (
+                (lanes // n_shards) * width)
+            identity = self._scatter_identity(
+                identity_k, sel + offsets, lanes * width
+            ).reshape(lanes, width, -1)
         else:                          # compact path: flat (K, D) over L*n
             identity = self._scatter_identity(
                 identity_k, sel, lanes * width).reshape(lanes, width, -1)

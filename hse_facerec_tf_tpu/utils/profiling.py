@@ -13,8 +13,8 @@ from __future__ import annotations
 import contextlib
 import threading
 import time
-from collections import defaultdict
-from typing import Dict, Iterator, List, Optional
+from collections import defaultdict, deque
+from typing import Deque, Dict, Iterator, Optional
 
 import numpy as np
 
@@ -22,11 +22,14 @@ import numpy as np
 class StageTimer:
     """Accumulates wall-clock samples per named stage. Thread-safe: samples
     may arrive from concurrent request handlers (serve.py) while another
-    thread snapshots stats()."""
+    thread snapshots stats(). Per-stage history is a bounded deque
+    (``max_samples``, default last 10k) so a long-lived server process
+    doesn't grow its sample lists without bound."""
 
-    def __init__(self, enabled: bool = True):
+    def __init__(self, enabled: bool = True, max_samples: int = 10_000):
         self.enabled = enabled
-        self.samples: Dict[str, List[float]] = defaultdict(list)
+        self.samples: Dict[str, Deque[float]] = defaultdict(
+            lambda: deque(maxlen=max_samples))
         self._lock = threading.Lock()
 
     @contextlib.contextmanager

@@ -163,12 +163,25 @@ def test_analyze_batch_sharded_mesh(analyzer, fixture_img, rng):
                            minsize=40)
     got = sharded.analyze_batch(imgs)
     want = plain.analyze_batch(imgs)
+    # mesh mode must run the per-shard COMPACTED program, not the
+    # per-lane-budget vmapped downgrade (VERDICT-2 #7)
+    assert any(k[0] == "cbatch_mesh" for k in sharded._jitted)
     assert [len(g) for g in got] == [len(w) for w in want]
     assert sum(len(g) for g in got) >= 8
     for g_faces, w_faces in zip(got, want):
         for g, w in zip(g_faces, w_faces):
             assert g.bbox == w.bbox
             assert g.age == pytest.approx(w.age, abs=1e-4)
+            np.testing.assert_allclose(g.identity, w.identity, atol=1e-3)
+
+    # a lane count that doesn't divide the mesh is zero-padded up to a mesh
+    # multiple and still matches
+    got6 = sharded.analyze_batch(imgs[:6])
+    want6 = plain.analyze_batch(imgs[:6])
+    assert [len(g) for g in got6] == [len(w) for w in want6]
+    for g_faces, w_faces in zip(got6, want6):
+        for g, w in zip(g_faces, w_faces):
+            assert g.bbox == w.bbox
             np.testing.assert_allclose(g.identity, w.identity, atol=1e-3)
 
 
