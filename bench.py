@@ -216,9 +216,12 @@ def profile_fusions(many, x, label, top: int = 8):
     for e in trace["traceEvents"]:
         if e.get("ph") != "X" or e.get("pid") not in dev or "dur" not in e:
             continue
-        if e["name"].startswith("jit_"):     # whole-program envelope
-            continue
         args = e.get("args", {})
+        # skip envelopes that double-count their children: the jit program,
+        # while-loop bodies (lax.scan), and unnamed region markers
+        if (e["name"].startswith("jit_") or "hlo_category" not in args
+                or "while" in args.get("hlo_category", "")):
+            continue
         key = args.get("deduplicated_name", e["name"])
         row = agg.setdefault(key, {
             "fusion": key,
@@ -393,6 +396,18 @@ def bench_train(chain=8, batch=256, size=224, n_classes=9131):
         many.lower(params, opt_state, keys, images, labels).compile())
     roofline = _roofline_entry(flops / (batch * chain),
                                bytes_ / (batch * chain), ips)
+    prof = profile_fusions(
+        lambda x: many(params, opt_state, keys, x, labels), images, "train",
+        top=6)
+    if prof is not None:
+        # r3 finding: ~40% of the step is the augmentation warp — the
+        # Catmull-Smith per-line matmuls materialize dense (N,224,224,224)
+        # bf16 hat-weight tensors (~5.8 GB/pass) that bound the step on
+        # weight-tensor HBM traffic; the 4-tap gather alternative measured
+        # 18x slower (train/augment.py docstring), so this is the fastest
+        # known form
+        prof["ms_per_step"] = round(prof["busy_ms"] / chain, 2)
+        roofline["fusion_profile"] = prof
     return ips, roofline
 
 

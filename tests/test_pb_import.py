@@ -262,3 +262,86 @@ def test_zoo_vgg2_weights_origin(monkeypatch, tmp_path, rng):
         np.asarray(jax.jit(mobilenet_embed)(imported, x)),
         np.asarray(jax.jit(mobilenet_embed)(mb_params, x)),
         atol=1e-4, rtol=1e-4)
+
+
+def test_mobilenet_kerasform_pb_import(rng, tmp_path):
+    """Frozen-KERAS-form MobileNet pb — unfolded FusedBatchNorm per conv,
+    with the stem's BN additionally wrapped in Switch/Merge learning-phase
+    control flow as ``freeze_session`` leaves it (the form the published
+    ``vgg2_mobilenet.pb`` would take) — imports through the structural
+    walker with the BN folded numerically."""
+    import jax
+
+    from hse_facerec_tf_tpu.core.graphdef_export import GraphBuilder
+    from hse_facerec_tf_tpu.core.pb_import import mobilenet_params_from_pb
+    from hse_facerec_tf_tpu.models.mobilenet import (MOBILENET_V1_BLOCKS,
+                                                     init_mobilenet_params,
+                                                     mobilenet_embed)
+
+    params = init_mobilenet_params(jax.random.PRNGKey(9))
+    # make BN stats non-trivial so folding errors would show
+    for key in list(params):
+        bn = params[key]["bn"]
+        n = bn["gamma"].shape[0]
+        params[key]["bn"] = {
+            "gamma": jax.numpy.asarray(rng.rand(n).astype(np.float32) + 0.5),
+            "beta": jax.numpy.asarray(rng.randn(n).astype(np.float32) * 0.1),
+            "mean": jax.numpy.asarray(rng.randn(n).astype(np.float32) * 0.2),
+            "var": jax.numpy.asarray(rng.rand(n).astype(np.float32) + 0.3),
+        }
+
+    g = GraphBuilder()
+    x = g.placeholder("input_1", [-1, 64, 64, 3])
+    lp = g.placeholder_bool("conv1_bn/keras_learning_phase")
+
+    def conv_bn_relu6(x, key, name, stride, depthwise=False, switch=False):
+        p = params[key]
+        w = g.const(f"{name}/kernel", np.asarray(p["kernel"], np.float32))
+        if depthwise:
+            x = g.depthwise_conv2d(f"{name}/depthwise", x, w, stride=stride)
+        else:
+            x = g.conv2d(f"{name}/Conv2D", x, w, stride=stride)
+        bn = p["bn"]
+        consts = [g.const(f"{name}_bn/{k}", np.asarray(bn[k], np.float32))
+                  for k in ("gamma", "beta", "mean", "var")]
+        if switch:
+            sw = g.switch(f"{name}_bn/cond/Switch", x, lp)
+            train_y = g.simple(
+                "Mul", f"{name}_bn/cond/train",
+                [sw + ":1", g.const(f"{name}_bn/two",
+                                    np.float32(2.0).reshape(()))])
+            bn_out = g.fused_batch_norm(f"{name}_bn/FusedBatchNorm",
+                                        sw + ":0", *consts, epsilon=1e-3)
+            x = g.merge(f"{name}_bn/cond/Merge", [train_y, bn_out + ":0"])
+        else:
+            x = g.fused_batch_norm(f"{name}_bn/FusedBatchNorm", x, *consts,
+                                   epsilon=1e-3)
+        return g.simple("Relu6", f"{name}/Relu6", [x])
+
+    x = conv_bn_relu6(x, "conv1", "conv1", 2, switch=True)
+    for i, (stride, _) in enumerate(MOBILENET_V1_BLOCKS, start=1):
+        x = conv_bn_relu6(x, f"dw{i}", f"conv_dw_{i}", stride, depthwise=True)
+        x = conv_bn_relu6(x, f"pw{i}", f"conv_pw_{i}", 1)
+    g.mean("global_pooling/Mean", x, [1, 2])
+    shape_const = g.const("reshape_1/shape", np.asarray([-1, 1024], np.int32))
+    from hse_facerec_tf_tpu.core import protowire as pw
+    from hse_facerec_tf_tpu.core.graphdef import DT_FLOAT, DT_INT32
+    body = (pw.encode_string_field(1, "reshape_1/Reshape")
+            + pw.encode_string_field(2, "Reshape")
+            + pw.encode_string_field(3, "global_pooling/Mean")
+            + pw.encode_string_field(3, shape_const)
+            + GraphBuilder._attr_type("T", DT_FLOAT)
+            + GraphBuilder._attr_type("Tshape", DT_INT32))
+    g._nodes.append(pw.encode_bytes_field(1, body))
+
+    path = str(tmp_path / "vgg2_mobilenet_keras.pb")
+    with open(path, "wb") as f:
+        f.write(g.serialize())
+
+    imported = mobilenet_params_from_pb(path)
+    assert "bn" not in imported["conv1"]       # folded form
+    xin = rng.rand(2, 64, 64, 3).astype(np.float32) * 2 - 1
+    native = np.asarray(jax.jit(mobilenet_embed)(params, xin))
+    got = np.asarray(jax.jit(mobilenet_embed)(imported, xin))
+    np.testing.assert_allclose(got, native, atol=2e-4, rtol=1e-4)
+    assert _cos(got, native) > 0.9999999
