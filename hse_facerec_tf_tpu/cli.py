@@ -313,9 +313,20 @@ def cmd_utkface(args):
     clamp = (21, 60) if (args.csv_split or args.coral_subset) else None
     host_resize_to = None
     if args.host_resize:
+        # pre-resizing is only a no-op when SIZE equals the first resize the
+        # backend itself applies; otherwise the image gets resampled twice
+        # with different effective kernels
+        expected = {"ours": 224, "facenet": 160, "agendernet": 96,
+                    "ssrnet": 64, "wide_resnet": 64, "bknet": 48,
+                    "converted_pb": 256, "converted_logits_pb": 227}
         if args.backend == "insightface":
             sys.exit("error: --host-resize is invalid for the insightface "
                      "backend (it letterboxes at the original aspect ratio)")
+        want = expected.get(args.backend)
+        if want is not None and args.host_resize != want:
+            sys.exit(f"error: --host-resize {args.host_resize} != the "
+                     f"{args.backend} backend's input size {want} — the "
+                     "image would be resampled twice with different kernels")
         host_resize_to = (args.host_resize, args.host_resize)
     result = dict(evaluate_age_gender(predict, paths, age_range=age_range,
                                       clamp_range=clamp,

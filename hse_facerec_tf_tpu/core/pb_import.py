@@ -154,14 +154,21 @@ class _Walk:
         clip_lo = clip_hi = None
         while True:
             cons = self.succ.get(cur.name, [])
-            cons = [c for c in cons]
             if len(cons) != 1:
                 break
             c = cons[0]
+            # once any activation/clip has been consumed, further affine ops
+            # are POST-activation — folding them into (scale, bias) would
+            # move them before the nonlinearity. Stop; the caller sees them
+            # as the next structural op.
+            past_act = act is not None or clip_lo is not None \
+                or clip_hi is not None
             if c.op in _PASS:
                 cur = c
                 continue
             if c.op.startswith("FusedBatchNorm"):
+                if past_act:
+                    break
                 gamma, beta, mean, var = (self.eval_const(c.inputs[k])
                                           for k in (1, 2, 3, 4))
                 if any(v is None for v in (gamma, beta, mean, var)):
@@ -173,6 +180,10 @@ class _Walk:
                 bias = (bias * inv + (beta - np.asarray(mean) * inv)).astype(np.float32)
                 scale = (scale * inv).astype(np.float32)
             elif c.op in ("BiasAdd", "Add", "AddV2", "Sub", "Mul"):
+                if past_act:
+                    break
+                data_pos = [k for k, i in enumerate(c.inputs)
+                            if _tname(i) == cur.name]
                 other = [i for i in c.inputs
                          if _tname(i) != cur.name and not i.startswith("^")]
                 v = self.eval_const(other[0]) if len(other) == 1 else None
@@ -184,7 +195,10 @@ class _Walk:
                 if c.op == "Mul":
                     scale, bias = scale * v, bias * v
                 elif c.op == "Sub":
-                    bias = bias - v
+                    if data_pos == [0]:          # x - c
+                        bias = bias - v
+                    else:                        # c - x: negate the data path
+                        scale, bias = -scale, v - bias
                 else:
                     bias = bias + v
             elif c.op in ("Minimum", "Maximum"):
@@ -195,10 +209,17 @@ class _Walk:
                 v = self.eval_const(other[0]) if other else None
                 if v is None or np.asarray(v).size != 1:
                     break
+                val = float(np.asarray(v).ravel()[0])
+                # only the ReLU6 clip bounds are activation forms; any other
+                # clip value is not representable in the folded block — stop
+                # (callers' expect_act validation then flags the mismatch)
+                if (c.op == "Maximum" and val != 0.0) or \
+                        (c.op == "Minimum" and val != 6.0):
+                    break
                 if c.op == "Maximum":
-                    clip_lo = float(np.asarray(v).ravel()[0])
+                    clip_lo = val
                 else:
-                    clip_hi = float(np.asarray(v).ravel()[0])
+                    clip_hi = val
                 if clip_lo == 0.0:
                     act = _RELU6 if clip_hi == 6.0 else "Relu"
                 cur = c
@@ -371,7 +392,6 @@ def resnet50_params_from_pb(path: str,
                     raise GraphStructureError(f"{tag}: proj stride mismatch")
                 p["proj"], _ = _folded_block(walk, proj)
             else:
-                convs = [(c, pd) for c, pd in convs]
                 if len(convs) != 1:
                     raise GraphStructureError(
                         f"{tag}: expected 1 main-path conv, found "

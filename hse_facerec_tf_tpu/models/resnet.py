@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .layers import batch_norm, conv2d, dense, global_avg_pool, max_pool
+from .layers import (batch_norm, conv2d, dense, global_avg_pool, max_pool,
+                     scale_bias)
 
 STAGES = (3, 4, 6, 3)
 STAGE_WIDTHS = ((64, 64, 256), (128, 128, 512), (256, 256, 1024), (512, 512, 2048))
@@ -33,10 +34,7 @@ def _conv_bn(x, p, *, stride=1, padding="SAME", relu=True, precision):
         bn = p["bn"]
         x = batch_norm(x, bn["gamma"], bn["beta"], bn["mean"], bn["var"])
     else:
-        if "scale" in p:
-            x = x * p["scale"]
-        if "bias" in p:
-            x = x + p["bias"]
+        x = scale_bias(x, p.get("scale"), p.get("bias"))
     return jax.nn.relu(x) if relu else x
 
 

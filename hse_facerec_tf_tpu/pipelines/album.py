@@ -105,6 +105,20 @@ class AlbumOrganizer:
         self.config = config or AlbumConfig()
         self.analyze_batch = max(1, int(analyze_batch))
         self.downscale = downscale
+        det_minsize = getattr(getattr(analyzer, "detector", None),
+                              "minsize", None)
+        if det_minsize is not None and det_minsize != self.config.minsize:
+            import warnings
+
+            # reference album parity: the engine is constructed with
+            # minsize=112 (process_photos.py:385). The organizer cannot
+            # rebuild the analyzer it was handed, so a mismatch with the
+            # config is surfaced rather than silently ignored.
+            warnings.warn(
+                f"AlbumOrganizer: analyzer minsize {det_minsize} != "
+                f"AlbumConfig.minsize {self.config.minsize} (reference album "
+                "default 112); the analyzer's value is in effect",
+                RuntimeWarning, stacklevel=2)
 
     def _maybe_downscale(self, img: np.ndarray):
         """Returns ``(img, content_hw)``: the (possibly letterboxed) analysis

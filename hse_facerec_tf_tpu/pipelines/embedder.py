@@ -79,9 +79,10 @@ class EmbeddingExtractor:
         in_hw = (batch.shape[1], batch.shape[2])
         if in_hw == self.input_size or self.host_resize == "never":
             return batch
+        n_resize_shapes = sum(1 for k in self._jitted if k != self.input_size)
         if self.host_resize == "always" or (
                 in_hw not in self._jitted
-                and len(self._jitted) >= self.max_compiled_shapes):
+                and n_resize_shapes >= self.max_compiled_shapes):
             from ..ops.resize import resize_host
 
             return resize_host(batch, self.input_size, self.resize_method)

@@ -235,7 +235,7 @@ def test_album_organizer(analyzer, fixture_img, tmp_path_factory, rng):
     os.utime(album / "a.jpg", (now - 3 * 86400, now - 3 * 86400))
     os.utime(album / "b.jpg", (now, now))
 
-    cfg = AlbumConfig(min_no_photos=2, min_days_difference=2, distance_threshold=0.9)
+    cfg = AlbumConfig(min_no_photos=2, min_days_difference=2, distance_threshold=0.9, minsize=40)
     org = AlbumOrganizer(analyzer, cfg)
     result = org.process_album(str(album), use_cache=False)
 
@@ -270,8 +270,8 @@ def test_album_batched_scan_matches_sequential(analyzer, fixture_img,
     cv2.imwrite(str(album / "b.jpg"), cv2.cvtColor(img2, cv2.COLOR_RGB2BGR))
     cv2.imwrite(str(album / "c.jpg"), cv2.cvtColor(noise, cv2.COLOR_RGB2BGR))
 
-    batched = AlbumOrganizer(analyzer, AlbumConfig(), analyze_batch=2)
-    seq = AlbumOrganizer(analyzer, AlbumConfig(), analyze_batch=1)
+    batched = AlbumOrganizer(analyzer, AlbumConfig(minsize=40), analyze_batch=2)
+    seq = AlbumOrganizer(analyzer, AlbumConfig(minsize=40), analyze_batch=1)
     fb = batched.scan_album(str(album), use_cache=False)
     fs = seq.scan_album(str(album), use_cache=False)
     assert fb.indices == fs.indices
@@ -290,7 +290,7 @@ def test_album_downscale_buckets(analyzer, fixture_img, tmp_path_factory):
     cv2.imwrite(str(album / "a.jpg"), cv2.cvtColor(big, cv2.COLOR_RGB2BGR))
     cv2.imwrite(str(album / "b.jpg"), cv2.cvtColor(fixture_img, cv2.COLOR_RGB2BGR))
 
-    org = AlbumOrganizer(analyzer, AlbumConfig(), analyze_batch=2,
+    org = AlbumOrganizer(analyzer, AlbumConfig(minsize=40), analyze_batch=2,
                          downscale=(640, 480))
     ds, chw = org._maybe_downscale(big)
     assert ds.shape == (480, 640, 3) and chw == (480, 640)
@@ -313,7 +313,7 @@ def test_album_downscale_buckets(analyzer, fixture_img, tmp_path_factory):
     *_, big_face = org._faces_to_outputs(pout, [face], pchw[1])
     assert big_face          # 90/360 = 0.25 >= 0.05
     org_strict = AlbumOrganizer(
-        analyzer, AlbumConfig(min_face_width_percent=0.26), analyze_batch=2,
+        analyzer, AlbumConfig(min_face_width_percent=0.26, minsize=40), analyze_batch=2,
         downscale=(640, 480))
     *_, big_face = org_strict._faces_to_outputs(pout, [face], pchw[1])
     assert not big_face      # 0.25 < 0.26 (would pass vs canvas: 90/640)
@@ -325,7 +325,7 @@ def test_album_downscale_buckets(analyzer, fixture_img, tmp_path_factory):
     # a different downscale setting must NOT be served the stale cache:
     # the recompute rewrites it under the new setting
     assert os.path.exists(album / "features.npz")
-    other = AlbumOrganizer(analyzer, AlbumConfig(), analyze_batch=2)
+    other = AlbumOrganizer(analyzer, AlbumConfig(minsize=40), analyze_batch=2)
     fresh = other.scan_album(str(album), use_cache=True)
     assert len(fresh.indices) >= 4
     d = np.load(album / "features.npz", allow_pickle=True)
@@ -335,7 +335,7 @@ def test_album_downscale_buckets(analyzer, fixture_img, tmp_path_factory):
 def test_album_cache_roundtrip(analyzer, fixture_img, tmp_path_factory):
     album = tmp_path_factory.mktemp("album_cache")
     cv2.imwrite(str(album / "a.jpg"), cv2.cvtColor(fixture_img, cv2.COLOR_RGB2BGR))
-    org = AlbumOrganizer(analyzer, AlbumConfig())
+    org = AlbumOrganizer(analyzer, AlbumConfig(minsize=40))
     first = org.scan_album(str(album), use_cache=True)
     assert os.path.exists(album / "features.npz")
     second = org.scan_album(str(album), use_cache=True)
@@ -350,7 +350,7 @@ def test_album_montage(analyzer, fixture_img, tmp_path_factory):
     cv2.imwrite(str(album / "b.jpg"), cv2.cvtColor(img2, cv2.COLOR_RGB2BGR))
     now = time.time()
     os.utime(album / "a.jpg", (now - 3 * 86400, now - 3 * 86400))
-    cfg = AlbumConfig(min_no_photos=2, min_days_difference=2, distance_threshold=0.9)
+    cfg = AlbumConfig(min_no_photos=2, min_days_difference=2, distance_threshold=0.9, minsize=40)
     org = AlbumOrganizer(analyzer, cfg)
     result = org.process_album(str(album), use_cache=False)
     if result["clusters"]:
@@ -366,7 +366,7 @@ def test_album_outputs_from_cache(analyzer, fixture_img, tmp_path_factory):
     cv2.imwrite(str(album / "b.jpg"), cv2.cvtColor(img2, cv2.COLOR_RGB2BGR))
     now = time.time()
     os.utime(album / "a.jpg", (now - 3 * 86400, now - 3 * 86400))
-    cfg = AlbumConfig(min_no_photos=2, min_days_difference=2, distance_threshold=0.9)
+    cfg = AlbumConfig(min_no_photos=2, min_days_difference=2, distance_threshold=0.9, minsize=40)
     org = AlbumOrganizer(analyzer, cfg)
     first = org.process_album(str(album), use_cache=True)
     # second run hits features.npz; outputs must still be writable

@@ -345,3 +345,80 @@ def test_mobilenet_kerasform_pb_import(rng, tmp_path):
     got = np.asarray(jax.jit(mobilenet_embed)(imported, xin))
     np.testing.assert_allclose(got, native, atol=2e-4, rtol=1e-4)
     assert _cos(got, native) > 0.9999999
+
+
+def _walk_small_graph(tmp_path, build):
+    """Helper: build a tiny conv graph with GraphBuilder, return its _Walk
+    and first conv node."""
+    from hse_facerec_tf_tpu.core.graphdef_export import GraphBuilder
+    from hse_facerec_tf_tpu.core.pb_import import _Walk
+
+    g = GraphBuilder()
+    out_name = build(g)
+    path = str(tmp_path / "tiny.pb")
+    with open(path, "wb") as f:
+        f.write(g.serialize())
+    walk = _Walk(path, [out_name])
+    conv = next(n for n in walk.nodes if n.op == "Conv2D")
+    return walk, conv
+
+
+def test_fold_affine_sub_const_minuend(tmp_path, rng):
+    """Sub(c, conv) — constant first — must negate the data path:
+    c - (s·x + b) == (-s)·x + (c - b)."""
+    w = rng.randn(1, 1, 2, 3).astype(np.float32)
+    cvec = rng.randn(3).astype(np.float32)
+    bvec = rng.randn(3).astype(np.float32)
+
+    def build(g):
+        x = g.placeholder("input", [-1, 4, 4, 2])
+        conv = g.conv2d("conv/Conv2D", x, g.const("conv/kernel", w))
+        added = g.simple("BiasAdd", "conv/BiasAdd",
+                         [conv, g.const("conv/bias", bvec)])
+        sub = g.simple("Sub", "conv/Sub", [g.const("conv/c", cvec), added])
+        return g.simple("Relu", "conv/Relu", [sub])
+
+    walk, conv = _walk_small_graph(tmp_path, build)
+    scale, bias, act, _ = walk.fold_affine(conv)
+    np.testing.assert_allclose(scale, -np.ones(3), atol=1e-6)
+    np.testing.assert_allclose(bias, cvec - bvec, atol=1e-6)
+    assert act == "Relu"
+
+
+def test_fold_affine_stops_at_post_activation_affine(tmp_path, rng):
+    """conv → Relu → Mul(c): the post-activation Mul must NOT fold into the
+    pre-activation (scale, bias) — relu(c·x) != c·relu(x) in general."""
+    w = rng.randn(1, 1, 2, 3).astype(np.float32)
+
+    def build(g):
+        x = g.placeholder("input", [-1, 4, 4, 2])
+        conv = g.conv2d("conv/Conv2D", x, g.const("conv/kernel", w))
+        relu = g.simple("Relu", "conv/Relu", [conv])
+        return g.simple("Mul", "post/Mul",
+                        [relu, g.const("post/c",
+                                       rng.rand(3).astype(np.float32) + 2.0)])
+
+    walk, conv = _walk_small_graph(tmp_path, build)
+    scale, bias, act, last = walk.fold_affine(conv)
+    np.testing.assert_allclose(scale, np.ones(3), atol=1e-6)
+    np.testing.assert_allclose(bias, np.zeros(3), atol=1e-6)
+    assert act == "Relu"
+    assert last.name == "conv/Relu"     # stopped before the post-act Mul
+
+
+def test_fold_affine_rejects_non_relu6_clip(tmp_path, rng):
+    """conv → Minimum(·, 3): a clip that isn't the ReLU6 bound is not
+    foldable — the walk must stop without claiming an activation."""
+    w = rng.randn(1, 1, 2, 3).astype(np.float32)
+
+    def build(g):
+        x = g.placeholder("input", [-1, 4, 4, 2])
+        conv = g.conv2d("conv/Conv2D", x, g.const("conv/kernel", w))
+        return g.simple("Minimum", "conv/Min",
+                        [conv, g.const("conv/three",
+                                       np.float32(3.0).reshape(()))])
+
+    walk, conv = _walk_small_graph(tmp_path, build)
+    scale, bias, act, last = walk.fold_affine(conv)
+    assert act is None
+    assert last.name == "conv/Conv2D"
