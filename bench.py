@@ -187,65 +187,13 @@ def _roofline_entry(flops_per_unit, bytes_per_unit, units_per_sec):
 
 
 def profile_fusions(many, x, label, top: int = 8):
-    """Per-fusion device-time table from a ``jax.profiler`` trace of one
-    chained call (VERDICT-2 #2: decompose the bandwidth story per fusion
-    instead of asserting it). Returns {busy_ms, hbm_gbs_busy, top: [...]}
-    where each row carries the fusion's HLO category, time share, bytes and
-    achieved GB/s. Returns None if profiling is unavailable."""
-    import glob
-    import gzip
-    import tempfile
+    """Per-fusion device-time table for one chained call (VERDICT-2 #2:
+    decompose the bandwidth story per fusion instead of asserting it) —
+    thin wrapper over the profiling subsystem's
+    ``utils.profiling.fusion_profile``."""
+    from hse_facerec_tf_tpu.utils.profiling import fusion_profile
 
-    import jax
-
-    try:
-        tracedir = tempfile.mkdtemp(prefix=f"bench_trace_{label}_")
-        with jax.profiler.trace(tracedir):
-            np.asarray(many(x))
-        path = sorted(glob.glob(
-            tracedir + "/plugins/profile/*/*.trace.json.gz"))[-1]
-        trace = json.loads(gzip.open(path).read())
-    except Exception:
-        return None
-    pids = {e["pid"]: e["args"]["name"] for e in trace["traceEvents"]
-            if e.get("ph") == "M" and e.get("name") == "process_name"}
-    dev = {pid for pid, name in pids.items() if "TPU" in name}
-    agg = {}
-    busy_us = 0.0
-    bytes_total = 0.0
-    for e in trace["traceEvents"]:
-        if e.get("ph") != "X" or e.get("pid") not in dev or "dur" not in e:
-            continue
-        args = e.get("args", {})
-        # skip envelopes that double-count their children: the jit program,
-        # while-loop bodies (lax.scan), and unnamed region markers
-        if (e["name"].startswith("jit_") or "hlo_category" not in args
-                or "while" in args.get("hlo_category", "")):
-            continue
-        key = args.get("deduplicated_name", e["name"])
-        row = agg.setdefault(key, {
-            "fusion": key,
-            "category": args.get("hlo_category", "?"),
-            "ms": 0.0, "bytes": 0.0, "calls": 0,
-        })
-        row["ms"] += e["dur"] / 1e3
-        row["bytes"] += float(args.get("bytes_accessed", 0))
-        row["calls"] += 1
-        busy_us += e["dur"]
-        bytes_total += float(args.get("bytes_accessed", 0))
-    busy_ms = busy_us / 1e3
-    rows = sorted(agg.values(), key=lambda r: -r["ms"])[:top]
-    for r in rows:
-        r["pct_busy"] = round(100 * r["ms"] / busy_ms, 1) if busy_ms else 0.0
-        r["gbs"] = round(r["bytes"] / 1e9 / (r["ms"] / 1e3), 1) if r["ms"] else 0.0
-        r["ms"] = round(r["ms"], 2)
-        r["bytes"] = round(r["bytes"] / 1e6, 1)     # MB
-    return {
-        "busy_ms": round(busy_ms, 2),
-        "hbm_gbs_busy": round(bytes_total / 1e9 / (busy_ms / 1e3), 1)
-        if busy_ms else 0.0,
-        "top": rows,
-    }
+    return fusion_profile(lambda: np.asarray(many(x)), top=top)
 
 
 def bench_embed(precision, compute_dtype, chain=10):

@@ -11,6 +11,8 @@ Endpoints:
   POST /analyze  image bytes -> {"faces": [{bbox, age, gender_prob, ...}]}
   GET  /healthz  -> {"ok": true, "device": ...}
   GET  /stats    -> per-endpoint latency {count, mean_ms, p50_ms, p95_ms}
+  GET  /profile  -> on-demand per-fusion device-time/bandwidth table for the
+                    embed program (utils.profiling.fusion_profile)
 
 Run: ``python -m hse_facerec_tf_tpu.serve --port 8000``
 """
@@ -93,12 +95,14 @@ def _analyze_batch_pow2(analyzer, imgs: np.ndarray):
     return analyzer.analyze_batch(imgs, n_valid=n)
 
 
-def make_handler(worker: _BatchingWorker, analyze_worker):
+def make_handler(worker: _BatchingWorker, analyze_worker,
+                 profile_input_hw: Tuple[int, int] = (224, 224)):
     import cv2
 
     from .utils.profiling import StageTimer
 
     timer = StageTimer()
+    profile_lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet
@@ -132,6 +136,26 @@ def make_handler(worker: _BatchingWorker, analyze_worker):
                 # per-endpoint request latency (count / mean / p50 / p95 ms),
                 # measured around the batching-worker round trip
                 self._json(200, timer.stats())
+            elif self.path == "/profile":
+                # on-demand per-fusion device profile of the embed program
+                # (one batch-8 dummy run under jax.profiler; concurrent live
+                # traffic's kernels land in the same trace window)
+                if not profile_lock.acquire(blocking=False):
+                    self._json(409, {"error": "a profile is already running"})
+                    return
+                try:
+                    from .utils.profiling import fusion_profile
+
+                    dummy = np.zeros((8,) + tuple(profile_input_hw) + (3,),
+                                     np.uint8)
+                    prof = fusion_profile(lambda: worker.process(dummy))
+                    if prof is None:
+                        self._json(503, {"error": "profiling unavailable on "
+                                         "this backend"})
+                    else:
+                        self._json(200, prof)
+                finally:
+                    profile_lock.release()
             else:
                 self._json(404, {"error": "unknown path"})
 
@@ -187,8 +211,10 @@ def build_server(port: int = 8000, model: str = "agegender_identity",
                                                         zoo.AGEGENDER_PB)
         analyze_worker = _BatchingWorker(
             functools.partial(_analyze_batch_pow2, analyzer), max_batch=8)
-    return ThreadingHTTPServer(("0.0.0.0", port),
-                               make_handler(worker, analyze_worker))
+    return ThreadingHTTPServer(
+        ("0.0.0.0", port),
+        make_handler(worker, analyze_worker,
+                     profile_input_hw=extractor.input_size))
 
 
 def main(argv=None):

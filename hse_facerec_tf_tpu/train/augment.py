@@ -73,6 +73,16 @@ def _warp_one(img, mat, fill):
     shear/rotation (augmentation noise, not a parity surface). Valid for
     |m00| bounded away from 0 — true for the reference's augmentation
     ranges (rotation <= 10 deg, zoom <= 1.2: |m00| >= 0.8).
+
+    Known cost ceiling (r3 profiling): the materialized per-image weight
+    tensors (~5.8 GB bf16 per pass at batch 256) bound the warp at ~40% of
+    the train step. Measured non-fixes: uint8-quantized weights with
+    in-einsum dequant are SLOWER (4.74 vs 4.12 ms per 64-img pass — XLA
+    materializes the dequantized operand anyway, so quantize+dequant is
+    pure overhead); banded/shift decompositions reduce to per-(image, row)
+    gathers, the 18x-slower form this code replaced. The weights are
+    2-sparse but dot operands must be dense — this is the fastest known
+    gather-free form.
     """
     h, w, _ = img.shape
     m00, m01, m02 = mat[0, 0], mat[0, 1], mat[0, 2]

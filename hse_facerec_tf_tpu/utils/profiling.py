@@ -106,3 +106,73 @@ def xla_trace(log_dir: str) -> Iterator[None]:
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def fusion_profile(run, top: int = 8) -> Optional[Dict]:
+    """Per-fusion device-time table from a ``jax.profiler`` trace of one
+    call to ``run()`` (a zero-arg callable that must BLOCK on its device
+    work). The reference's only observability was wall-clock prints; this
+    decomposes device time per compiled fusion with HBM bytes and achieved
+    GB/s — the numbers behind bench.py's roofline claims and serve.py's
+    ``/profile`` endpoint.
+
+    Returns ``{busy_ms, hbm_gbs_busy, top: [{fusion, category, ms, bytes
+    (MB), calls, pct_busy, gbs}, ...]}``, or None when profiling is
+    unavailable on the current backend. Envelope events (the jit program,
+    lax.scan while-bodies) are excluded — they double-count their children.
+    """
+    import glob
+    import gzip
+    import json
+    import tempfile
+
+    import jax
+
+    try:
+        tracedir = tempfile.mkdtemp(prefix="fusion_profile_")
+        with jax.profiler.trace(tracedir):
+            run()
+        path = sorted(glob.glob(
+            tracedir + "/plugins/profile/*/*.trace.json.gz"))[-1]
+        trace = json.loads(gzip.open(path).read())
+    except Exception:
+        return None
+    pids = {e["pid"]: e["args"]["name"] for e in trace["traceEvents"]
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
+    dev = {pid for pid, name in pids.items() if "TPU" in name}
+    if not dev:       # CPU backend: HLO events live under the host pid
+        dev = set(pids)
+    agg: Dict[str, Dict] = {}
+    busy_us = 0.0
+    bytes_total = 0.0
+    for e in trace["traceEvents"]:
+        if e.get("ph") != "X" or e.get("pid") not in dev or "dur" not in e:
+            continue
+        args = e.get("args", {})
+        if (e["name"].startswith("jit_") or "hlo_category" not in args
+                or "while" in args.get("hlo_category", "")):
+            continue
+        key = args.get("deduplicated_name", e["name"])
+        row = agg.setdefault(key, {
+            "fusion": key,
+            "category": args.get("hlo_category", "?"),
+            "ms": 0.0, "bytes": 0.0, "calls": 0,
+        })
+        row["ms"] += e["dur"] / 1e3
+        row["bytes"] += float(args.get("bytes_accessed", 0))
+        row["calls"] += 1
+        busy_us += e["dur"]
+        bytes_total += float(args.get("bytes_accessed", 0))
+    busy_ms = busy_us / 1e3
+    rows = sorted(agg.values(), key=lambda r: -r["ms"])[:top]
+    for r in rows:
+        r["pct_busy"] = round(100 * r["ms"] / busy_ms, 1) if busy_ms else 0.0
+        r["gbs"] = round(r["bytes"] / 1e9 / (r["ms"] / 1e3), 1) if r["ms"] else 0.0
+        r["ms"] = round(r["ms"], 2)
+        r["bytes"] = round(r["bytes"] / 1e6, 1)     # MB
+    return {
+        "busy_ms": round(busy_ms, 2),
+        "hbm_gbs_busy": round(bytes_total / 1e9 / (busy_ms / 1e3), 1)
+        if busy_ms else 0.0,
+        "top": rows,
+    }

@@ -109,5 +109,16 @@ def test_http_endpoints(rng):
         stats = json.loads(r.read())
         assert stats["embed"]["count"] == 1
         assert stats["embed"]["p95_ms"] >= 0
+
+        # /profile: per-fusion device profile of the embed program (the CPU
+        # backend still produces a trace; 503 is the no-profiler fallback)
+        conn.request("GET", "/profile")
+        r = conn.getresponse()
+        assert r.status in (200, 503)
+        if r.status == 200:
+            prof = json.loads(r.read())
+            assert set(prof) >= {"busy_ms", "hbm_gbs_busy", "top"}
+        else:
+            r.read()
     finally:
         server.shutdown()
