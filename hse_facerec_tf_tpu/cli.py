@@ -105,7 +105,8 @@ def cmd_video(args):
     writer = None
     n = 0
     for annotated, faces in annotated_video_frames(analyzer, args.video,
-                                                   frame_skip=args.frame_skip):
+                                                   frame_skip=args.frame_skip,
+                                                   batch=args.batch):
         if args.out and writer is None:
             h, w = annotated.shape[:2]
             writer = cv2.VideoWriter(args.out, cv2.VideoWriter_fourcc(*"mp4v"),
@@ -481,6 +482,8 @@ def main(argv=None):
     v.add_argument("video")
     v.add_argument("--out", default=None, help="write annotated mp4")
     v.add_argument("--frame-skip", type=int, default=5)
+    v.add_argument("--batch", type=int, default=8,
+                   help="frames per fused analyze program (1 = per-frame)")
     _add_model_args(v)
     v.set_defaults(fn=cmd_video)
 

@@ -91,17 +91,25 @@ def onet(params: Params, x, *, precision=jax.lax.Precision.HIGHEST):
 
 
 def import_mtcnn_params(pb_path: str) -> Dict[str, Params]:
-    """Load {pnet, rnet, onet} param pytrees from the frozen mtcnn.pb."""
+    """Load {pnet, rnet, onet} param pytrees from the frozen mtcnn.pb.
+
+    Returns HOST (numpy) arrays deliberately: the detector closes over these
+    as trace-time constants, and lowering a program whose captured constants
+    are device arrays re-FETCHES each one from the device (``ir_constant`` →
+    ``Array._value``) — over the ~7 MB/s tunnel that made every
+    analyze-batch process pay seconds of per-constant round trips and
+    intermittently hang for minutes (r3, caught via faulthandler). Host
+    constants embed directly into the lowered module."""
     consts = extract_constants(load_graphdef(pb_path))
 
     def cb(prefix, name):  # conv/fc block
         return {
-            "kernel": jnp.asarray(consts[f"{prefix}/{name}/weights"]),
-            "bias": jnp.asarray(consts[f"{prefix}/{name}/biases"]),
+            "kernel": np.asarray(consts[f"{prefix}/{name}/weights"]),
+            "bias": np.asarray(consts[f"{prefix}/{name}/biases"]),
         }
 
     def al(prefix, name):  # prelu alpha
-        return {"alpha": jnp.asarray(consts[f"{prefix}/{name}/alpha"])}
+        return {"alpha": np.asarray(consts[f"{prefix}/{name}/alpha"])}
 
     p = {
         "conv1": cb("pnet", "conv1"), "prelu1": al("pnet", "PReLU1"),

@@ -72,6 +72,11 @@ class FacialAnalyzer:
         self.detector = MTCNNDetector(mtcnn_params, minsize=minsize, **detector_kwargs)
         self.heads = heads
         self.mh_params = heads.params
+        if mesh is None and self.mh_params:
+            # pin head params to the device once — TwoModelHeads carries the
+            # graph compiler's host-numpy constant dict, which would
+            # otherwise re-upload per analyze call
+            self.mh_params = jax.device_put(self.mh_params)
         self.face_size = face_size
         self.bbox_dilation = bbox_dilation
         # the detector pads boxes to max_stage3 (64 by default) but real

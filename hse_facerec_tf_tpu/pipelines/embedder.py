@@ -73,6 +73,12 @@ class EmbeddingExtractor:
         self._jitted: Dict[Tuple[int, int], Callable] = {}
         if mesh is not None:
             self.params = jax.device_put(params, replicated(mesh))
+        else:
+            # pin params to the device ONCE: several param sources (the
+            # graph compiler's constant dicts, the structural pb importer)
+            # are host numpy arrays, and passing those as jit arguments
+            # re-uploads the full model every call
+            self.params = jax.device_put(params)
 
     def _maybe_host_resize(self, batch: np.ndarray) -> np.ndarray:
         """Apply the host-side exact resize when the shape budget says so."""

@@ -29,15 +29,37 @@ def _downscale(frame: np.ndarray, max_w: int = 640, max_h: int = 480) -> np.ndar
 
 def annotated_video_frames(analyzer: FacialAnalyzer, video_path: str,
                            frame_skip: int = 5,
-                           max_size: Tuple[int, int] = (640, 480)
+                           max_size: Tuple[int, int] = (640, 480),
+                           batch: int = 8
                            ) -> Iterator[Tuple[np.ndarray, list]]:
     """Yields (annotated RGB frame, faces) every ``frame_skip`` frames with the
-    reference's downscale + rotation semantics."""
+    reference's downscale + rotation semantics.
+
+    ``batch`` > 1 runs the analyzer's fused batch program over groups of
+    selected frames (same frames, same order — the skip is fixed, so
+    batching changes no semantics): one device call + ONE host fetch per
+    group instead of per frame, which matters both for the batched cascade
+    (~3x throughput) and because every separate fetch costs a full
+    host↔device round trip. The tail group zero-pads to the same lane count
+    so the whole video reuses one compiled program."""
     import cv2
 
     rotation = video_rotation(video_path)
     video = cv2.VideoCapture(video_path)
     counter = 0
+    buf: list = []
+
+    def flush():
+        frames = np.stack(buf)
+        if len(buf) < batch:   # zero-pad: one compiled program per shape
+            frames = np.concatenate(
+                [frames, np.zeros((batch - len(buf),) + frames.shape[1:],
+                                  frames.dtype)])
+        all_faces = analyzer.analyze_batch(frames, n_valid=len(buf))
+        out = [(draw_faces(fr, fc), fc) for fr, fc in zip(buf, all_faces)]
+        buf.clear()
+        return out
+
     try:
         while video.isOpened():
             if not video.grab():
@@ -49,8 +71,15 @@ def annotated_video_frames(analyzer: FacialAnalyzer, video_path: str,
             frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
             frame = rotate_image(frame, rotation)
             frame = _downscale(frame, *max_size)
-            faces = analyzer.analyze(frame)
-            yield draw_faces(frame, faces), faces
+            if batch <= 1:
+                faces = analyzer.analyze(frame)
+                yield draw_faces(frame, faces), faces
+                continue
+            buf.append(frame)
+            if len(buf) == batch:
+                yield from flush()
+        if buf:
+            yield from flush()
     finally:
         video.release()
 

@@ -481,3 +481,29 @@ def test_cli_album_minsize_default(tmp_path, monkeypatch):
         with pytest.raises(_Stop):
             cli.main(argv)
         assert seen.pop("minsize") == want, argv
+
+
+def test_video_frames_batched_matches_sequential(analyzer, fixture_img,
+                                                 tmp_path):
+    """annotated_video_frames with batch>1 must select the SAME frames (the
+    skip is fixed) and produce the same faces as the per-frame path, tail
+    group included."""
+    from hse_facerec_tf_tpu.pipelines.video import annotated_video_frames
+
+    path = str(tmp_path / "clip.mp4")
+    h, w = fixture_img.shape[:2]
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (w, h))
+    for i in range(22):     # 22 frames, skip 2 -> 11 selected; batch 4 -> tail 3
+        frame = np.clip(fixture_img.astype(np.int16) + (i % 3), 0,
+                        255).astype(np.uint8)
+        writer.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+    writer.release()
+
+    seq = list(annotated_video_frames(analyzer, path, frame_skip=2, batch=1))
+    bat = list(annotated_video_frames(analyzer, path, frame_skip=2, batch=4))
+    assert len(seq) == len(bat) == 11
+    for (fs, faces_s), (fb, faces_b) in zip(seq, bat):
+        assert fs.shape == fb.shape
+        assert [f.bbox for f in faces_b] == [f.bbox for f in faces_s]
+        for a, b in zip(faces_b, faces_s):
+            assert a.age == pytest.approx(b.age, abs=1e-3)
