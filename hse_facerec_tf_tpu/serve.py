@@ -44,11 +44,18 @@ class _BatchingWorker:
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
-    def submit(self, image: np.ndarray) -> np.ndarray:
+    def submit(self, image: np.ndarray,
+               timeout_s: Optional[float] = None) -> np.ndarray:
+        """Blocks for the batched result; raises TimeoutError after
+        ``timeout_s`` (the device call itself cannot be cancelled — a stuck
+        accelerator link otherwise wedges every request behind it, so the
+        handler surfaces a 504 and the client can retry/fail over)."""
         done = threading.Event()
         slot: dict = {}
         self.queue.put((image, done, slot))
-        done.wait()
+        if not done.wait(timeout_s):
+            raise TimeoutError(
+                f"inference did not complete within {timeout_s}s")
         if "error" in slot:
             raise RuntimeError(slot["error"])
         return slot["result"]
@@ -96,7 +103,8 @@ def _analyze_batch_pow2(analyzer, imgs: np.ndarray):
 
 
 def make_handler(worker: _BatchingWorker, analyze_worker,
-                 profile_input_hw: Tuple[int, int] = (224, 224)):
+                 profile_input_hw: Tuple[int, int] = (224, 224),
+                 request_timeout_s: float = 120.0):
     import cv2
 
     from .utils.profiling import StageTimer
@@ -167,7 +175,7 @@ def make_handler(worker: _BatchingWorker, analyze_worker,
             try:
                 if self.path == "/embed":
                     with timer.stage("embed"):
-                        feats = worker.submit(img)
+                        feats = worker.submit(img, request_timeout_s)
                     self._json(200, {"embedding": np.asarray(feats, np.float64)
                                      .round(6).tolist()})
                 elif self.path == "/analyze":
@@ -176,7 +184,7 @@ def make_handler(worker: _BatchingWorker, analyze_worker,
                                          "(server started with --no-analyzer)"})
                         return
                     with timer.stage("analyze"):
-                        faces = analyze_worker.submit(img)
+                        faces = analyze_worker.submit(img, request_timeout_s)
                     self._json(200, {"faces": [{
                         "bbox": list(f.bbox), "score": round(f.score, 4),
                         "age": round(f.age, 1),
@@ -185,6 +193,8 @@ def make_handler(worker: _BatchingWorker, analyze_worker,
                     } for f in faces]})
                 else:
                     self._json(404, {"error": "unknown path"})
+            except TimeoutError as e:
+                self._json(504, {"error": str(e)})
             except Exception as e:  # noqa: BLE001
                 self._json(500, {"error": str(e)})
 
@@ -192,7 +202,8 @@ def make_handler(worker: _BatchingWorker, analyze_worker,
 
 
 def build_server(port: int = 8000, model: str = "agegender_identity",
-                 max_batch: int = 32, with_analyzer: bool = True):
+                 max_batch: int = 32, with_analyzer: bool = True,
+                 request_timeout_s: float = 120.0):
     from .models import zoo
     from .utils.compilation_cache import enable as _enable_cache
 
@@ -214,7 +225,8 @@ def build_server(port: int = 8000, model: str = "agegender_identity",
     return ThreadingHTTPServer(
         ("0.0.0.0", port),
         make_handler(worker, analyze_worker,
-                     profile_input_hw=extractor.input_size))
+                     profile_input_hw=extractor.input_size,
+                     request_timeout_s=request_timeout_s))
 
 
 def main(argv=None):
@@ -223,9 +235,14 @@ def main(argv=None):
     p.add_argument("--model", default="agegender_identity")
     p.add_argument("--max-batch", type=int, default=32)
     p.add_argument("--no-analyzer", action="store_true")
+    p.add_argument("--request-timeout", type=float, default=120.0,
+                   help="seconds before an in-flight request returns 504 "
+                        "(a stuck accelerator link cannot be cancelled; the "
+                        "deadline keeps clients from hanging with it)")
     args = p.parse_args(argv)
     server = build_server(args.port, args.model, args.max_batch,
-                          with_analyzer=not args.no_analyzer)
+                          with_analyzer=not args.no_analyzer,
+                          request_timeout_s=args.request_timeout)
     print(f"serving on :{args.port}")
     server.serve_forever()
 

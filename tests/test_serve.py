@@ -3,6 +3,7 @@
 import http.client
 import json
 import threading
+import time
 
 import cv2
 import numpy as np
@@ -121,4 +122,38 @@ def test_http_endpoints(rng):
         else:
             r.read()
     finally:
+        server.shutdown()
+
+
+def test_request_deadline_returns_504(rng):
+    """A wedged device call must not hang the client: submit() raises
+    TimeoutError at the deadline and the handler maps it to 504."""
+    from http.server import ThreadingHTTPServer
+
+    from hse_facerec_tf_tpu.serve import make_handler
+
+    block = threading.Event()
+
+    def stuck_process(imgs):
+        block.wait(30)          # simulates a hung accelerator link
+        return [np.zeros(8, np.float32)] * len(imgs)
+
+    worker = _BatchingWorker(stuck_process, max_batch=4, max_wait_ms=1.0)
+    server = ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        make_handler(worker, analyze_worker=None, request_timeout_s=0.5))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        img = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+        ok, enc = cv2.imencode(".png", img)
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        t0 = time.monotonic()
+        conn.request("POST", "/embed", body=enc.tobytes())
+        r = conn.getresponse()
+        assert r.status == 504
+        assert time.monotonic() - t0 < 5
+        assert "within" in json.loads(r.read())["error"]
+    finally:
+        block.set()
         server.shutdown()
