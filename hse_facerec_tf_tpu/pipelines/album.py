@@ -193,17 +193,13 @@ class AlbumOrganizer:
                     rotated, faces, content_hw and content_hw[::-1][1])
         return self._faces_to_outputs(img, [], content_hw and content_hw[1])
 
-    def process_video(self, path: str, mdate: time.struct_time):
-        """Frame loop with adaptive skip; cluster within the clip; return
-        per-person medians (reference ``process_video`` :80-156)."""
+    def _video_frames_sequential(self, video, rotation):
+        """Reference frame loop: adaptive skip (delta 5, 3 once faces are
+        found — ``process_photos.py:118``), one analyze per selected frame.
+        Yields each processed frame's ``_process_photo`` outputs."""
         import cv2
 
-        video_year = _photo_year(mdate)
-        rotation = video_rotation(path)
-        video = cv2.VideoCapture(path)
         counter, delta = 0, 5
-        crops, born_years, genders, feats, normed, indices = [], [], [], [], [], []
-        frame_count = 0
         while video.isOpened():
             if not video.grab():
                 break
@@ -213,7 +209,82 @@ class AlbumOrganizer:
             _, frame = video.retrieve()
             frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
             frame = rotate_image(frame, rotation)
-            c, ages, g, f, _ = self._process_photo(frame)
+            out = self._process_photo(frame)
+            yield out
+            delta = 5 if len(out[1]) == 0 else 3
+
+    def _video_frames_batched(self, video, rotation):
+        """Exactly the sequential policy's frames and outputs, but analyzed
+        through the fused batch program: whichever delta sequence the policy
+        takes, it only ever selects counters divisible by 3 or 5 — a
+        POLICY-INDEPENDENT candidate set — so candidates batch-analyze ahead
+        (detection is per-frame pure; analyzing never-selected candidates
+        has no side effects) and the adaptive skip replays over the cached
+        results. ~47% of frames are candidates vs the 20-33% the policy
+        selects, but the batch program + one host fetch per group is several
+        times cheaper than per-frame calls."""
+        import cv2
+
+        results: Dict[int, Tuple] = {}
+        pending: List[Tuple[int, np.ndarray]] = []
+        outputs: List[Tuple] = []
+        state = {"delta": 5, "replayed": 0}
+
+        def flush():
+            frames = np.stack([f for _, f in pending])
+            pad = self.analyze_batch - len(pending)
+            if pad:
+                frames = np.concatenate(
+                    [frames, np.zeros((pad,) + frames.shape[1:], frames.dtype)])
+            all_faces = self.analyzer.analyze_batch(frames,
+                                                    n_valid=len(pending))
+            for (c, fr), faces in zip(pending, all_faces):
+                results[c] = (self._faces_to_outputs(fr, faces) if faces
+                              else self._rotation_retry(fr))
+            pending.clear()
+
+        def replay(up_to: int):
+            for c in range(state["replayed"] + 1, up_to + 1):
+                if c % state["delta"] == 0:
+                    out = results[c]
+                    outputs.append(out)
+                    state["delta"] = 5 if len(out[1]) == 0 else 3
+                results.pop(c, None)   # bound memory to one batch window
+            state["replayed"] = up_to
+
+        counter = 0
+        while video.isOpened():
+            if not video.grab():
+                break
+            counter += 1
+            if counter % 3 and counter % 5:
+                continue   # never selectable under delta ∈ {5, 3}
+            _, frame = video.retrieve()
+            frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            pending.append((counter, rotate_image(frame, rotation)))
+            if len(pending) == self.analyze_batch:
+                analyzed_to = pending[-1][0]
+                flush()
+                replay(analyzed_to)
+        if pending:
+            flush()
+        replay(counter)
+        yield from outputs
+
+    def process_video(self, path: str, mdate: time.struct_time):
+        """Frame loop with adaptive skip; cluster within the clip; return
+        per-person medians (reference ``process_video`` :80-156)."""
+        video_year = _photo_year(mdate)
+        rotation = video_rotation(path)
+        import cv2
+
+        video = cv2.VideoCapture(path)
+        crops, born_years, genders, feats, normed, indices = [], [], [], [], [], []
+        frame_count = 0
+        per_frame = (self._video_frames_batched(video, rotation)
+                     if self.analyze_batch > 1
+                     else self._video_frames_sequential(video, rotation))
+        for c, ages, g, f, _ in per_frame:
             crops.extend(c)
             genders.extend(g)
             feats.extend(f)
@@ -221,7 +292,6 @@ class AlbumOrganizer:
             indices.extend([frame_count] * len(ages))
             born_years.extend([video_year - (a - 0.5) for a in ages])
             frame_count += 1
-            delta = 5 if len(ages) == 0 else 3
         video.release()
 
         if len(feats) < self.config.min_no_frames:

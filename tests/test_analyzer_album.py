@@ -507,3 +507,35 @@ def test_video_frames_batched_matches_sequential(analyzer, fixture_img,
         assert [f.bbox for f in faces_b] == [f.bbox for f in faces_s]
         for a, b in zip(faces_b, faces_s):
             assert a.age == pytest.approx(b.age, abs=1e-3)
+
+
+def test_album_video_batched_matches_sequential(analyzer, fixture_img,
+                                                tmp_path):
+    """The batched video scan (candidate pre-analysis + policy replay) must
+    process the SAME frames with the SAME outputs as the reference's
+    sequential adaptive-skip loop."""
+    path = str(tmp_path / "albumclip.mp4")
+    h, w = fixture_img.shape[:2]
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (w, h))
+    for i in range(40):
+        frame = np.clip(fixture_img.astype(np.int16) + (i % 4), 0,
+                        255).astype(np.uint8)
+        writer.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+    writer.release()
+
+    cfg = AlbumConfig(min_no_frames=4, distance_threshold=0.9, minsize=40)
+    mdate = time.gmtime(0)
+    seq = AlbumOrganizer(analyzer, cfg, analyze_batch=1).process_video(
+        path, mdate)
+    bat = AlbumOrganizer(analyzer, cfg, analyze_batch=4).process_video(
+        path, mdate)
+    s_crops, s_ages, s_genders, s_feats, s_any = seq
+    b_crops, b_ages, b_genders, b_feats, b_any = bat
+    assert s_any and b_any
+    assert s_ages == b_ages
+    np.testing.assert_allclose(b_genders, s_genders, atol=1e-6)
+    assert len(b_crops) == len(s_crops)
+    for a, b in zip(b_crops, s_crops):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(b_feats, s_feats):
+        np.testing.assert_allclose(a, b, atol=1e-4)
