@@ -225,28 +225,28 @@ class AlbumOrganizer:
         times cheaper than per-frame calls."""
         import cv2
 
-        results: Dict[int, Tuple] = {}
+        results: Dict[int, Tuple] = {}   # counter -> (frame, faces)
         pending: List[Tuple[int, np.ndarray]] = []
         outputs: List[Tuple] = []
         state = {"delta": 5, "replayed": 0}
 
         def flush():
             frames = np.stack([f for _, f in pending])
-            pad = self.analyze_batch - len(pending)
-            if pad:
-                frames = np.concatenate(
-                    [frames, np.zeros((pad,) + frames.shape[1:], frames.dtype)])
-            all_faces = self.analyzer.analyze_batch(frames,
-                                                    n_valid=len(pending))
+            all_faces = self.analyzer.analyze_batch_padded(
+                frames, self.analyze_batch)
             for (c, fr), faces in zip(pending, all_faces):
-                results[c] = (self._faces_to_outputs(fr, faces) if faces
-                              else self._rotation_retry(fr))
+                results[c] = (fr, faces)
             pending.clear()
 
         def replay(up_to: int):
             for c in range(state["replayed"] + 1, up_to + 1):
                 if c % state["delta"] == 0:
-                    out = results[c]
+                    fr, faces = results[c]
+                    # the rotation retry (two more single-image analyses)
+                    # runs LAZILY, only for frames the policy selects —
+                    # never-selected no-face candidates cost nothing extra
+                    out = (self._faces_to_outputs(fr, faces) if faces
+                           else self._rotation_retry(fr))
                     outputs.append(out)
                     state["delta"] = 5 if len(out[1]) == 0 else 3
                 results.pop(c, None)   # bound memory to one batch window
@@ -261,7 +261,12 @@ class AlbumOrganizer:
                 continue   # never selectable under delta ∈ {5, 3}
             _, frame = video.retrieve()
             frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
-            pending.append((counter, rotate_image(frame, rotation)))
+            frame = rotate_image(frame, rotation)
+            if pending and pending[0][1].shape != frame.shape:
+                analyzed_to = pending[-1][0]
+                flush()                  # mid-stream resolution change
+                replay(analyzed_to)
+            pending.append((counter, frame))
             if len(pending) == self.analyze_batch:
                 analyzed_to = pending[-1][0]
                 flush()
@@ -336,14 +341,8 @@ class AlbumOrganizer:
 
         def flush(bucket):
             imgs = np.stack([im for _, im, _ in bucket])
-            # pad partial batches with ZERO images (one compiled program per
-            # shape; blank lanes detect nothing, so they consume no
-            # head-budget slots and never trigger fallback re-runs)
-            pad = self.analyze_batch - len(bucket)
-            if pad:
-                imgs = np.concatenate(
-                    [imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
-            all_faces = self.analyzer.analyze_batch(imgs, n_valid=len(bucket))
+            all_faces = self.analyzer.analyze_batch_padded(
+                imgs, self.analyze_batch)
             for (i, im, chw), faces in zip(bucket, all_faces):
                 if faces:
                     per_photo[i] = self._faces_to_outputs(im, faces, chw[1])

@@ -419,6 +419,22 @@ class FacialAnalyzer:
                     [a[i] for a in out[:7]], identity[i]))
         return results
 
+    def analyze_batch_padded(self, images: np.ndarray,
+                             lanes: int) -> List[List[FaceResult]]:
+        """``analyze_batch`` over a fixed lane count: zero-pads the batch up
+        to ``lanes`` (blank lanes detect nothing and consume no head-budget
+        slots) so arbitrary group sizes reuse ONE compiled program per image
+        shape, and returns results for the real images only. The shared
+        padding contract for every batched caller (album scan, video
+        annotator, serving)."""
+        images = np.asarray(images)
+        n = images.shape[0]
+        if n < lanes:
+            images = np.concatenate(
+                [images, np.zeros((lanes - n,) + images.shape[1:],
+                                  images.dtype)])
+        return self.analyze_batch(images, n_valid=n)
+
     def analyze_with_rotations(self, img: np.ndarray) -> Tuple[List[FaceResult], int]:
         """Retry at 90°/270° when no face is found (reference
         ``process_photos.py:241-247``). Returns (faces, rotation_applied)."""

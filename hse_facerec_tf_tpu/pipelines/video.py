@@ -50,12 +50,7 @@ def annotated_video_frames(analyzer: FacialAnalyzer, video_path: str,
     buf: list = []
 
     def flush():
-        frames = np.stack(buf)
-        if len(buf) < batch:   # zero-pad: one compiled program per shape
-            frames = np.concatenate(
-                [frames, np.zeros((batch - len(buf),) + frames.shape[1:],
-                                  frames.dtype)])
-        all_faces = analyzer.analyze_batch(frames, n_valid=len(buf))
+        all_faces = analyzer.analyze_batch_padded(np.stack(buf), batch)
         out = [(draw_faces(fr, fc), fc) for fr, fc in zip(buf, all_faces)]
         buf.clear()
         return out
@@ -75,6 +70,8 @@ def annotated_video_frames(analyzer: FacialAnalyzer, video_path: str,
                 faces = analyzer.analyze(frame)
                 yield draw_faces(frame, faces), faces
                 continue
+            if buf and buf[0].shape != frame.shape:
+                yield from flush()   # mid-stream resolution change
             buf.append(frame)
             if len(buf) == batch:
                 yield from flush()

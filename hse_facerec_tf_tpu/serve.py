@@ -49,11 +49,14 @@ class _BatchingWorker:
         """Blocks for the batched result; raises TimeoutError after
         ``timeout_s`` (the device call itself cannot be cancelled — a stuck
         accelerator link otherwise wedges every request behind it, so the
-        handler surfaces a 504 and the client can retry/fail over)."""
+        handler surfaces a 504 and the client can retry/fail over). A
+        timed-out request is marked abandoned so a recovered worker drops
+        it instead of burning device time on clients that already left."""
         done = threading.Event()
         slot: dict = {}
         self.queue.put((image, done, slot))
         if not done.wait(timeout_s):
+            slot["abandoned"] = True
             raise TimeoutError(
                 f"inference did not complete within {timeout_s}s")
         if "error" in slot:
@@ -73,6 +76,9 @@ class _BatchingWorker:
                     batch.append(self.queue.get(timeout=timeout))
                 except queue.Empty:
                     break
+            # drop requests whose clients already got a 504 (post-outage
+            # backlog would otherwise delay live traffic with dead work)
+            batch = [it for it in batch if not it[2].get("abandoned")]
             # group by source size (extractor resizes on device per size)
             by_size = {}
             for item in batch:
@@ -94,17 +100,13 @@ def _analyze_batch_pow2(analyzer, imgs: np.ndarray):
     """Cross-request analyze batching: pad the lane count to the next power
     of two (max 8 distinct compiled programs per image shape) so arbitrary
     coalesced batch sizes reuse a handful of cached XLA programs."""
-    n = imgs.shape[0]
-    lanes = 1 << max(0, n - 1).bit_length()
-    if lanes != n:   # zero pads: blank lanes consume no head-budget slots
-        imgs = np.concatenate(
-            [imgs, np.zeros((lanes - n,) + imgs.shape[1:], imgs.dtype)])
-    return analyzer.analyze_batch(imgs, n_valid=n)
+    lanes = 1 << max(0, imgs.shape[0] - 1).bit_length()
+    return analyzer.analyze_batch_padded(imgs, lanes)
 
 
 def make_handler(worker: _BatchingWorker, analyze_worker,
                  profile_input_hw: Tuple[int, int] = (224, 224),
-                 request_timeout_s: float = 120.0):
+                 request_timeout_s: float = 600.0):
     import cv2
 
     from .utils.profiling import StageTimer
@@ -145,9 +147,11 @@ def make_handler(worker: _BatchingWorker, analyze_worker,
                 # measured around the batching-worker round trip
                 self._json(200, timer.stats())
             elif self.path == "/profile":
-                # on-demand per-fusion device profile of the embed program
-                # (one batch-8 dummy run under jax.profiler; concurrent live
-                # traffic's kernels land in the same trace window)
+                # on-demand per-fusion device profile of the embed
+                # program (a dummy run under jax.profiler — padded to the
+                # extractor's configured batch size, so the table reflects
+                # the REAL serving program; concurrent live traffic's
+                # kernels land in the same trace window)
                 if not profile_lock.acquire(blocking=False):
                     self._json(409, {"error": "a profile is already running"})
                     return
@@ -203,7 +207,7 @@ def make_handler(worker: _BatchingWorker, analyze_worker,
 
 def build_server(port: int = 8000, model: str = "agegender_identity",
                  max_batch: int = 32, with_analyzer: bool = True,
-                 request_timeout_s: float = 120.0):
+                 request_timeout_s: float = 600.0):
     from .models import zoo
     from .utils.compilation_cache import enable as _enable_cache
 
@@ -235,10 +239,13 @@ def main(argv=None):
     p.add_argument("--model", default="agegender_identity")
     p.add_argument("--max-batch", type=int, default=32)
     p.add_argument("--no-analyzer", action="store_true")
-    p.add_argument("--request-timeout", type=float, default=120.0,
+    p.add_argument("--request-timeout", type=float, default=600.0,
                    help="seconds before an in-flight request returns 504 "
                         "(a stuck accelerator link cannot be cancelled; the "
-                        "deadline keeps clients from hanging with it)")
+                        "deadline keeps clients from hanging with it). The "
+                        "default clears the 1-9 min first-compile of a NEW "
+                        "image-shape bucket — don't lower it below your "
+                        "worst-case compile unless shapes are pre-warmed")
     args = p.parse_args(argv)
     server = build_server(args.port, args.model, args.max_batch,
                           with_analyzer=not args.no_analyzer,

@@ -128,8 +128,10 @@ def fusion_profile(run, top: int = 8) -> Optional[Dict]:
 
     import jax
 
+    import shutil
+
+    tracedir = tempfile.mkdtemp(prefix="fusion_profile_")
     try:
-        tracedir = tempfile.mkdtemp(prefix="fusion_profile_")
         with jax.profiler.trace(tracedir):
             run()
         path = sorted(glob.glob(
@@ -137,6 +139,9 @@ def fusion_profile(run, top: int = 8) -> Optional[Dict]:
         trace = json.loads(gzip.open(path).read())
     except Exception:
         return None
+    finally:
+        # a long-lived server polling /profile must not leak trace dirs
+        shutil.rmtree(tracedir, ignore_errors=True)
     pids = {e["pid"]: e["args"]["name"] for e in trace["traceEvents"]
             if e.get("ph") == "M" and e.get("name") == "process_name"}
     dev = {pid for pid, name in pids.items() if "TPU" in name}

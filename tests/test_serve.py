@@ -44,9 +44,13 @@ def test_batching_worker_coalesces(rng):
 def test_analyze_pow2_padding():
     """Cross-request analyze batching pads lanes to powers of two so only a
     bounded set of programs compiles per shape, and trims the results back."""
+    from hse_facerec_tf_tpu.pipelines.analyzer import FacialAnalyzer
     from hse_facerec_tf_tpu.serve import _analyze_batch_pow2
 
     class FakeAnalyzer:
+        # the real shared zero-pad + n_valid contract
+        analyze_batch_padded = FacialAnalyzer.analyze_batch_padded
+
         def __init__(self):
             self.lane_counts = []
 
@@ -157,3 +161,31 @@ def test_request_deadline_returns_504(rng):
     finally:
         block.set()
         server.shutdown()
+
+
+def test_abandoned_requests_dropped_after_recovery():
+    """Requests that timed out while the device was wedged must NOT be
+    processed once the worker recovers — only live requests run."""
+    block = threading.Event()
+    processed = []
+
+    def process(imgs):
+        block.wait(30)
+        processed.append(len(imgs))
+        return [im.reshape(-1)[:4] for im in imgs]
+
+    worker = _BatchingWorker(process, max_batch=1, max_wait_ms=1.0)
+    imgs = [np.full((4, 4, 3), i, np.uint8) for i in range(3)]
+    # request 0 goes in-flight and wedges; 1 and 2 queue behind it
+    t0 = threading.Thread(target=lambda: worker.submit(imgs[0]), daemon=True)
+    t0.start()
+    time.sleep(0.2)
+    with pytest.raises(TimeoutError):
+        worker.submit(imgs[1], timeout_s=0.3)      # queued -> abandoned
+    block.set()                                    # device recovers
+    out = worker.submit(imgs[2], timeout_s=10)     # live request succeeds
+    np.testing.assert_array_equal(out, imgs[2].reshape(-1)[:4])
+    t0.join(timeout=5)
+    # batches processed: the wedged request 0 and live request 2 — the
+    # abandoned request 1 was dropped, so only TWO process() calls ran
+    assert len(processed) == 2
