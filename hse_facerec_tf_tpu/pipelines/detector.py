@@ -4,6 +4,12 @@ Reimplements the reference's three-stage cascade driver
 (``facial_analysis.py:478-604`` ``mtcnn_detect_faces``) as a *single
 jit-compiled XLA program* per image-shape bucket:
 
+  - r3 per-fusion profile @640×480 batch 8: busy 0.90 ms/img with NO single
+    hotspot — the top fusion is 11% (a P-Net conv at ~350 GB/s) and the rest
+    is a long tail of small-channel convs (P-Net's 3→10→16→32 channels use
+    ≤32 of the MXU's 128 lanes, inherently) across pyramid levels. The
+    packed-canvas fix for the tail was a measured loser (r2, CLAUDE.md);
+    wall time is within ~5% of busy, so there is no dispatch slack either.
   - the scale pyramid is static (levels derived from (H, W, minsize) at trace
     time); each level's INTER_AREA resize is two trace-time-weighted matmuls
     (ops/resize.py), fused with the (x-127.5)/128 normalization;
