@@ -359,6 +359,55 @@ def bench_train(chain=8, batch=256, size=224, n_classes=9131):
     return ips, roofline
 
 
+def bench_train_age_gender(chain=8, batch=256, size=224):
+    """Alternating multi-task age/gender training throughput — the
+    reference's OTHER training loop (``age_gender_train.py:194-232``
+    interleaves age and gender batches over one shared param pytree).
+    One 'pair' = one age step + one gender step, chained via lax.scan."""
+    import jax
+    import jax.numpy as jnp
+
+    from hse_facerec_tf_tpu.train.age_gender import (init_head_params,
+                                                     make_optimizer,
+                                                     make_steps)
+    from hse_facerec_tf_tpu.models.mobilenet import init_mobilenet_params
+
+    kb, kh = jax.random.split(jax.random.PRNGKey(3))
+    backbone = init_mobilenet_params(kb)
+    backbone.pop("classifier", None)
+    params = {"backbone": backbone, **init_head_params(kh)}
+    optimizer = make_optimizer(1e-4, freeze_backbone=False)
+    opt_state = optimizer.init(params)
+    age_step, gender_step = make_steps(optimizer, jit=False)
+
+    @jax.jit
+    def many(params, opt_state, keys, images, ages, genders):
+        def body(carry, key):
+            p, o = carry
+            ka, kg = jax.random.split(key)
+            p, o, m1 = age_step(p, o, ka, images, ages)
+            p, o, m2 = gender_step(p, o, kg, images, genders)
+            return (p, o), m1["age_loss"] + m2["gender_loss"]
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), keys)
+        return losses[-1]
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(batch, size, size, 3).astype(np.float32))
+    ages = jnp.asarray(rng.randint(0, 100, batch))
+    genders = jnp.asarray(rng.randint(0, 2, batch))
+    keys = jax.random.split(jax.random.PRNGKey(0), chain)
+    loss = np.asarray(many(params, opt_state, keys, images, ages, genders))
+    assert np.isfinite(loss), f"age/gender train bench diverged: loss={loss}"
+    t0 = time.perf_counter()
+    iters = 2
+    outs = [many(params, opt_state, keys, images, ages, genders)
+            for _ in range(iters)]
+    np.asarray(outs[-1])
+    # images/sec counting each image once per age+gender PAIR of steps
+    return batch * chain * iters / (time.perf_counter() - t0)
+
+
 def bench_knn(chain=6):
     """Matrix-free Pallas 1-NN at its design point — 8192 probes × 1M × 512-d
     gallery, where the XLA path's (M, N) f32 matrix (32 GB) exceeds HBM —
@@ -432,6 +481,7 @@ def main():
     analyze_ms, analyze_batch_ips, roof_analyze = bench_analyze(img640)
     knn_pallas_ms, knn_xla_ms, roof_knn = bench_knn()
     train_ips, roof_train = bench_train()
+    ag_train_ips = bench_train_age_gender()
 
     try:
         cpu_ips = measure_cpu_baseline()
@@ -450,6 +500,7 @@ def main():
             "analyze_ms_per_image_640x480": round(analyze_ms, 2),
             "analyze_batch8_ips_640x480": round(analyze_batch_ips, 1),
             "train_face_id_ips_bs256": round(train_ips, 1),
+            "train_age_gender_pairs_ips_bs256": round(ag_train_ips, 1),
             "knn_8kx1M_pallas_ms": round(knn_pallas_ms, 1),
             "knn_8kx1M_chunked_xla_ms": round(knn_xla_ms, 1),
             "roofline": {
