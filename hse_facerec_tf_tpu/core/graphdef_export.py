@@ -17,7 +17,7 @@ the native TF ``Relu6`` op.
 from __future__ import annotations
 
 import struct
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

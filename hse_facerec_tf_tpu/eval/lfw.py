@@ -9,7 +9,7 @@ splits. Accuracy targets in BASELINE.md.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 

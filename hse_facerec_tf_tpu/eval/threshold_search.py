@@ -9,7 +9,7 @@ the score drops or exceeds a target, return the best threshold + scores.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 

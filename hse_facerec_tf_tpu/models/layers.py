@@ -11,7 +11,7 @@ so imported weights reproduce reference activations.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

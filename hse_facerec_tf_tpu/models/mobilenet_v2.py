@@ -11,7 +11,7 @@ age = probs · [0..100]. Here the backbone is a native functional MobileNetV2
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,14 +14,14 @@ single jit-compiled XLA program that is batch-polymorphic and mesh-shardable.
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Optional
+from typing import Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..core.graphdef import load_graphdef, extract_constants
-from .layers import conv2d, depthwise_conv2d, dense, relu6, global_avg_pool, batch_norm
+from .layers import conv2d, dense, global_avg_pool
 from .mobilenet import MOBILENET_V1_BLOCKS, mobilenet_v1_backbone
 
 Params = Dict

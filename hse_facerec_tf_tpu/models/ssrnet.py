@@ -18,7 +18,7 @@ with V=101 for age, V=1 for gender.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ borders (cv2 borderValue=0).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

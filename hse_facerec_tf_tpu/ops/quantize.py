@@ -14,7 +14,6 @@ from __future__ import annotations
 
 from typing import Dict, Tuple
 
-import jax
 import numpy as np
 
 from ..core.graphdef import dequantize_min_first

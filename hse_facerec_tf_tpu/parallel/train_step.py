@@ -14,12 +14,11 @@ Mesh layout: ('data', 'model'); batch → 'data', classifier kernel columns →
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import TrainConfig

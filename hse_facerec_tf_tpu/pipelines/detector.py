@@ -35,7 +35,6 @@ pixel coordinates — the same contract as reference
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, List, Tuple
 
 import jax

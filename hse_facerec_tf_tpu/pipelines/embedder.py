@@ -9,7 +9,7 @@ device mesh. This is the >10× images/sec/chip lever named in BASELINE.md.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -17,7 +17,7 @@ import numpy as np
 
 from ..ops.preprocess import NORMALIZERS
 from ..ops.resize import resize
-from ..parallel.sharding import batch_sharding, make_mesh, pad_batch, replicated
+from ..parallel.sharding import batch_sharding, pad_batch, replicated
 
 
 class EmbeddingExtractor:

@@ -19,7 +19,7 @@ over a batch of float32 RGB crops at the analyzer's face size.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ the caller's choice (the CLI wires cv2.imshow / VideoWriter)."""
 from __future__ import annotations
 
 import os
-from typing import Iterator, Optional, Tuple
+from typing import Iterator, Tuple
 
 import numpy as np
 

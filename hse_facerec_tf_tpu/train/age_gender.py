@@ -15,7 +15,7 @@ masked optimizer, dropout on device, bf16 backbone compute.
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, Optional, Tuple
+from typing import Dict, Iterator, Optional
 
 import jax
 import jax.numpy as jnp

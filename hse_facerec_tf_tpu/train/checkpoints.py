@@ -10,9 +10,8 @@ from __future__ import annotations
 
 import os
 import re
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
-import jax
 import numpy as np
 
 

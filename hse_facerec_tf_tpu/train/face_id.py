@@ -14,8 +14,7 @@ all fuse on device. For multi-chip runs the step shards the batch over the
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
