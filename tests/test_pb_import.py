@@ -422,3 +422,46 @@ def test_fold_affine_rejects_non_relu6_clip(tmp_path, rng):
     scale, bias, act, last = walk.fold_affine(conv)
     assert act is None
     assert last.name == "conv/Conv2D"
+
+
+def test_fold_affine_unfused_bn_const_expressions(tmp_path, rng):
+    """TF1-era graphs leave BN as raw Mul/Add where the multiplier is a
+    CONST EXPRESSION (gamma·rsqrt(var+eps)) — eval_const must evaluate the
+    Rsqrt/Mul/Sub chain numerically and the fold must match a reference
+    BN."""
+    from hse_facerec_tf_tpu.core.graphdef_export import GraphBuilder
+    from hse_facerec_tf_tpu.core import protowire as pw
+    from hse_facerec_tf_tpu.core.graphdef import DT_FLOAT
+
+    w = rng.randn(1, 1, 2, 3).astype(np.float32)
+    gamma = rng.rand(3).astype(np.float32) + 0.5
+    beta = rng.randn(3).astype(np.float32)
+    mean = rng.randn(3).astype(np.float32) * 0.2
+    var = rng.rand(3).astype(np.float32) + 0.3
+
+    def build(g):
+        x = g.placeholder("input", [-1, 4, 4, 2])
+        conv = g.conv2d("conv/Conv2D", x, g.const("conv/kernel", w))
+        # batchnorm/mul = gamma * rsqrt(var + eps) as graph ops over consts
+        veps = g.simple("Add", "bn/add_eps",
+                        [g.const("bn/var", var),
+                         g.const("bn/eps", np.float32(1e-3).reshape(()))])
+        # Rsqrt node (unary — build raw since GraphBuilder.simple fits)
+        rs = g.simple("Rsqrt", "bn/rsqrt", [veps])
+        mul_const = g.simple("Mul", "bn/mul",
+                             [g.const("bn/gamma", gamma), rs])
+        scaled = g.simple("Mul", "bn/mul_1", [conv, mul_const])
+        # batchnorm/sub = beta - mean * mul
+        shift = g.simple("Sub", "bn/sub",
+                         [g.const("bn/beta", beta),
+                          g.simple("Mul", "bn/mul_2",
+                                   [g.const("bn/mean", mean), mul_const])])
+        out = g.simple("Add", "bn/add_1", [scaled, shift])
+        return g.simple("Relu", "conv/Relu", [out])
+
+    walk, conv = _walk_small_graph(tmp_path, build)
+    scale, bias, act, _ = walk.fold_affine(conv)
+    inv = gamma / np.sqrt(var + 1e-3)
+    np.testing.assert_allclose(scale, inv, rtol=1e-6)
+    np.testing.assert_allclose(bias, beta - mean * inv, rtol=1e-5, atol=1e-6)
+    assert act == "Relu"
