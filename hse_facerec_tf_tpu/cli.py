@@ -165,6 +165,10 @@ def cmd_album(args):
         # album parity: the reference organizer builds its engine with
         # minsize=112 (process_photos.py:385); --minsize overrides
         args.minsize = cfg.minsize
+    else:
+        # AlbumConfig.minsize is authoritative inside AlbumOrganizer —
+        # carry an explicit --minsize into the config so the override holds
+        cfg.minsize = args.minsize
     analyzer = _build_analyzer(args)
     organizer = AlbumOrganizer(analyzer, cfg, analyze_batch=args.batch_size,
                                downscale=downscale)
@@ -319,10 +323,17 @@ def cmd_utkface(args):
         # with different effective kernels
         expected = {"ours": 224, "facenet": 160, "agendernet": 96,
                     "ssrnet": 64, "wide_resnet": 64, "bknet": 48,
-                    "converted_pb": 256, "converted_logits_pb": 227}
+                    "converted_pb": 256}
         if args.backend == "insightface":
             sys.exit("error: --host-resize is invalid for the insightface "
                      "backend (it letterboxes at the original aspect ratio)")
+        if args.backend == "converted_logits_pb":
+            # this backend resizes straight to each pb's OWN placeholder
+            # size (age and gender graphs may even differ) — no single host
+            # size is guaranteed correct
+            sys.exit("error: --host-resize is unsupported for "
+                     "converted_logits_pb (input size is read from each "
+                     "pb's placeholder)")
         want = expected.get(args.backend)
         if want is not None and args.host_resize != want:
             sys.exit(f"error: --host-resize {args.host_resize} != the "

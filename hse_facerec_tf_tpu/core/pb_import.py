@@ -56,6 +56,7 @@ class _Walk:
         for n in self.nodes:
             for ref in self.eff_inputs[n.name]:
                 self.succ[_tname(ref)].append(n)
+        self._const_memo: Dict[str, Optional[np.ndarray]] = {}
 
     def placeholder(self) -> NodeDef:
         phs = [n for n in self.nodes if n.op == "Placeholder"
@@ -69,8 +70,19 @@ class _Walk:
 
     def eval_const(self, ref: str, _depth: int = 0) -> Optional[np.ndarray]:
         """Numerically evaluate a constant subexpression (frozen-Keras BN
-        leaves ``gamma·rsqrt(var+eps)`` etc. as op chains over Consts)."""
+        leaves ``gamma·rsqrt(var+eps)`` etc. as op chains over Consts).
+        Memoized per node — shared subexpressions (dequantized weight
+        triples, BN stat chains) evaluate once."""
         name = _tname(ref)
+        memo = self._const_memo
+        if name in memo:
+            return memo[name]
+        out = self._eval_const_uncached(name, _depth)
+        memo[name] = out
+        return out
+
+    def _eval_const_uncached(self, name: str,
+                             _depth: int) -> Optional[np.ndarray]:
         if name in self.consts:
             return np.asarray(self.consts[name])
         node = self.graph.by_name.get(name)

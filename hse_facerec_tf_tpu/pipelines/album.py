@@ -108,17 +108,12 @@ class AlbumOrganizer:
         det_minsize = getattr(getattr(analyzer, "detector", None),
                               "minsize", None)
         if det_minsize is not None and det_minsize != self.config.minsize:
-            import warnings
-
-            # reference album parity: the engine is constructed with
-            # minsize=112 (process_photos.py:385). The organizer cannot
-            # rebuild the analyzer it was handed, so a mismatch with the
-            # config is surfaced rather than silently ignored.
-            warnings.warn(
-                f"AlbumOrganizer: analyzer minsize {det_minsize} != "
-                f"AlbumConfig.minsize {self.config.minsize} (reference album "
-                "default 112); the analyzer's value is in effect",
-                RuntimeWarning, stacklevel=2)
+            # AlbumConfig.minsize is AUTHORITATIVE (reference album parity:
+            # the engine is constructed with minsize=112,
+            # process_photos.py:385): reclone the engine at the config's
+            # value (shares heads/params; the caller's analyzer is
+            # untouched). Set AlbumConfig(minsize=...) to scan smaller faces.
+            self.analyzer = analyzer.with_minsize(self.config.minsize)
 
     def _maybe_downscale(self, img: np.ndarray):
         """Returns ``(img, content_hw)``: the (possibly letterboxed) analysis

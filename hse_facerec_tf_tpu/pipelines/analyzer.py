@@ -72,11 +72,18 @@ class FacialAnalyzer:
         self.detector = MTCNNDetector(mtcnn_params, minsize=minsize, **detector_kwargs)
         self.heads = heads
         self.mh_params = heads.params
-        if mesh is None and self.mh_params:
-            # pin head params to the device once — TwoModelHeads carries the
-            # graph compiler's host-numpy constant dict, which would
-            # otherwise re-upload per analyze call
-            self.mh_params = jax.device_put(self.mh_params)
+        if self.mh_params:
+            # pin head params to the device(s) once — TwoModelHeads carries
+            # the graph compiler's host-numpy constant dict, which would
+            # otherwise re-upload per analyze call (replicated across the
+            # mesh in mesh mode, same as the embedder)
+            if mesh is not None:
+                from ..parallel.sharding import replicated
+
+                self.mh_params = jax.device_put(self.mh_params,
+                                                replicated(mesh))
+            else:
+                self.mh_params = jax.device_put(self.mh_params)
         self.face_size = face_size
         self.bbox_dilation = bbox_dilation
         # the detector pads boxes to max_stage3 (64 by default) but real
@@ -418,6 +425,25 @@ class FacialAnalyzer:
                 results.append(self._assemble_results(
                     [a[i] for a in out[:7]], identity[i]))
         return results
+
+    def with_minsize(self, minsize: int) -> "FacialAnalyzer":
+        """Shallow clone detecting at a different minimum face size: shares
+        heads/params (no re-import, no device transfer) but gets a fresh
+        detector and empty jit caches. Used by AlbumOrganizer to make
+        ``AlbumConfig.minsize`` authoritative regardless of how the engine
+        it was handed was constructed."""
+        import copy
+
+        clone = copy.copy(self)
+        d = self.detector
+        clone.detector = MTCNNDetector(
+            d.params, minsize=minsize, thresholds=d.thresholds,
+            factor=d.factor, max_level_boxes=d.max_level_boxes,
+            max_stage2=d.max_stage2, max_stage3=d.max_stage3,
+            supersample=d.supersample, precision=d.precision)
+        clone._jitted = {}
+        clone._cores = {}
+        return clone
 
     def analyze_batch_padded(self, images: np.ndarray,
                              lanes: int) -> List[List[FaceResult]]:

@@ -166,6 +166,8 @@ def make_handler(worker: _BatchingWorker, analyze_worker,
                                          "this backend"})
                     else:
                         self._json(200, prof)
+                except Exception as e:  # the PROGRAM failed, not the profiler
+                    self._json(500, {"error": str(e)})
                 finally:
                     profile_lock.release()
             else:

@@ -132,13 +132,23 @@ def fusion_profile(run, top: int = 8) -> Optional[Dict]:
 
     tracedir = tempfile.mkdtemp(prefix="fusion_profile_")
     try:
-        with jax.profiler.trace(tracedir):
-            run()
-        path = sorted(glob.glob(
-            tracedir + "/plugins/profile/*/*.trace.json.gz"))[-1]
-        trace = json.loads(gzip.open(path).read())
-    except Exception:
-        return None
+        try:
+            jax.profiler.start_trace(tracedir)
+        except Exception:
+            return None          # profiler unavailable on this backend
+        try:
+            run()                # the CALLER's failure must propagate,
+        finally:                 # not masquerade as "profiling unavailable"
+            try:
+                jax.profiler.stop_trace()
+            except Exception:
+                pass
+        try:
+            path = sorted(glob.glob(
+                tracedir + "/plugins/profile/*/*.trace.json.gz"))[-1]
+            trace = json.loads(gzip.open(path).read())
+        except Exception:
+            return None          # no parseable trace produced
     finally:
         # a long-lived server polling /profile must not leak trace dirs
         shutil.rmtree(tracedir, ignore_errors=True)

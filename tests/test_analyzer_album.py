@@ -539,3 +539,17 @@ def test_album_video_batched_matches_sequential(analyzer, fixture_img,
         np.testing.assert_array_equal(a, b)
     for a, b in zip(b_feats, s_feats):
         np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_album_config_minsize_authoritative(analyzer):
+    """AlbumConfig.minsize governs the organizer's engine: a mismatched
+    analyzer is recloned at the config's value (sharing heads/params; the
+    caller's analyzer is untouched), matching the reference's minsize=112
+    construction (process_photos.py:385)."""
+    org = AlbumOrganizer(analyzer, AlbumConfig())        # default 112
+    assert analyzer.detector.minsize == 40               # caller untouched
+    assert org.analyzer.detector.minsize == 112
+    assert org.analyzer.heads is analyzer.heads          # shared, no reimport
+    # matching config keeps the analyzer instance itself
+    same = AlbumOrganizer(analyzer, AlbumConfig(minsize=40))
+    assert same.analyzer is analyzer
