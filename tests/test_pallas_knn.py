@@ -104,3 +104,25 @@ def test_auto_dispatch_routing_rule():
     assert use_pallas_path(8192, 1_048_576, "tpu")           # 32 GB: matrix-free
     assert use_pallas_path(1024, 204800, "axon", force=True)
     assert not use_pallas_path(8192, 1_048_576, "cpu")       # never off-TPU
+
+
+def test_nearest_neighbor_tie_breaking_lowest_index():
+    """Duplicated gallery rows (exact distance ties) must resolve to the
+    LOWEST global index across split-chain and tile boundaries, matching
+    np.argmin semantics."""
+    import jax.numpy as jnp
+
+    from hse_facerec_tf_tpu.ops.pallas.knn import nearest_neighbor_tpu
+
+    rng = np.random.RandomState(5)
+    probes = rng.randn(17, 8).astype(np.float32)
+    base = rng.randn(40, 8).astype(np.float32)
+    # every gallery row duplicated at base_idx + 40 AND + 80: ties everywhere
+    gallery = np.concatenate([base, base, base])
+    dmin, idx = nearest_neighbor_tpu(
+        jnp.asarray(probes), jnp.asarray(gallery), bf16=False,
+        interpret=True, tile_m=8, tile_n=16, splits=2)
+    ref = ((probes[:, None, :] - gallery[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_array_equal(np.asarray(idx), ref.argmin(1))
+    assert np.asarray(idx).max() < 40     # always the FIRST duplicate
+    np.testing.assert_allclose(np.asarray(dmin), ref.min(1), atol=1e-4)
