@@ -442,6 +442,30 @@ def bench_knn(chain=6):
     pallas_ms = chained(lambda p, g: nearest_neighbor_tpu(p, g))
     xla_ms = chained(lambda p, g: nearest_neighbor_chunked_xla(p, g, chunk=512))
 
+    # int8 quantized-gallery sweep (pack once at "enrollment", outside the
+    # timed region — the serving pattern for a static gallery)
+    from hse_facerec_tf_tpu.ops.pallas.knn import (
+        nearest_neighbor_tpu_int8p, pack_quantized_gallery,
+        quantize_embeddings)
+
+    qb, sb = quantize_embeddings(gallery)
+    qt, b2i, sc = pack_quantized_gallery(qb, sb)
+    qt.block_until_ready()
+
+    @jax.jit
+    def many_int8(p, qt, b2i, sc):
+        def body(i, acc):
+            dm, ix = nearest_neighbor_tpu_int8p(
+                p + i.astype(jnp.float32) * 1e-6, qt, b2i, sc)
+            return acc + dm[0] + ix[0].astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, chain, body, jnp.zeros((), jnp.float32))
+
+    calls_per_sec_i8 = _time_chained(
+        lambda x: many_int8(x, qt, b2i, sc), probes, chain, chain,
+        warmup=1, iters=2)
+    int8_ms = 1000.0 / calls_per_sec_i8
+
     # XLA cost analysis can't see inside the Pallas custom call, so the knn
     # roofline is analytic: 2·M·N·D MXU FLOPs; HBM traffic = bf16 gallery
     # re-read once per probe-tile sweep + operands/outputs (ops/pallas/knn.py
@@ -452,7 +476,14 @@ def bench_knn(chain=6):
     bytes_ = (-(-M // TILE_M)) * N * D * 2 + M * D * 2 + M * 8
     calls_per_sec = 1000.0 / pallas_ms
     roofline = _roofline_entry(flops, bytes_, calls_per_sec)
-    return pallas_ms, xla_ms, roofline
+    # int8 entry: same MXU op count against the 2× int8 peak; gallery
+    # re-reads are int8 (1 byte/elem)
+    bytes_i8 = (-(-M // TILE_M)) * N * D + M * D * 4 + M * 8
+    roofline_i8 = _roofline_entry(flops, bytes_i8, calls_per_sec_i8)
+    roofline_i8["mxu_peak_int8_tflops"] = 2 * V5E_PEAK_BF16_TFLOPS
+    roofline_i8["pct_mxu_peak_int8"] = round(
+        roofline_i8.pop("pct_mxu_peak_bf16") / 2.0, 1)
+    return pallas_ms, xla_ms, int8_ms, roofline, roofline_i8
 
 
 def main():
@@ -479,7 +510,7 @@ def main():
 
     detect_ms, detect_batch_ips, img640, roof_detect = bench_detection()
     analyze_ms, analyze_batch_ips, roof_analyze = bench_analyze(img640)
-    knn_pallas_ms, knn_xla_ms, roof_knn = bench_knn()
+    knn_pallas_ms, knn_xla_ms, knn_int8_ms, roof_knn, roof_knn_i8 = bench_knn()
     train_ips, roof_train = bench_train()
     ag_train_ips = bench_train_age_gender()
 
@@ -503,6 +534,7 @@ def main():
             "train_age_gender_pairs_ips_bs256": round(ag_train_ips, 1),
             "knn_8kx1M_pallas_ms": round(knn_pallas_ms, 1),
             "knn_8kx1M_chunked_xla_ms": round(knn_xla_ms, 1),
+            "knn_8kx1M_int8_ms": round(knn_int8_ms, 1),
             "roofline": {
                 "peaks": {"mxu_bf16_tflops": V5E_PEAK_BF16_TFLOPS,
                           "hbm_gbs": V5E_PEAK_HBM_GBS},
@@ -512,6 +544,7 @@ def main():
                 "analyze": roof_analyze,
                 "train_bs256": roof_train,
                 "knn_8kx1M": roof_knn,
+                "knn_8kx1M_int8": roof_knn_i8,
             },
         },
     }))

@@ -201,7 +201,10 @@ def cmd_identify(args):
             pca_components=args.pca_components)
     else:
         out["accuracy"] = gallery_probe_eval(g_feats, g_labels, p_feats,
-                                             p_labels, k=args.k)
+                                             p_labels, k=args.k,
+                                             quantized=args.quantized)
+        if args.quantized:
+            out["gallery"] = "int8"
     print(json.dumps(out))
 
 
@@ -533,6 +536,9 @@ def main(argv=None):
                           "rf, svm, linear svm±PCA — facerec_test.py:270-288)")
     idn.add_argument("--pca-components", type=int, default=16)
     idn.add_argument("--batch-size", type=int, default=64)
+    idn.add_argument("--quantized", action="store_true",
+                     help="enroll the gallery int8 (4x less device memory) "
+                          "and rank on the int8 MXU kernel; k=1 only")
     idn.add_argument("--cache", default=None)
     idn.set_defaults(fn=cmd_identify)
 

@@ -30,6 +30,18 @@ matmul + one fused min-reduce = 59.0 ms; the full argmin adds just +0.7 ms
 scheduler overlap VPU of half 1 with MXU of half 2 → 57.1 ms (the shipped
 form, ``_SPLITS = 2``).
 
+int8 variant (r3, measured at the same design point): quantized-gallery
+sweep (``nearest_neighbor_tpu_int8q``) runs **34.1 ms vs 56.3 ms bf16**
+(1.65×) — the int8 MXU peak (394 TFLOP/s, dot+min-only floor measured at
+26.1 ms) is real, but with the dot half as long the fused epilogue becomes
+exposed VPU time, so the int8 kernel drops the per-row a2 add (41.0 →
+34.1 ms; argmin-invariant, restored outside). Epilogue ablation: pure
+int32 domain (no int→f32 convert, integer min) is SLOWER (38.7 ms — f32
+min beats int32 min on the VPU: dot+min floors 26.1 f32 vs 27.8 int);
+pre-halving b2 to save the 2× multiply is a wash (34.5); splits 1/4 =
+36.0/38.5. The remaining ~8 ms over the 26.1 ms floor is the second
+epilogue pass (iota/where index selection), only partially overlapped.
+
 Measured dead ends (do not retry without new Mosaic evidence):
   - TILE_M ∈ {4096, 8192}, TILE_N = 2048, and ≥4-way splits all FAIL to
     compile (Mosaic rejects the larger per-tile elementwise temporaries);
@@ -67,7 +79,7 @@ TILE_N = 1024  # gallery rows per tile
 _SPLITS = 2    # independent dot→argmin chains per tile
 
 
-def _make_kernel(tile_n: int, splits: int):
+def _make_kernel(tile_n: int, splits: int, int8: bool = False):
     h = tile_n // splits
 
     def kernel(a_ref, bt_ref, a2_ref, b2_ref, min_ref, idx_ref,
@@ -76,16 +88,32 @@ def _make_kernel(tile_n: int, splits: int):
         nj = pl.num_programs(1)
         a = a_ref[:]
 
-        # operands arrive pre-cast (bf16 or f32) — casting BEFORE the kernel
-        # halves the HBM gallery traffic. The `splits` half-tiles form
-        # independent MXU→VPU chains the scheduler can overlap.
-        abs_ = [jnp.dot(a, bt_ref[:, k * h:(k + 1) * h],
-                        preferred_element_type=jnp.float32)
-                for k in range(splits)]
+        # operands arrive pre-cast (bf16, f32, or int8) — casting BEFORE the
+        # kernel halves/quarters the HBM gallery traffic. The `splits`
+        # half-tiles form independent MXU→VPU chains the scheduler can
+        # overlap. int8 dots accumulate exactly in int32 on the MXU (v5e int8
+        # peak is 2× bf16); the quantization scales fold into b2 OUTSIDE the
+        # kernel, and the per-row a2 term — which cannot change any argmin —
+        # is DROPPED here and re-added outside: with the matmul half as long,
+        # every elementwise op in the fused epilogue is exposed VPU time
+        # (keeping a2 in: 41.0 ms, dropping it: 34.1 ms, measured r3; in the
+        # bf16 kernel the same add is hidden under the 2× longer dot).
+        if int8:
+            abs_ = [jnp.dot(a, bt_ref[:, k * h:(k + 1) * h],
+                            preferred_element_type=jnp.int32
+                            ).astype(jnp.float32)
+                    for k in range(splits)]
+        else:
+            abs_ = [jnp.dot(a, bt_ref[:, k * h:(k + 1) * h],
+                            preferred_element_type=jnp.float32)
+                    for k in range(splits)]
 
         local_min = local_arg = None
         for k, ab in enumerate(abs_):
-            d = a2_ref[:] + b2_ref[:, k * h:(k + 1) * h] - 2.0 * ab
+            if int8:
+                d = b2_ref[:, k * h:(k + 1) * h] - ab
+            else:
+                d = a2_ref[:] + b2_ref[:, k * h:(k + 1) * h] - 2.0 * ab
             lm = jnp.min(d, axis=1, keepdims=True)     # (tile_m, 1)
             cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
             la = jnp.min(jnp.where(d <= lm, cols, jnp.int32(2 ** 30)),
@@ -150,31 +178,208 @@ def nearest_neighbor_tpu(probes: jnp.ndarray, gallery: jnp.ndarray,
         a = a.astype(jnp.bfloat16)
         bt = bt.astype(jnp.bfloat16)
 
-    grid = (mp // TILE_M, np_ // TILE_N)
-    min_d, idx = pl.pallas_call(
-        _make_kernel(TILE_N, splits),
+    min_d, idx = _pallas_nn_call(a, bt, a2, b2, TILE_M, TILE_N, splits,
+                                 int8=False, interpret=interpret)
+    return jnp.maximum(min_d[:m, 0], 0.0), idx[:m, 0]
+
+
+def _pallas_nn_call(a, bt, a2, b2, tile_m, tile_n, splits, int8, interpret):
+    """Shared pallas_call plumbing for the f32/bf16 and int8 kernels.
+    ``a`` is (MP, D) pre-padded, ``bt`` (D, NP), ``a2`` (MP, 1), ``b2``
+    (1, NP) with +inf on padded gallery rows."""
+    mp, d = a.shape
+    np_ = bt.shape[1]
+    grid = (mp // tile_m, np_ // tile_n)
+    return pl.pallas_call(
+        _make_kernel(tile_n, splits, int8=int8),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE_M, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, TILE_N), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_M, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_N), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, tile_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TILE_M, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_M, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((mp, 1), jnp.float32),
             jax.ShapeDtypeStruct((mp, 1), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((TILE_M, 1), jnp.float32),
-            pltpu.VMEM((TILE_M, 1), jnp.int32),
+            pltpu.VMEM((tile_m, 1), jnp.float32),
+            pltpu.VMEM((tile_m, 1), jnp.int32),
         ],
         interpret=interpret,
     )(a, bt, a2, b2)
-    return jnp.maximum(min_d[:m, 0], 0.0), idx[:m, 0]
+
+
+def quantize_embeddings(x: jnp.ndarray):
+    """Symmetric global int8 quantization for gallery/probe embeddings:
+    ``q = round(x / s)`` with ``s = max|x| / 127`` (FAISS-SQ8-style; the
+    reference ships its serving model 8-bit quantized the same spirit —
+    ``age_gender_identity/README.md:7``). One global scale (not per-row) so
+    the dequantized dot factors as ``sa·sb·(qa·qb)`` and the scales fold out
+    of the kernel entirely. For L2-normalized embeddings entries are small
+    and comparably distributed, so a global scale loses almost nothing.
+
+    Returns ``(q int8, scale f32 scalar)``; jittable.
+    """
+    x = x.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(x)) / 127.0, 1e-30)
+    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "tile_m", "tile_n", "splits"))
+def nearest_neighbor_tpu_int8q(probes: jnp.ndarray, q_gallery: jnp.ndarray,
+                               g_scale: jnp.ndarray,
+                               interpret: bool = False,
+                               tile_m: int = TILE_M, tile_n: int = TILE_N,
+                               splits: int = _SPLITS,
+                               valid_n=None,
+                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """int8 variant of ``nearest_neighbor_tpu`` against a PRE-quantized
+    gallery (``quantize_embeddings`` at enrollment: 4× less gallery HBM than
+    f32, 2× less than bf16 — and no per-query quantization pass). Probes are
+    quantized here. Distances are EXACT squared-L2 between the dequantized
+    vectors — the int32 MXU dot is exact, and the scales fold into the
+    precomputed norm terms: with ``s = 2·sa·sb``,
+
+        d(â, b̂) = s · (|â|²/s + |b̂|²/s − qa·qb)
+
+    The kernel ranks on ``e = |b̂|²/s − qa·qb`` only (the per-row |â|² term
+    cannot move an argmin and is re-added outside — with the int8 dot half
+    as long as bf16's, every epilogue op is exposed VPU time; see
+    ``_make_kernel``), and the true squared-L2 is recovered by one add and
+    one scalar multiply on the (M,) result. v5e int8 MXU peak is 394 TFLOP/s
+    (2× bf16). Only (tile_m=2048, tile_n=1024, splits=2) compiles on v5e
+    Mosaic — splits∈{1,4} measured slower anyway (36.0/38.5 vs 34.1 ms) and
+    wider/taller tiles are rejected (r3).
+
+    ``valid_n`` (optional, traced): treat only the first ``valid_n`` gallery
+    rows as real — rows beyond it get +inf distance. Used by the sharded
+    path, whose zero-padded shard rows would otherwise be legitimate-looking
+    dequantized vectors (int8 has no 1e4-magnitude always-loses pad row).
+    """
+    m, d = probes.shape
+    n, _ = q_gallery.shape
+    if tile_n % splits or (tile_n // splits) % 128:
+        splits = 1
+    mp = -(-m // tile_m) * tile_m
+    np_ = -(-n // tile_n) * tile_n
+
+    qa, sa = quantize_embeddings(probes)
+    sb = g_scale
+    qa = jnp.zeros((mp, d), jnp.int8).at[:m].set(qa)
+    qb = jnp.zeros((np_, d), jnp.int8).at[:n].set(q_gallery)
+
+    s = 2.0 * sa * sb
+    qa_f = qa.astype(jnp.float32)
+    qb_f = qb.astype(jnp.float32)
+    # |â|²/s = sa²·Σqa² / (2·sa·sb) = Σqa² · sa/(2·sb); exact int sums
+    a2 = jnp.sum(qa_f * qa_f, axis=1, keepdims=True) * (sa / (2.0 * sb))
+    b2 = jnp.sum(qb_f * qb_f, axis=1) * (sb / (2.0 * sa))
+    lim = n if valid_n is None else jnp.minimum(valid_n, n)
+    b2 = jnp.where(jnp.arange(np_) < lim, b2, jnp.inf)[None, :]
+
+    # a2 rides along unused by the int8 kernel (same pallas_call plumbing);
+    # its contribution is restored on the (M,) result below
+    min_e, idx = _pallas_nn_call(qa, qb.T, a2, b2, tile_m, tile_n, splits,
+                                 int8=True, interpret=interpret)
+    dmin = (min_e[:m, 0] + a2[:m, 0]) * s
+    return jnp.maximum(dmin, 0.0), idx[:m, 0]
+
+
+def nearest_neighbor_tpu_int8(probes: jnp.ndarray, gallery: jnp.ndarray,
+                              **kw) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Convenience form: quantize the f32 gallery here, then run
+    ``nearest_neighbor_tpu_int8q``."""
+    qb, sb = quantize_embeddings(gallery)
+    return nearest_neighbor_tpu_int8q(probes, qb, sb, **kw)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n",))
+def pack_quantized_gallery(q_gallery: jnp.ndarray, g_scale: jnp.ndarray,
+                           tile_n: int = TILE_N):
+    """One-time enrollment packing for repeated int8 queries:
+    tile-pad + transpose the int8 gallery and precompute raw Σq² (with +inf
+    on pad rows), so ``nearest_neighbor_tpu_int8p`` does ZERO gallery-side
+    HBM passes per query (the unpacked path re-pads, re-transposes and
+    re-reduces ~2 GB of traffic every call — ~3.5 ms at the 1M design
+    point, measured r3). Returns ``(qt (D, NP) int8, b2i (1, NP) f32,
+    scale)``."""
+    n, d = q_gallery.shape
+    np_ = -(-n // tile_n) * tile_n
+    qb = jnp.zeros((np_, d), jnp.int8).at[:n].set(q_gallery)
+    qb_f = qb.astype(jnp.float32)
+    b2i = jnp.sum(qb_f * qb_f, axis=1)
+    b2i = jnp.where(jnp.arange(np_) < n, b2i, jnp.inf)[None, :]
+    return qb.T, b2i, g_scale
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "tile_m", "tile_n", "splits"))
+def nearest_neighbor_tpu_int8p(probes: jnp.ndarray, qt: jnp.ndarray,
+                               b2i: jnp.ndarray, g_scale: jnp.ndarray,
+                               interpret: bool = False,
+                               tile_m: int = TILE_M, tile_n: int = TILE_N,
+                               splits: int = _SPLITS,
+                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """``nearest_neighbor_tpu_int8q`` against a ``pack_quantized_gallery``
+    result: per query only the probes are quantized/padded and the raw Σq²
+    norms rescaled into the probe's scaled domain ((1, NP) — trivial).
+    Same numerics, same ties."""
+    m, d = probes.shape
+    np_ = qt.shape[1]
+    if np_ % tile_n:
+        raise ValueError(f"gallery packed for a different tile_n: {np_} "
+                         f"columns vs tile_n={tile_n}")
+    if tile_n % splits or (tile_n // splits) % 128:
+        splits = 1
+    mp = -(-m // tile_m) * tile_m
+
+    qa, sa = quantize_embeddings(probes)
+    sb = g_scale
+    qa = jnp.zeros((mp, d), jnp.int8).at[:m].set(qa)
+    s = 2.0 * sa * sb
+    qa_f = qa.astype(jnp.float32)
+    a2 = jnp.sum(qa_f * qa_f, axis=1, keepdims=True) * (sa / (2.0 * sb))
+    b2 = b2i * (sb / (2.0 * sa))     # +inf pad rows stay +inf
+
+    min_e, idx = _pallas_nn_call(qa, qt, a2, b2, tile_m, tile_n, splits,
+                                 int8=True, interpret=interpret)
+    dmin = (min_e[:m, 0] + a2[:m, 0]) * s
+    return jnp.maximum(dmin, 0.0), idx[:m, 0]
+
+
+@jax.jit
+def nearest_neighbor_int8_xla(probes: jnp.ndarray, q_gallery: jnp.ndarray,
+                              g_scale: jnp.ndarray, valid_n=None,
+                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The int8 kernel's EXACT math as a plain XLA program (int8 dot with
+    int32 accumulation, same scaled-domain epilogue and lowest-index
+    argmin) — the off-TPU twin of ``nearest_neighbor_tpu_int8q`` used on CPU
+    backends and as the parity oracle in tests. Materializes the (M, N)
+    matrix, so it keeps the XLA path's in-HBM constraint."""
+    qa, sa = quantize_embeddings(probes)
+    sb = g_scale
+    s = 2.0 * sa * sb
+    qa_f = qa.astype(jnp.float32)
+    qb_f = q_gallery.astype(jnp.float32)
+    a2 = jnp.sum(qa_f * qa_f, axis=1) * (sa / (2.0 * sb))
+    b2 = jnp.sum(qb_f * qb_f, axis=1) * (sb / (2.0 * sa))
+    if valid_n is not None:
+        b2 = jnp.where(jnp.arange(b2.shape[0]) < valid_n, b2, jnp.inf)
+    ab = jax.lax.dot_general(qa, q_gallery.T, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.int32
+                             ).astype(jnp.float32)
+    e = b2[None, :] - ab            # same ranking expression as the kernel
+    idx = jnp.argmin(e, axis=1)
+    emin = jnp.take_along_axis(e, idx[:, None], axis=1)[:, 0]
+    return jnp.maximum((emin + a2) * s, 0.0), idx
 
 
 def use_pallas_path(m: int, n: int, backend: str, force: bool = False,
@@ -209,10 +414,26 @@ def nearest_neighbor_chunked_xla(probes, gallery, chunk: int = 512,
     return dmin.reshape(mp)[:m], idx.reshape(mp)[:m]
 
 
-def nearest_neighbor_auto(probes, gallery, force_pallas: bool = False):
+def nearest_neighbor_auto(probes, gallery, force_pallas: bool = False,
+                          int8: bool = False, valid_n=None):
     """XLA matmul+argmin by default (fastest while the (M, N) matrix fits in
     HBM); the matrix-free Pallas kernel on TPU when forced or when the matrix
-    would be prohibitively large."""
+    would be prohibitively large. ``int8=True`` quantizes both operands
+    (``quantize_embeddings``) and runs the int8 MXU kernel on TPU (2× the
+    bf16 peak) or its exact XLA twin elsewhere; ``gallery`` may then be
+    either f32 or a pre-quantized ``(q_int8, scale)`` pair."""
+    if int8:
+        if isinstance(gallery, tuple):
+            qb, sb = gallery
+        else:
+            qb, sb = quantize_embeddings(gallery)
+        m, n = probes.shape[0], qb.shape[0]
+        if use_pallas_path(m, n, jax.default_backend(), force_pallas):
+            return nearest_neighbor_tpu_int8q(probes, qb, sb, valid_n=valid_n)
+        return nearest_neighbor_int8_xla(probes, qb, sb, valid_n=valid_n)
+    if valid_n is not None:
+        raise ValueError("valid_n is only supported with int8=True; the f32 "
+                         "paths mask padding via always-losing pad rows")
     m, n = probes.shape[0], gallery.shape[0]
     if use_pallas_path(m, n, jax.default_backend(), force_pallas):
         return nearest_neighbor_tpu(probes, gallery)

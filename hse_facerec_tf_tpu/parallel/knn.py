@@ -27,33 +27,52 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 def nearest_neighbor_sharded(probes: jnp.ndarray, gallery: jnp.ndarray,
                              mesh: Mesh, axis: str = "data",
-                             force_pallas: bool = False
+                             force_pallas: bool = False, int8: bool = False
                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(M, D) probes × (N, D) gallery -> (min_sq_dist (M,), argmin (M,)).
 
     ``gallery`` is padded to a multiple of the mesh axis size and split
     along it; padded rows are masked with +inf distance. Global indices
     refer to the unpadded gallery.
+
+    ``int8=True`` quantizes the gallery ONCE with one global scale (so every
+    shard ranks in the same scaled domain and tie semantics match the
+    single-device int8 kernel), ships int8 shards (4× less per-device HBM),
+    and runs the int8 MXU kernel per shard. Padded shard rows are masked via
+    the kernel's ``valid_n`` — an int8 pad row cannot be made to always lose
+    the way the f32 path's 1e4-magnitude rows do.
     """
-    from ..ops.pallas.knn import nearest_neighbor_auto
+    from ..ops.pallas.knn import nearest_neighbor_auto, quantize_embeddings
 
     n_dev = mesh.shape[axis]
     m, d = probes.shape
     n = gallery.shape[0]
     shard = -(-n // n_dev)
     n_pad = shard * n_dev
-    if n_pad != n:
+    g_scale = None
+    if int8:
+        gallery, g_scale = quantize_embeddings(gallery)
+        if n_pad != n:
+            gallery = jnp.concatenate(
+                [gallery, jnp.zeros((n_pad - n, d), jnp.int8)])
+    elif n_pad != n:
         # pad rows must LOSE every local argmin (a zero row would win for
         # small-norm probes); 1e4-magnitude rows give ~1e8 sq-distances,
         # far above any real embedding pair, and stay exact in f32/bf16
         gallery = jnp.concatenate(
             [gallery, jnp.full((n_pad - n, d), 1e4, gallery.dtype)])
 
-    def local(probes_l, gallery_l):
-        # gallery_l: this device's (shard, D) slice; probes replicated
-        dmin, idx = nearest_neighbor_auto(probes_l, gallery_l,
-                                          force_pallas=force_pallas)
+    def local(probes_l, gallery_l, scale_l):
+        # gallery_l: this device's (shard, D) slice; probes/scale replicated
         offset = jax.lax.axis_index(axis) * shard
+        if int8:
+            valid = jnp.clip(n - offset, 0, shard)
+            dmin, idx = nearest_neighbor_auto(
+                probes_l, (gallery_l, scale_l), force_pallas=force_pallas,
+                int8=True, valid_n=valid)
+        else:
+            dmin, idx = nearest_neighbor_auto(probes_l, gallery_l,
+                                              force_pallas=force_pallas)
         gidx = idx + offset
         dmin = jnp.where(gidx < n, dmin, jnp.inf)   # mask padded rows
         # one (n_dev, M) all-gather of scalars — the only collective
@@ -67,7 +86,9 @@ def nearest_neighbor_sharded(probes: jnp.ndarray, gallery: jnp.ndarray,
     # redundantly on every device, which the replication checker cannot
     # infer statically
     fn = jax.shard_map(local, mesh=mesh,
-                       in_specs=(P(), P(axis)),
+                       in_specs=(P(), P(axis), P()),
                        out_specs=(P(), P()), check_vma=False)
-    dmin, idx = fn(probes, gallery)
+    if g_scale is None:
+        g_scale = jnp.zeros((), jnp.float32)   # unused in the f32 path
+    dmin, idx = fn(probes, gallery, g_scale)
     return dmin, idx
