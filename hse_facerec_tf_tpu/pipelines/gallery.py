@@ -1,0 +1,161 @@
+"""Persistent face-enrollment gallery for the serving layer.
+
+The reference identifies people only via offline scripts over directory
+trees (gallery/probe protocol ``facerec_test.py:220-288``, album clustering
+``process_photos.py:45-77``); a long-running service instead needs
+ENROLLMENT: add labeled embeddings incrementally, persist them across
+restarts, and rank probes against the current gallery. This store keeps the
+f32 gallery on host, maintains an int8-quantized ranking state
+(``ops/pallas/knn.py::quantize_embeddings`` — one global scale, the same
+ranking domain as the Pallas int8 kernel, 4× less device memory per
+enrolled identity) rebuilt lazily after enrollments, and answers 1-NN
+queries with exact squared-L2 distances between the dequantized vectors.
+
+Thread-safe: the HTTP server calls ``enroll``/``identify`` from concurrent
+handler threads. Persistence is a single ``.npz`` written atomically
+(tmp + ``os.replace``) after every enrollment, so a crash can lose at most
+the enrollment in flight, never corrupt the file.
+
+Decision rule (reference semantics): a probe matches its nearest enrolled
+embedding iff the plain L2 distance between the normalized vectors is below
+the threshold — the same units as the album pipeline's
+``DistanceThreshold=0.82`` (``process_photos.py:26``, ``config.py:41``).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..ops.distance import l2_normalize
+
+
+class EnrollmentGallery:
+    """Labeled-embedding store with lazy int8 ranking state.
+
+    ``path``: optional ``.npz`` persistence file — loaded at construction if
+    present, rewritten atomically after each ``enroll``/``remove``.
+    ``quantized``: rank through the int8 path (exact dequantized-L2; the
+    quantization noise is ~1e-2 of the same-vs-cross-class margin for
+    normalized embeddings — pinned in ``tests/test_pallas_knn.py``). With
+    ``False`` ranking is exact f32.
+    """
+
+    def __init__(self, path: Optional[str] = None, quantized: bool = True):
+        self.path = path
+        self.quantized = quantized
+        self._lock = threading.RLock()
+        self._labels: List[str] = []
+        self._feats: List[np.ndarray] = []
+        self._rank_state = None            # (gallery arg for identify, dim)
+        if path and os.path.exists(path):
+            data = np.load(path, allow_pickle=False)
+            feats = np.asarray(data["features"], np.float32)
+            labels = [str(s) for s in data["labels"]]
+            if len(labels) != len(feats):
+                raise ValueError(f"corrupt gallery file {path}: "
+                                 f"{len(labels)} labels vs {len(feats)} rows")
+            self._feats = list(feats)
+            self._labels = labels
+
+    def __len__(self) -> int:
+        with self._lock:
+            return len(self._labels)
+
+    def stats(self) -> dict:
+        with self._lock:
+            return {
+                "n_enrolled": len(self._labels),
+                "n_labels": len(set(self._labels)),
+                "dim": int(self._feats[0].shape[0]) if self._feats else None,
+                "quantized": self.quantized,
+                "path": self.path,
+            }
+
+    def enroll(self, label: str, embedding: np.ndarray) -> int:
+        """Add one L2-normalized embedding under ``label``; returns the new
+        gallery size. Multiple enrollments per label are intentional (more
+        views of a person -> better 1-NN coverage, as in the reference's
+        multi-image gallery dirs)."""
+        if not label:
+            raise ValueError("label must be non-empty")
+        emb = np.asarray(embedding, np.float32).reshape(-1)
+        emb = np.asarray(l2_normalize(emb[None]))[0]
+        with self._lock:
+            if self._feats and emb.shape != self._feats[0].shape:
+                raise ValueError(
+                    f"embedding dim {emb.shape[0]} != gallery dim "
+                    f"{self._feats[0].shape[0]} (different --model?)")
+            self._feats.append(emb)
+            self._labels.append(str(label))
+            self._rank_state = None
+            self._save_locked()
+            return len(self._labels)
+
+    def remove(self, label: str) -> int:
+        """Drop every embedding enrolled under ``label``; returns how many
+        were removed."""
+        with self._lock:
+            keep = [i for i, l in enumerate(self._labels) if l != label]
+            removed = len(self._labels) - len(keep)
+            if removed:
+                self._feats = [self._feats[i] for i in keep]
+                self._labels = [self._labels[i] for i in keep]
+                self._rank_state = None
+                self._save_locked()
+            return removed
+
+    def identify(self, embedding: np.ndarray, threshold: float = 0.82,
+                 ) -> Tuple[Optional[str], Optional[float], Optional[str]]:
+        """1-NN over the enrolled gallery.
+
+        Returns ``(label_or_None, l2_distance, nearest_label)`` —
+        ``label`` is None when the gallery is empty or the nearest
+        enrollment is farther than ``threshold`` (the caller still sees who
+        was nearest and at what distance)."""
+        gallery, labels = self._ranking_state()
+        if gallery is None:
+            return None, None, None
+        from ..ops.pallas.knn import nearest_neighbor_auto
+
+        probe = np.asarray(embedding, np.float32).reshape(1, -1)
+        probe = np.asarray(l2_normalize(probe))
+        dsq, idx = nearest_neighbor_auto(probe, gallery,
+                                         int8=self.quantized)
+        dist = float(np.sqrt(max(float(dsq[0]), 0.0)))
+        nearest = labels[int(idx[0])]
+        return (nearest if dist <= threshold else None), dist, nearest
+
+    # -- internals --------------------------------------------------------
+
+    def _ranking_state(self):
+        """Gallery in ranking form + a labels snapshot, rebuilt only after
+        enrollments: quantize once per gallery version, not per query."""
+        with self._lock:
+            if not self._feats:
+                return None, None
+            if self._rank_state is None:
+                g = np.stack(self._feats)
+                if self.quantized:
+                    from ..ops.pallas.knn import quantize_embeddings
+
+                    qb, sb = quantize_embeddings(g)
+                    gallery = (qb, sb)   # nearest_neighbor_auto int8 form
+                else:
+                    gallery = g
+                self._rank_state = (gallery, list(self._labels))
+            return self._rank_state
+
+    def _save_locked(self):
+        if not self.path:
+            return
+        tmp = self.path + ".tmp"
+        feats = (np.stack(self._feats) if self._feats
+                 else np.zeros((0, 0), np.float32))
+        with open(tmp, "wb") as f:   # file handle: savez can't munge the name
+            np.savez(f, features=feats,
+                     labels=np.asarray(self._labels, dtype=np.str_))
+        os.replace(tmp, self.path)

@@ -9,6 +9,16 @@ it — the same lesson as the reference's per-image ``sess.run`` loop).
 Endpoints:
   POST /embed    image bytes (jpeg/png) -> {"embedding": [...]}
   POST /analyze  image bytes -> {"faces": [{bbox, age, gender_prob, ...}]}
+  POST /enroll?label=NAME   image bytes -> {"label", "n_enrolled"} — embed
+                 and store under NAME in the enrollment gallery (int8-packed
+                 ranking state, persisted to --gallery if given)
+  POST /identify[?threshold=T]  image bytes -> {"label": NAME|null,
+                 "distance", "nearest"} — 1-NN over the enrolled gallery;
+                 null label when the nearest enrollment is farther than the
+                 threshold (default --identify-threshold, reference album
+                 semantics DistanceThreshold=0.82)
+  DELETE /enroll?label=NAME -> {"removed": k}
+  GET  /gallery  -> enrollment stats {n_enrolled, n_labels, dim, ...}
   GET  /healthz  -> {"ok": true, "device": ...}
   GET  /stats    -> per-endpoint latency {count, mean_ms, p50_ms, p95_ms}
   GET  /profile  -> on-demand per-fusion device-time/bandwidth table for the
@@ -106,11 +116,16 @@ def _analyze_batch_pow2(analyzer, imgs: np.ndarray):
 
 def make_handler(worker: _BatchingWorker, analyze_worker,
                  profile_input_hw: Tuple[int, int] = (224, 224),
-                 request_timeout_s: float = 600.0):
+                 request_timeout_s: float = 600.0,
+                 gallery=None, identify_threshold: float = 0.82):
     import cv2
 
     from .utils.profiling import StageTimer
 
+    if gallery is None:
+        from .pipelines.gallery import EnrollmentGallery
+
+        gallery = EnrollmentGallery()
     timer = StageTimer()
     profile_lock = threading.Lock()
 
@@ -138,7 +153,9 @@ def make_handler(worker: _BatchingWorker, analyze_worker,
             return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
         def do_GET(self):
-            if self.path == "/healthz":
+            if self.path == "/gallery":
+                self._json(200, gallery.stats())
+            elif self.path == "/healthz":
                 import jax
 
                 self._json(200, {"ok": True, "device": str(jax.devices()[0])})
@@ -173,13 +190,60 @@ def make_handler(worker: _BatchingWorker, analyze_worker,
             else:
                 self._json(404, {"error": "unknown path"})
 
+        def do_DELETE(self):
+            from urllib.parse import parse_qs, urlparse
+
+            url = urlparse(self.path)
+            if url.path == "/enroll":
+                label = parse_qs(url.query).get("label", [""])[0]
+                if not label:
+                    self._json(400, {"error": "label query param required"})
+                    return
+                self._json(200, {"removed": gallery.remove(label)})
+            else:
+                self._json(404, {"error": "unknown path"})
+
         def do_POST(self):
+            from urllib.parse import parse_qs, urlparse
+
+            url = urlparse(self.path)
+            query = parse_qs(url.query)
             img = self._read_image()
             if img is None:
                 self._json(400, {"error": "body must be a decodable image"})
                 return
             try:
-                if self.path == "/embed":
+                if url.path == "/enroll":
+                    label = query.get("label", [""])[0]
+                    if not label:
+                        self._json(400, {"error": "label query param "
+                                         "required"})
+                        return
+                    with timer.stage("enroll"):
+                        feats = worker.submit(img, request_timeout_s)
+                        n = gallery.enroll(label, np.asarray(feats))
+                    self._json(200, {"label": label, "n_enrolled": n})
+                elif url.path == "/identify":
+                    try:
+                        thr = float(query.get("threshold",
+                                              [identify_threshold])[0])
+                    except ValueError:
+                        self._json(400, {"error": "threshold must be a "
+                                         "number"})
+                        return
+                    with timer.stage("identify"):
+                        feats = worker.submit(img, request_timeout_s)
+                        label, dist, nearest = gallery.identify(
+                            np.asarray(feats), threshold=thr)
+                    if dist is None:
+                        self._json(200, {"label": None, "distance": None,
+                                         "nearest": None,
+                                         "note": "gallery is empty"})
+                    else:
+                        self._json(200, {
+                            "label": label, "distance": round(dist, 4),
+                            "nearest": nearest, "threshold": thr})
+                elif self.path == "/embed":
                     with timer.stage("embed"):
                         feats = worker.submit(img, request_timeout_s)
                     self._json(200, {"embedding": np.asarray(feats, np.float64)
@@ -201,6 +265,8 @@ def make_handler(worker: _BatchingWorker, analyze_worker,
                     self._json(404, {"error": "unknown path"})
             except TimeoutError as e:
                 self._json(504, {"error": str(e)})
+            except ValueError as e:        # bad request data (e.g. embedding
+                self._json(400, {"error": str(e)})     # dim != gallery dim)
             except Exception as e:  # noqa: BLE001
                 self._json(500, {"error": str(e)})
 
@@ -209,7 +275,9 @@ def make_handler(worker: _BatchingWorker, analyze_worker,
 
 def build_server(port: int = 8000, model: str = "agegender_identity",
                  max_batch: int = 32, with_analyzer: bool = True,
-                 request_timeout_s: float = 600.0):
+                 request_timeout_s: float = 600.0,
+                 gallery_path: Optional[str] = None,
+                 identify_threshold: float = 0.82):
     from .models import zoo
     from .utils.compilation_cache import enable as _enable_cache
 
@@ -228,11 +296,16 @@ def build_server(port: int = 8000, model: str = "agegender_identity",
                                                         zoo.AGEGENDER_PB)
         analyze_worker = _BatchingWorker(
             functools.partial(_analyze_batch_pow2, analyzer), max_batch=8)
+    from .pipelines.gallery import EnrollmentGallery
+
+    gallery = EnrollmentGallery(path=gallery_path)
     return ThreadingHTTPServer(
         ("0.0.0.0", port),
         make_handler(worker, analyze_worker,
                      profile_input_hw=extractor.input_size,
-                     request_timeout_s=request_timeout_s))
+                     request_timeout_s=request_timeout_s,
+                     gallery=gallery,
+                     identify_threshold=identify_threshold))
 
 
 def main(argv=None):
@@ -248,10 +321,19 @@ def main(argv=None):
                         "default clears the 1-9 min first-compile of a NEW "
                         "image-shape bucket — don't lower it below your "
                         "worst-case compile unless shapes are pre-warmed")
+    p.add_argument("--gallery", default=None,
+                   help="path to the enrollment gallery .npz — loaded at "
+                        "boot, atomically rewritten after every "
+                        "/enroll (omit for an in-memory gallery)")
+    p.add_argument("--identify-threshold", type=float, default=0.82,
+                   help="max L2 distance for an /identify match (reference "
+                        "album DistanceThreshold, process_photos.py:26)")
     args = p.parse_args(argv)
     server = build_server(args.port, args.model, args.max_batch,
                           with_analyzer=not args.no_analyzer,
-                          request_timeout_s=args.request_timeout)
+                          request_timeout_s=args.request_timeout,
+                          gallery_path=args.gallery,
+                          identify_threshold=args.identify_threshold)
     print(f"serving on :{args.port}")
     server.serve_forever()
 

@@ -189,3 +189,111 @@ def test_abandoned_requests_dropped_after_recovery():
     # batches processed: the wedged request 0 and live request 2 — the
     # abandoned request 1 was dropped, so only TWO process() calls ran
     assert len(processed) == 2
+
+
+def test_enrollment_gallery_roundtrip(tmp_path, rng):
+    """Enroll/identify/remove with persistence: atomic .npz survives a
+    reload, ranking is int8 (exact dequantized-L2), threshold gates the
+    label but the nearest neighbor is always reported."""
+    from hse_facerec_tf_tpu.pipelines.gallery import EnrollmentGallery
+
+    path = str(tmp_path / "gallery.npz")
+    g = EnrollmentGallery(path=path)
+    assert g.identify(rng.randn(16)) == (None, None, None)
+
+    alice = rng.randn(16).astype(np.float32)
+    bob = rng.randn(16).astype(np.float32)
+    assert g.enroll("alice", alice) == 1
+    assert g.enroll("bob", bob) == 2
+    assert g.enroll("alice", alice + 0.01 * rng.randn(16)) == 3
+
+    label, dist, nearest = g.identify(alice)
+    assert label == "alice" and nearest == "alice"
+    assert dist < 0.05
+    # a probe near bob matches bob
+    assert g.identify(bob + 0.01 * rng.randn(16))[0] == "bob"
+    # an unrelated probe is rejected by the threshold but still names
+    # the nearest enrollment
+    label, dist, nearest = g.identify(rng.randn(16), threshold=0.2)
+    assert label is None and dist > 0.2 and nearest in ("alice", "bob")
+
+    # persistence: a fresh instance sees the same gallery
+    g2 = EnrollmentGallery(path=path)
+    assert len(g2) == 3
+    assert g2.identify(alice)[0] == "alice"
+    assert g2.stats()["n_labels"] == 2
+
+    # remove drops all of a label's enrollments and persists
+    assert g2.remove("alice") == 2
+    assert g2.identify(alice, threshold=10.0)[0] == "bob"
+    assert len(EnrollmentGallery(path=path)) == 1
+
+    with pytest.raises(ValueError):
+        g2.enroll("carol", rng.randn(8))        # dim mismatch
+    with pytest.raises(ValueError):
+        g2.enroll("", rng.randn(16))
+
+
+def test_http_enroll_identify(tmp_path, rng):
+    """The serving enrollment surface end-to-end over a real socket:
+    /enroll -> /gallery -> /identify (match + below-threshold null) ->
+    DELETE /enroll."""
+    from http.server import ThreadingHTTPServer
+
+    from hse_facerec_tf_tpu.pipelines.gallery import EnrollmentGallery
+    from hse_facerec_tf_tpu.serve import make_handler
+
+    fake = _FakeExtractor()
+    gallery = EnrollmentGallery(path=str(tmp_path / "g.npz"))
+    server = ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        make_handler(_BatchingWorker(fake.extract_batch), analyze_worker=None,
+                     gallery=gallery, identify_threshold=0.5))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        # two distinguishable "faces": the fake extractor embeds the first 8
+        # pixels, so constant-color images give distinct embeddings
+        img_a = np.full((16, 16, 3), 200, np.uint8)
+        img_b = np.zeros((16, 16, 3), np.uint8)
+        img_b[0, :4] = 255                       # orthogonal-ish pattern
+        enc_a = cv2.imencode(".png", img_a)[1].tobytes()
+        enc_b = cv2.imencode(".png", img_b)[1].tobytes()
+
+        conn.request("POST", "/enroll", body=enc_a)
+        assert conn.getresponse().status == 400    # label required
+
+        conn.request("POST", "/enroll?label=alice", body=enc_a)
+        r = conn.getresponse()
+        assert r.status == 200
+        assert json.loads(r.read()) == {"label": "alice", "n_enrolled": 1}
+        conn.request("POST", "/enroll?label=bob", body=enc_b)
+        assert json.loads(conn.getresponse().read())["n_enrolled"] == 2
+
+        conn.request("GET", "/gallery")
+        stats = json.loads(conn.getresponse().read())
+        assert stats["n_enrolled"] == 2 and stats["n_labels"] == 2
+
+        conn.request("POST", "/identify", body=enc_a)
+        r = json.loads(conn.getresponse().read())
+        assert r["label"] == "alice" and r["distance"] < 0.05
+
+        # same probe with an impossible threshold: null label, nearest kept
+        conn.request("POST", "/identify?threshold=-1", body=enc_a)
+        r = json.loads(conn.getresponse().read())
+        assert r["label"] is None and r["nearest"] == "alice"
+
+        conn.request("DELETE", "/enroll?label=alice")
+        assert json.loads(conn.getresponse().read())["removed"] == 1
+        conn.request("POST", "/identify", body=enc_a)
+        r = json.loads(conn.getresponse().read())
+        assert r["label"] != "alice"
+
+        # /stats picked up the new endpoint timers
+        conn.request("GET", "/stats")
+        stats = json.loads(conn.getresponse().read())
+        assert stats["enroll"]["count"] == 2
+        assert stats["identify"]["count"] == 3
+    finally:
+        server.shutdown()
