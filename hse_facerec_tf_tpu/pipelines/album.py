@@ -115,6 +115,18 @@ class AlbumOrganizer:
             # untouched). Set AlbumConfig(minsize=...) to scan smaller faces.
             self.analyzer = analyzer.with_minsize(self.config.minsize)
 
+    def _read_photo(self, path: str) -> np.ndarray:
+        """Photo decode for the album scan. With ``--downscale`` active,
+        large JPEGs decode at a reduced DCT scale that still covers the
+        analysis box (``imread_rgb_bounded`` — ~8× faster on multi-MP
+        camera files); ``_maybe_downscale`` then does the exact final fit.
+        Without downscaling, full decode (reference native-size semantics)."""
+        if self.downscale is None:
+            return imread_rgb(path)
+        from ..utils.image_io import imread_rgb_bounded
+
+        return imread_rgb_bounded(path, *self.downscale)
+
     def _maybe_downscale(self, img: np.ndarray):
         """Returns ``(img, content_hw)``: the (possibly letterboxed) analysis
         image plus the (h, w) of the real photo content inside it — the
@@ -328,7 +340,7 @@ class AlbumOrganizer:
         if self.analyze_batch <= 1:
             for i, f in enumerate(files):
                 img, chw = self._maybe_downscale(
-                    imread_rgb(os.path.join(album_dir, f)))
+                    self._read_photo(os.path.join(album_dir, f)))
                 per_photo[i] = self._process_photo(img, chw)
             return per_photo
 
@@ -348,7 +360,7 @@ class AlbumOrganizer:
         # threaded decode, bounded in-flight (utils/prefetch): photo decode
         # overlaps the device-side batch analysis of earlier buckets
         decoded = bounded_thread_map(
-            lambda f: self._maybe_downscale(imread_rgb(os.path.join(album_dir, f))),
+            lambda f: self._maybe_downscale(self._read_photo(os.path.join(album_dir, f))),
             files, workers=4, depth=2 * self.analyze_batch)
         for i, (img, chw) in enumerate(decoded):
             shape = (img.shape[0], img.shape[1])

@@ -25,6 +25,47 @@ def imread_rgb(path: str) -> np.ndarray:
     return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
 
+def imread_rgb_bounded(path: str, max_w: int, max_h: int) -> np.ndarray:
+    """Decode for DOWNSCALED analysis: when the source is a JPEG at least 2×
+    larger than the (max_w, max_h) fit box, decode at the largest 1/2^k
+    JPEG DCT scale that still covers the target (libjpeg skips the unneeded
+    IDCT work — a 48 MP photo analyzed at 640×480 decodes ~8× faster), and
+    leave the exact final fit-resize to the caller, same as ``imread_rgb``.
+
+    The reduction factor is chosen orientation-invariantly (EXIF rotation
+    swaps w/h, and cv2 applies it during decode while the header probe sees
+    the pre-rotation size), so the decoded image always covers the target
+    box whichever way it ends up rotated. NOT for parity-sensitive paths
+    (eval protocols decode at full resolution like the reference); the DCT
+    intermediate differs sub-perceptibly from full-decode-then-resize.
+    """
+    import cv2
+
+    try:
+        from PIL import Image
+
+        with Image.open(path) as im:    # header-only probe, no pixel decode
+            if (im.format or "").upper() != "JPEG":
+                raise ValueError
+            w, h = im.size
+    except Exception:
+        return imread_rgb(path)
+    # the larger of the two orientations' fit scales — the reduced image
+    # must cover the target even if EXIF rotation swaps the axes
+    s = max(min(max_w / w, max_h / h), min(max_w / h, max_h / w))
+    reduction = 1
+    while reduction < 8 and (reduction * 2) * s <= 1.0:
+        reduction *= 2
+    if reduction == 1:
+        return imread_rgb(path)
+    flag = {2: cv2.IMREAD_REDUCED_COLOR_2, 4: cv2.IMREAD_REDUCED_COLOR_4,
+            8: cv2.IMREAD_REDUCED_COLOR_8}[reduction]
+    img = cv2.imread(path, flag)
+    if img is None:
+        return imread_rgb(path)
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
 def get_files(db_dir: str, extensions=(".jpg", ".jpeg", ".png", ".bmp")) -> List[Tuple[str, str]]:
     """[(class_dir, relative_path)] for a directory-per-class dataset
     (reference ``facerec_test.py:38-39``)."""

@@ -553,3 +553,69 @@ def test_album_config_minsize_authoritative(analyzer):
     # matching config keeps the analyzer instance itself
     same = AlbumOrganizer(analyzer, AlbumConfig(minsize=40))
     assert same.analyzer is analyzer
+
+
+def test_imread_rgb_bounded(tmp_path):
+    """DCT-scaled JPEG decode for downscaled analysis: the reduced image
+    always covers the target box (in either EXIF orientation), non-JPEGs
+    and already-small JPEGs fall back to full decode, and the reduced
+    pixels stay close to full-decode-then-resize."""
+    import cv2
+
+    from hse_facerec_tf_tpu.utils.image_io import imread_rgb, imread_rgb_bounded
+
+    rng = np.random.RandomState(3)
+    big = np.clip(rng.randn(1500, 2400, 3) * 20 + 128, 0, 255).astype(np.uint8)
+    big = cv2.GaussianBlur(big, (0, 0), 3)      # realistic JPEG content
+    p = str(tmp_path / "big.jpg")
+    cv2.imwrite(p, cv2.cvtColor(big, cv2.COLOR_RGB2BGR),
+                [cv2.IMWRITE_JPEG_QUALITY, 95])
+
+    out = imread_rgb_bounded(p, 640, 480)
+    # 2400x1500 into 640x480: fit scale 0.267 -> reduce by 2 (1200x750)
+    assert out.shape == (750, 1200, 3)
+    assert out.shape[1] >= 640 and out.shape[0] >= 480
+    full = imread_rgb(p)
+    a = cv2.resize(full, (640, 400)).astype(np.int16)
+    b = cv2.resize(out, (640, 400)).astype(np.int16)
+    assert np.abs(a - b).mean() < 4.0
+
+    # a small JPEG and a PNG both take the exact full-decode path
+    small_p = str(tmp_path / "small.jpg")
+    cv2.imwrite(small_p, cv2.cvtColor(big[:400, :600], cv2.COLOR_RGB2BGR))
+    assert imread_rgb_bounded(small_p, 640, 480).shape[:2] == (400, 600)
+    png_p = str(tmp_path / "img.png")
+    cv2.imwrite(png_p, cv2.cvtColor(big, cv2.COLOR_RGB2BGR))
+    np.testing.assert_array_equal(imread_rgb_bounded(png_p, 640, 480),
+                                  imread_rgb(png_p))
+
+    # orientation safety: a portrait target box on the same landscape
+    # source must still be covered after a hypothetical 90-degree EXIF
+    # rotation (the chosen reduction is the min over both orientations)
+    out_portrait = imread_rgb_bounded(p, 480, 640)
+    h, w = out_portrait.shape[:2]
+    assert (w >= 480 and h >= 640) or (h >= 480 and w >= 640)
+
+
+def test_album_downscale_uses_bounded_decode(analyzer, tmp_path, monkeypatch):
+    """With --downscale, the album scan routes photo loads through the
+    bounded decoder; without it, full decode keeps native-size semantics."""
+    from hse_facerec_tf_tpu.pipelines.album import AlbumOrganizer
+    from hse_facerec_tf_tpu.utils import image_io
+
+    calls = {"bounded": 0, "full": 0}
+    orig_b, orig_f = image_io.imread_rgb_bounded, image_io.imread_rgb
+    monkeypatch.setattr(image_io, "imread_rgb_bounded",
+                        lambda *a: calls.__setitem__("bounded", calls["bounded"] + 1) or orig_b(*a))
+    org = AlbumOrganizer(analyzer, downscale=(640, 480))
+    import cv2
+
+    p = str(tmp_path / "x.jpg")
+    cv2.imwrite(p, np.zeros((1200, 1600, 3), np.uint8))
+    img = org._read_photo(p)
+    assert calls["bounded"] == 1
+    assert img.shape[0] >= 480 and img.shape[1] >= 640
+
+    org_native = AlbumOrganizer(analyzer)
+    assert org_native._read_photo(p).shape[:2] == (1200, 1600)
+    assert calls["bounded"] == 1
