@@ -277,14 +277,25 @@ def build_server(port: int = 8000, model: str = "agegender_identity",
                  max_batch: int = 32, with_analyzer: bool = True,
                  request_timeout_s: float = 600.0,
                  gallery_path: Optional[str] = None,
-                 identify_threshold: float = 0.82):
+                 identify_threshold: float = 0.82,
+                 data_parallel: bool = False):
     from .models import zoo
     from .utils.compilation_cache import enable as _enable_cache
 
     _enable_cache()
     from .models.zoo import build_extractor
 
-    extractor = build_extractor(model)
+    mesh = None
+    if data_parallel:
+        import jax
+
+        from .parallel.sharding import make_mesh
+
+        if len(jax.devices()) > 1:
+            mesh = make_mesh()
+        else:
+            print("serve: --data-parallel ignored (single device)")
+    extractor = build_extractor(model, mesh=mesh)
     worker = _BatchingWorker(extractor.extract_batch, max_batch=max_batch)
     analyze_worker = None
     if with_analyzer:
@@ -293,7 +304,8 @@ def build_server(port: int = 8000, model: str = "agegender_identity",
         from .pipelines.analyzer import FacialAnalyzer
 
         analyzer = FacialAnalyzer.from_reference_models(zoo.MTCNN_PB,
-                                                        zoo.AGEGENDER_PB)
+                                                        zoo.AGEGENDER_PB,
+                                                        mesh=mesh)
         analyze_worker = _BatchingWorker(
             functools.partial(_analyze_batch_pow2, analyzer), max_batch=8)
     from .pipelines.gallery import EnrollmentGallery
@@ -328,12 +340,17 @@ def main(argv=None):
     p.add_argument("--identify-threshold", type=float, default=0.82,
                    help="max L2 distance for an /identify match (reference "
                         "album DistanceThreshold, process_photos.py:26)")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard coalesced request batches over all local "
+                        "devices (1-D data mesh for the embed extractor and "
+                        "the analyzer); no-op on a single device")
     args = p.parse_args(argv)
     server = build_server(args.port, args.model, args.max_batch,
                           with_analyzer=not args.no_analyzer,
                           request_timeout_s=args.request_timeout,
                           gallery_path=args.gallery,
-                          identify_threshold=args.identify_threshold)
+                          identify_threshold=args.identify_threshold,
+                          data_parallel=args.data_parallel)
     print(f"serving on :{args.port}")
     server.serve_forever()
 

@@ -297,3 +297,51 @@ def test_http_enroll_identify(tmp_path, rng):
         assert stats["identify"]["count"] == 3
     finally:
         server.shutdown()
+
+
+def test_build_server_data_parallel(monkeypatch, tmp_path):
+    """--data-parallel builds a 1-D all-device mesh and threads it through
+    both the embed extractor and the analyzer (plumbing test: the sharded
+    compute paths themselves are pinned in test_eval_parallel / the
+    analyzer mesh tests)."""
+    import jax
+
+    import hse_facerec_tf_tpu.serve as serve_mod
+    from hse_facerec_tf_tpu.models import zoo
+
+    seen = {}
+
+    class FakeExtractor:
+        input_size = (224, 224)
+
+        def extract_batch(self, imgs):
+            return imgs.reshape(len(imgs), -1)[:, :4]
+
+    def fake_build_extractor(model, mesh=None, **kw):
+        seen["extractor_mesh"] = mesh
+        return FakeExtractor()
+
+    class FakeAnalyzer:
+        @classmethod
+        def from_reference_models(cls, *a, mesh=None, **kw):
+            seen["analyzer_mesh"] = mesh
+            return cls()
+
+    monkeypatch.setattr("hse_facerec_tf_tpu.models.zoo.build_extractor",
+                        fake_build_extractor)
+    monkeypatch.setattr("hse_facerec_tf_tpu.pipelines.analyzer.FacialAnalyzer",
+                        FakeAnalyzer)
+    srv = serve_mod.build_server(port=0, data_parallel=True)
+    try:
+        assert seen["extractor_mesh"] is not None
+        assert seen["analyzer_mesh"] is seen["extractor_mesh"]
+        assert seen["extractor_mesh"].devices.size == len(jax.devices())
+    finally:
+        srv.server_close()
+
+    srv = serve_mod.build_server(port=0, data_parallel=False,
+                                 with_analyzer=False)
+    try:
+        assert seen["extractor_mesh"] is None
+    finally:
+        srv.server_close()
