@@ -122,6 +122,11 @@ class EnrollmentGallery:
         from ..ops.pallas.knn import nearest_neighbor_auto
 
         probe = np.asarray(embedding, np.float32).reshape(1, -1)
+        dim = (gallery[0] if isinstance(gallery, tuple) else gallery).shape[1]
+        if probe.shape[1] != dim:
+            raise ValueError(f"probe dim {probe.shape[1]} != gallery dim "
+                             f"{dim} (gallery enrolled in a different mode "
+                             f"or with a different --model?)")
         probe = np.asarray(l2_normalize(probe))
         dsq, idx = nearest_neighbor_auto(probe, gallery,
                                          int8=self.quantized)

@@ -8,15 +8,27 @@ it — the same lesson as the reference's per-image ``sess.run`` loop).
 
 Endpoints:
   POST /embed    image bytes (jpeg/png) -> {"embedding": [...]}
-  POST /analyze  image bytes -> {"faces": [{bbox, age, gender_prob, ...}]}
-  POST /enroll?label=NAME   image bytes -> {"label", "n_enrolled"} — embed
-                 and store under NAME in the enrollment gallery (int8-packed
-                 ranking state, persisted to --gallery if given)
-  POST /identify[?threshold=T]  image bytes -> {"label": NAME|null,
-                 "distance", "nearest"} — 1-NN over the enrolled gallery;
-                 null label when the nearest enrollment is farther than the
-                 threshold (default --identify-threshold, reference album
-                 semantics DistanceThreshold=0.82)
+  POST /analyze[?identify=1[&threshold=T]]  image bytes ->
+                 {"faces": [{bbox, age, gender_prob, ...}]}; with
+                 ``identify=1`` each face also carries {label|null,
+                 distance, nearest} from the enrollment gallery
+  POST /enroll?label=NAME[&mode=face|image]   image bytes ->
+                 {"label", "n_enrolled"} — store the embedding under NAME
+                 in the enrollment gallery (int8-packed ranking state,
+                 persisted to --gallery if given). Default mode ``face``
+                 detects and embeds the LARGEST face (422 when none);
+                 ``image`` embeds the whole frame like /embed (the
+                 reference's pre-cropped gallery-dir convention,
+                 ``facerec_test.py:220-288``) and is the default when the
+                 analyzer is disabled. Enroll and identify with the SAME
+                 mode — the two views live in the same 1024-d space but
+                 one sees background, the other a face crop.
+  POST /identify[?threshold=T&mode=...]  image bytes ->
+                 {"label": NAME|null, "distance", "nearest"} — 1-NN over
+                 the enrolled gallery; null label when the nearest
+                 enrollment is farther than the threshold (default
+                 --identify-threshold, reference album semantics
+                 DistanceThreshold=0.82)
   DELETE /enroll?label=NAME -> {"removed": k}
   GET  /gallery  -> enrollment stats {n_enrolled, n_labels, dim, ...}
   GET  /healthz  -> {"ok": true, "device": ...}
@@ -38,6 +50,11 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional, Tuple
 
 import numpy as np
+
+
+class _NoFace(ValueError):
+    """Enrollment/identification probe contained no detectable face (422:
+    the request was well-formed, the content can't be processed)."""
 
 
 class _BatchingWorker:
@@ -203,11 +220,40 @@ def make_handler(worker: _BatchingWorker, analyze_worker,
             else:
                 self._json(404, {"error": "unknown path"})
 
+        def _embedding_for(self, img, query):
+            """The probe/enrollment embedding per the ``mode`` query param:
+            ``face`` = identity feature of the LARGEST detected face (the
+            face-recognition default when the analyzer runs), ``image`` =
+            whole-frame embedding (the reference's pre-cropped gallery-dir
+            convention; the only mode without the analyzer). Raises
+            ValueError (-> 400/422) on bad modes / no face."""
+            default = "face" if analyze_worker is not None else "image"
+            mode = query.get("mode", [default])[0]
+            if mode == "image":
+                return worker.submit(img, request_timeout_s)
+            if mode != "face":
+                raise ValueError(f"mode must be 'face' or 'image', "
+                                 f"got {mode!r}")
+            if analyze_worker is None:
+                raise ValueError("mode=face needs the analyzer "
+                                 "(server started with --no-analyzer)")
+            faces = analyze_worker.submit(img, request_timeout_s)
+            if not faces:
+                raise _NoFace("no face detected in the image")
+            largest = max(faces, key=lambda f: (f.bbox[2] - f.bbox[0])
+                          * (f.bbox[3] - f.bbox[1]))
+            return largest.identity
+
         def do_POST(self):
             from urllib.parse import parse_qs, urlparse
 
             url = urlparse(self.path)
             query = parse_qs(url.query)
+            try:
+                thr = float(query.get("threshold", [identify_threshold])[0])
+            except ValueError:
+                self._json(400, {"error": "threshold must be a number"})
+                return
             img = self._read_image()
             if img is None:
                 self._json(400, {"error": "body must be a decodable image"})
@@ -220,19 +266,12 @@ def make_handler(worker: _BatchingWorker, analyze_worker,
                                          "required"})
                         return
                     with timer.stage("enroll"):
-                        feats = worker.submit(img, request_timeout_s)
+                        feats = self._embedding_for(img, query)
                         n = gallery.enroll(label, np.asarray(feats))
                     self._json(200, {"label": label, "n_enrolled": n})
                 elif url.path == "/identify":
-                    try:
-                        thr = float(query.get("threshold",
-                                              [identify_threshold])[0])
-                    except ValueError:
-                        self._json(400, {"error": "threshold must be a "
-                                         "number"})
-                        return
                     with timer.stage("identify"):
-                        feats = worker.submit(img, request_timeout_s)
+                        feats = self._embedding_for(img, query)
                         label, dist, nearest = gallery.identify(
                             np.asarray(feats), threshold=thr)
                     if dist is None:
@@ -243,28 +282,43 @@ def make_handler(worker: _BatchingWorker, analyze_worker,
                         self._json(200, {
                             "label": label, "distance": round(dist, 4),
                             "nearest": nearest, "threshold": thr})
-                elif self.path == "/embed":
+                elif url.path == "/embed":
                     with timer.stage("embed"):
                         feats = worker.submit(img, request_timeout_s)
                     self._json(200, {"embedding": np.asarray(feats, np.float64)
                                      .round(6).tolist()})
-                elif self.path == "/analyze":
+                elif url.path == "/analyze":
                     if analyze_worker is None:
                         self._json(503, {"error": "analyzer disabled "
                                          "(server started with --no-analyzer)"})
                         return
+                    with_ident = query.get("identify", ["0"])[0] not in (
+                        "0", "", "false")
                     with timer.stage("analyze"):
                         faces = analyze_worker.submit(img, request_timeout_s)
-                    self._json(200, {"faces": [{
-                        "bbox": list(f.bbox), "score": round(f.score, 4),
-                        "age": round(f.age, 1),
-                        "gender_prob": round(f.gender_prob, 4),
-                        "is_male": bool(f.is_male()),
-                    } for f in faces]})
+                    rows = []
+                    for f in faces:
+                        row = {
+                            "bbox": list(f.bbox), "score": round(f.score, 4),
+                            "age": round(f.age, 1),
+                            "gender_prob": round(f.gender_prob, 4),
+                            "is_male": bool(f.is_male()),
+                        }
+                        if with_ident:
+                            label, dist, nearest = gallery.identify(
+                                f.identity, threshold=thr)
+                            row["label"] = label
+                            row["nearest"] = nearest
+                            row["distance"] = (None if dist is None
+                                               else round(dist, 4))
+                        rows.append(row)
+                    self._json(200, {"faces": rows})
                 else:
                     self._json(404, {"error": "unknown path"})
             except TimeoutError as e:
                 self._json(504, {"error": str(e)})
+            except _NoFace as e:
+                self._json(422, {"error": str(e)})
             except ValueError as e:        # bad request data (e.g. embedding
                 self._json(400, {"error": str(e)})     # dim != gallery dim)
             except Exception as e:  # noqa: BLE001

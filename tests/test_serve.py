@@ -345,3 +345,91 @@ def test_build_server_data_parallel(monkeypatch, tmp_path):
         assert seen["extractor_mesh"] is None
     finally:
         srv.server_close()
+
+
+def test_http_face_mode_and_analyze_identify(rng):
+    """Face-aware serving: /enroll and /identify default to the LARGEST
+    detected face's identity feature when the analyzer runs; /analyze?
+    identify=1 labels every face against the gallery; no-face probes 422."""
+    from http.server import ThreadingHTTPServer
+
+    from hse_facerec_tf_tpu.pipelines.analyzer import FaceResult
+    from hse_facerec_tf_tpu.pipelines.gallery import EnrollmentGallery
+    from hse_facerec_tf_tpu.serve import make_handler
+
+    def face(x1, y1, x2, y2, ident):
+        return FaceResult(bbox=(x1, y1, x2, y2), raw_bbox=(x1, y1, x2, y2),
+                          score=0.99, age=30.0, gender_prob=0.9,
+                          identity=np.asarray(ident, np.float32),
+                          landmarks=np.zeros(10, np.float32))
+
+    e1 = rng.randn(16).astype(np.float32)      # big face's identity
+    e2 = rng.randn(16).astype(np.float32)      # small face's identity
+
+    def fake_analyze(imgs):
+        out = []
+        for im in imgs:
+            if im[0, 0, 0] == 255:             # marker: a no-face image
+                out.append([])
+            else:
+                out.append([face(0, 0, 8, 8, e2),          # small
+                            face(0, 0, 60, 60, e1)])       # largest
+        return out
+
+    def extract16(imgs):       # whole-image embeddings, same dim as faces
+        return imgs.reshape(len(imgs), -1)[:, :16].astype(np.float32)
+
+    gallery = EnrollmentGallery()
+    server = ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        make_handler(_BatchingWorker(extract16),
+                     _BatchingWorker(fake_analyze, max_batch=4),
+                     gallery=gallery, identify_threshold=0.5))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        img = np.full((64, 64, 3), 100, np.uint8)
+        enc = cv2.imencode(".png", img)[1].tobytes()
+        noface = np.full((64, 64, 3), 255, np.uint8)
+        enc_nf = cv2.imencode(".png", noface)[1].tobytes()
+
+        # face-mode enrollment stores the LARGEST face's identity (e1)
+        conn.request("POST", "/enroll?label=alice", body=enc)
+        assert json.loads(conn.getresponse().read())["n_enrolled"] == 1
+        got = gallery._ranking_state()[0]
+        want = e1 / np.linalg.norm(e1)
+        # int8-quantized state: compare after dequantization, loosely
+        qb, sb = got
+        np.testing.assert_allclose(np.asarray(qb[0], np.float32) * float(sb),
+                                   want, atol=0.02)
+
+        conn.request("POST", "/identify", body=enc)
+        r = json.loads(conn.getresponse().read())
+        assert r["label"] == "alice" and r["distance"] < 0.05
+
+        # no-face probes are 422 in face mode, fine in image mode
+        conn.request("POST", "/enroll?label=bob", body=enc_nf)
+        assert conn.getresponse().status == 422
+        conn.request("POST", "/identify", body=enc_nf)
+        assert conn.getresponse().status == 422
+        conn.request("POST", "/identify?mode=image", body=enc_nf)
+        assert conn.getresponse().status == 200
+
+        conn.request("POST", "/identify?mode=sideways", body=enc)
+        assert conn.getresponse().status == 400
+
+        # /analyze?identify=1: the big face matches alice, the small
+        # face's identity (e2) is far -> null label but nearest reported
+        conn.request("POST", "/analyze?identify=1", body=enc)
+        faces = json.loads(conn.getresponse().read())["faces"]
+        assert len(faces) == 2
+        by_label = {f["label"]: f for f in faces}
+        assert by_label[None]["nearest"] == "alice"
+        assert by_label["alice"]["distance"] < 0.05
+        # without the flag, no identification keys
+        conn.request("POST", "/analyze", body=enc)
+        faces = json.loads(conn.getresponse().read())["faces"]
+        assert "label" not in faces[0]
+    finally:
+        server.shutdown()
