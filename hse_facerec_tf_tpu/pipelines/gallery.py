@@ -116,23 +116,42 @@ class EnrollmentGallery:
         ``label`` is None when the gallery is empty or the nearest
         enrollment is farther than ``threshold`` (the caller still sees who
         was nearest and at what distance)."""
+        return self.identify_many(
+            np.asarray(embedding, np.float32).reshape(1, -1), threshold)[0]
+
+    def identify_many(self, embeddings: np.ndarray, threshold: float = 0.82,
+                      ) -> List[Tuple[Optional[str], Optional[float],
+                                      Optional[str]]]:
+        """Batched ``identify``: one device call (and, over a remote device
+        link, one round trip) for all probes — the serving path uses this
+        for per-face labeling of multi-face photos."""
+        embeddings = np.asarray(embeddings, np.float32)
+        if embeddings.ndim != 2:
+            raise ValueError(f"expected (N, D) probes, got "
+                             f"{embeddings.shape}")
         gallery, labels = self._ranking_state()
         if gallery is None:
-            return None, None, None
+            return [(None, None, None)] * len(embeddings)
         from ..ops.pallas.knn import nearest_neighbor_auto
 
-        probe = np.asarray(embedding, np.float32).reshape(1, -1)
         dim = (gallery[0] if isinstance(gallery, tuple) else gallery).shape[1]
-        if probe.shape[1] != dim:
-            raise ValueError(f"probe dim {probe.shape[1]} != gallery dim "
-                             f"{dim} (gallery enrolled in a different mode "
-                             f"or with a different --model?)")
-        probe = np.asarray(l2_normalize(probe))
-        dsq, idx = nearest_neighbor_auto(probe, gallery,
+        if embeddings.shape[1] != dim:
+            raise ValueError(f"probe dim {embeddings.shape[1]} != gallery "
+                             f"dim {dim} (gallery enrolled in a different "
+                             f"mode or with a different --model?)")
+        if not len(embeddings):
+            return []
+        probes = np.asarray(l2_normalize(embeddings))
+        dsq, idx = nearest_neighbor_auto(probes, gallery,
                                          int8=self.quantized)
-        dist = float(np.sqrt(max(float(dsq[0]), 0.0)))
-        nearest = labels[int(idx[0])]
-        return (nearest if dist <= threshold else None), dist, nearest
+        dsq, idx = np.asarray(dsq), np.asarray(idx)
+        out = []
+        for d, i in zip(dsq, idx):
+            dist = float(np.sqrt(max(float(d), 0.0)))
+            nearest = labels[int(i)]
+            out.append(((nearest if dist <= threshold else None), dist,
+                        nearest))
+        return out
 
     # -- internals --------------------------------------------------------
 

@@ -296,22 +296,22 @@ def make_handler(worker: _BatchingWorker, analyze_worker,
                         "0", "", "false")
                     with timer.stage("analyze"):
                         faces = analyze_worker.submit(img, request_timeout_s)
-                    rows = []
-                    for f in faces:
-                        row = {
-                            "bbox": list(f.bbox), "score": round(f.score, 4),
-                            "age": round(f.age, 1),
-                            "gender_prob": round(f.gender_prob, 4),
-                            "is_male": bool(f.is_male()),
-                        }
-                        if with_ident:
-                            label, dist, nearest = gallery.identify(
-                                f.identity, threshold=thr)
+                    rows = [{
+                        "bbox": list(f.bbox), "score": round(f.score, 4),
+                        "age": round(f.age, 1),
+                        "gender_prob": round(f.gender_prob, 4),
+                        "is_male": bool(f.is_male()),
+                    } for f in faces]
+                    if with_ident and faces:
+                        # one batched device call for every face's 1-NN
+                        idents = gallery.identify_many(
+                            np.stack([f.identity for f in faces]),
+                            threshold=thr)
+                        for row, (label, dist, nearest) in zip(rows, idents):
                             row["label"] = label
                             row["nearest"] = nearest
                             row["distance"] = (None if dist is None
                                                else round(dist, 4))
-                        rows.append(row)
                     self._json(200, {"faces": rows})
                 else:
                     self._json(404, {"error": "unknown path"})

@@ -433,3 +433,38 @@ def test_http_face_mode_and_analyze_identify(rng):
         assert "label" not in faces[0]
     finally:
         server.shutdown()
+
+
+def test_gallery_identify_many_batches(rng, monkeypatch):
+    """identify_many ranks all probes in ONE device call and matches
+    per-probe identify exactly (including empty-gallery and empty-probe
+    edges)."""
+    from hse_facerec_tf_tpu.ops.pallas import knn as knn_mod
+    from hse_facerec_tf_tpu.pipelines.gallery import EnrollmentGallery
+
+    g = EnrollmentGallery()
+    probes = rng.randn(5, 32).astype(np.float32)
+    assert g.identify_many(probes) == [(None, None, None)] * 5
+
+    for i in range(8):
+        g.enroll(f"p{i % 4}", rng.randn(32))
+
+    calls = []
+    orig = knn_mod.nearest_neighbor_auto
+
+    def counting(p, gal, **kw):
+        calls.append(len(p))
+        return orig(p, gal, **kw)
+
+    monkeypatch.setattr(knn_mod, "nearest_neighbor_auto", counting)
+    many = g.identify_many(probes, threshold=0.9)
+    assert calls == [5]
+    # single-probe calls re-quantize each probe with its own scale, so
+    # distances agree only to quantization noise; labels/nearest exactly
+    singles = [g.identify(p, threshold=0.9) for p in probes]
+    for (l1, d1, n1), (l2, d2, n2) in zip(many, singles):
+        assert (l1, n1) == (l2, n2)
+        assert abs(d1 - d2) < 5e-3
+    assert g.identify_many(np.zeros((0, 32), np.float32)) == []
+    with pytest.raises(ValueError):
+        g.identify_many(probes[:, :8])
