@@ -10,6 +10,7 @@ exposes the same surfaces as subcommands:
   video    — annotate a video file (show_video)
   album    — organize a photo/video album (process_photos)
   identify — gallery/probe 1-NN identification (tf_train_test_recognition)
+  enroll   — bulk-enroll a people directory into a serving gallery .npz
   utkface  — age/gender benchmark on a UTKFace-style directory
 
 Usage: ``python -m hse_facerec_tf_tpu.cli <subcommand> ...``
@@ -55,8 +56,49 @@ def _add_model_args(p):
                         "(facial_analysis.py:248-253, disabled upstream)")
 
 
+def _load_gallery(path):
+    """Open a non-empty EnrollmentGallery .npz or exit with a hint."""
+    from .pipelines.gallery import EnrollmentGallery
+
+    gallery = EnrollmentGallery(path=path)
+    if not len(gallery):
+        sys.exit(f"error: enrollment gallery {path} is empty or missing "
+                 "(create one with the 'enroll' subcommand or serve /enroll)")
+    return gallery
+
+
+def _gallery_labeler(args):
+    """Optional per-face person-name source for the demo overlays: one
+    batched gallery ranking per analyze batch (``--gallery``), or None."""
+    if not getattr(args, "gallery", None):
+        return None
+    import numpy as np
+
+    gallery = _load_gallery(args.gallery)
+    threshold = args.match_threshold
+
+    def labeler(faces):
+        idents = gallery.identify_many(
+            np.stack([np.asarray(f.identity, np.float32) for f in faces]),
+            threshold=threshold)
+        return [label for label, _, _ in idents]
+
+    return labeler
+
+
+def _add_gallery_args(p):
+    p.add_argument("--gallery", default=None, metavar="NPZ",
+                   help="enrollment gallery: overlay matched person names "
+                        "on the annotations (see the 'enroll' subcommand)")
+    p.add_argument("--match-threshold", type=float, default=0.82,
+                   help="L2 distance below which a face matches an "
+                        "enrollment (reference DistanceThreshold, "
+                        "process_photos.py:26)")
+
+
 def cmd_analyze(args):
     import cv2
+    import numpy as np
 
     from .utils.draw import draw_faces
     from .utils.image_io import imread_rgb
@@ -66,19 +108,28 @@ def cmd_analyze(args):
     analyzer = _build_analyzer(args)
     img = imread_rgb(args.image)
     faces, rotation = analyzer.analyze_with_rotations(img)
-    for f in faces:
-        print(json.dumps({
+    labels = idents = None
+    if args.gallery and faces:
+        gallery = _load_gallery(args.gallery)
+        idents = gallery.identify_many(
+            np.stack([np.asarray(f.identity, np.float32) for f in faces]),
+            threshold=args.match_threshold)
+        labels = [label for label, _, _ in idents]
+    for k, f in enumerate(faces):
+        row = {
             "bbox": list(f.bbox), "score": round(f.score, 4),
             "age": round(f.age, 1), "gender_prob": round(f.gender_prob, 4),
             "is_male": bool(f.is_male()),
-        }))
+        }
+        if idents is not None:
+            label, dist, nearest = idents[k]
+            row.update(label=label, distance=round(dist, 4), nearest=nearest)
+        print(json.dumps(row))
     if args.out:
-        import numpy as np
-
         if rotation:
             # boxes are in rotated-image coordinates; draw on that orientation
             img = np.ascontiguousarray(np.rot90(img, 3 if rotation == 90 else 1))
-        annotated = draw_faces(img, faces)
+        annotated = draw_faces(img, faces, labels=labels)
         cv2.imwrite(args.out, cv2.cvtColor(annotated, cv2.COLOR_RGB2BGR))
         print(f"annotated -> {args.out}", file=sys.stderr)
 
@@ -90,7 +141,9 @@ def cmd_images(args):
 
     analyzer = _build_analyzer(args)
     os.makedirs(args.out_dir, exist_ok=True)
-    for name, annotated, faces in process_image_dir(analyzer, args.image_dir):
+    for name, annotated, faces in process_image_dir(
+            analyzer, args.image_dir, labeler=_gallery_labeler(args),
+            batch=args.batch):
         out = os.path.join(args.out_dir, name)
         cv2.imwrite(out, cv2.cvtColor(annotated, cv2.COLOR_RGB2BGR))
         print(f"{name}: {len(faces)} faces")
@@ -104,9 +157,9 @@ def cmd_video(args):
     analyzer = _build_analyzer(args)
     writer = None
     n = 0
-    for annotated, faces in annotated_video_frames(analyzer, args.video,
-                                                   frame_skip=args.frame_skip,
-                                                   batch=args.batch):
+    for annotated, faces in annotated_video_frames(
+            analyzer, args.video, frame_skip=args.frame_skip,
+            batch=args.batch, labeler=_gallery_labeler(args)):
         if args.out and writer is None:
             h, w = annotated.shape[:2]
             writer = cv2.VideoWriter(args.out, cv2.VideoWriter_fourcc(*"mp4v"),
@@ -129,8 +182,9 @@ def cmd_webcam(args):
 
     analyzer = _build_analyzer(args)
     try:
-        for annotated, faces in annotated_camera_frames(analyzer,
-                                                        args.camera_index):
+        for annotated, faces in annotated_camera_frames(
+                analyzer, args.camera_index,
+                labeler=_gallery_labeler(args)):
             cv2.imshow("hse_facerec_tf_tpu webcam", cv2.cvtColor(
                 annotated, cv2.COLOR_RGB2BGR))
             if cv2.waitKey(1) == 27:   # esc to quit (reference :614-615)
@@ -170,8 +224,9 @@ def cmd_album(args):
         # carry an explicit --minsize into the config so the override holds
         cfg.minsize = args.minsize
     analyzer = _build_analyzer(args)
+    gallery = _load_gallery(args.gallery) if args.gallery else None
     organizer = AlbumOrganizer(analyzer, cfg, analyze_batch=args.batch_size,
-                               downscale=downscale)
+                               downscale=downscale, gallery=gallery)
     result = organizer.process_album(args.album_dir, use_cache=not args.no_cache)
     print(json.dumps({k: v for k, v in result.items() if k != "clusters"}, indent=2))
     print(f"{len(result['clusters'])} clusters -> {args.album_dir}/clusters/")
@@ -206,6 +261,59 @@ def cmd_identify(args):
         if args.quantized:
             out["gallery"] = "int8"
     print(json.dumps(out))
+
+
+def cmd_enroll(args):
+    """Bulk-enroll a directory-per-person tree into an EnrollmentGallery
+    ``.npz`` (the store behind ``serve`` /enroll//identify and ``album
+    --gallery``). The tree follows the reference's gallery-dir convention
+    (``facerec_test.py:220-288``): ``people_dir/<Person Name>/*.jpg``.
+    mode=face detects + crops the largest face per photo (unconstrained
+    photos); mode=image embeds whole frames (pre-cropped faces)."""
+    import numpy as np
+
+    from .pipelines.gallery import EnrollmentGallery
+
+    if not os.path.isdir(args.people_dir):
+        sys.exit(f"error: people directory not found: {args.people_dir}")
+    gallery = EnrollmentGallery(path=args.gallery_file,
+                                quantized=not args.exact)
+    skipped: list = []
+    if args.mode == "image":
+        from .eval import lfw
+        from .models.zoo import build_extractor
+
+        extractor = build_extractor(args.model, batch_size=args.batch_size)
+        feats, labels, names = lfw.extract_dataset_features(
+            args.people_dir, extractor)
+        label_names = [names[int(y)] for y in labels]
+    else:
+        from .utils.image_io import get_files, imread_rgb
+
+        analyzer = _build_analyzer(args)
+        label_names, rows = [], []
+        for person, rel in get_files(args.people_dir):
+            img = imread_rgb(os.path.join(args.people_dir, rel))
+            faces, _ = analyzer.analyze_with_rotations(img)
+            if not faces:
+                skipped.append(rel)
+                continue
+            largest = max(faces, key=lambda f: (f.bbox[2] - f.bbox[0])
+                          * (f.bbox[3] - f.bbox[1]))
+            label_names.append(person)
+            rows.append(np.asarray(largest.identity, np.float32))
+        feats = (np.stack(rows) if rows
+                 else np.zeros((0, 0), np.float32))
+    if args.replace:
+        for person in sorted(set(label_names)):
+            gallery.remove(person)
+    n_total = (gallery.enroll_many(label_names, feats) if label_names
+               else len(gallery))
+    print(json.dumps({
+        "gallery": args.gallery_file, "n_added": len(label_names),
+        "n_people_added": len(set(label_names)), "n_enrolled_total": n_total,
+        "skipped_no_face": skipped,
+    }))
 
 
 def _utkface_predict(args):
@@ -484,12 +592,17 @@ def main(argv=None):
     a.add_argument("image")
     a.add_argument("--out", default=None, help="write annotated image")
     _add_model_args(a)
+    _add_gallery_args(a)
     a.set_defaults(fn=cmd_analyze)
 
     i = sub.add_parser("images", help="annotate a directory of images")
     i.add_argument("image_dir")
     i.add_argument("out_dir")
+    i.add_argument("--batch", type=int, default=8,
+                   help="same-shape images per fused analyze program "
+                        "(1 = per-image)")
     _add_model_args(i)
+    _add_gallery_args(i)
     i.set_defaults(fn=cmd_images)
 
     v = sub.add_parser("video", help="annotate a video file")
@@ -499,11 +612,13 @@ def main(argv=None):
     v.add_argument("--batch", type=int, default=8,
                    help="frames per fused analyze program (1 = per-frame)")
     _add_model_args(v)
+    _add_gallery_args(v)
     v.set_defaults(fn=cmd_video)
 
     wc = sub.add_parser("webcam", help="live webcam demo (ESC quits)")
     wc.add_argument("--camera-index", type=int, default=0)
     _add_model_args(wc)
+    _add_gallery_args(wc)
     wc.set_defaults(fn=cmd_webcam)
 
     al = sub.add_parser("album", help="organize a photo/video album by person")
@@ -511,6 +626,12 @@ def main(argv=None):
     al.add_argument("--config", default=None, help="reference-format config.txt")
     al.add_argument("--threshold", type=float, default=None)
     al.add_argument("--no-cache", action="store_true")
+    al.add_argument("--gallery", default=None, metavar="NPZ",
+                    help="enrollment gallery (serve /enroll, or any "
+                         "EnrollmentGallery .npz): clusters whose member "
+                         "faces majority-match an enrolled person are "
+                         "written under that person's name instead of a "
+                         "number")
     al.add_argument("--batch-size", type=int, default=8,
                     help="photos per fused vmapped analyze program "
                          "(same-shape photos batch together; 1 = sequential)")
@@ -541,6 +662,31 @@ def main(argv=None):
                           "and rank on the int8 MXU kernel; k=1 only")
     idn.add_argument("--cache", default=None)
     idn.set_defaults(fn=cmd_identify)
+
+    en = sub.add_parser(
+        "enroll", help="bulk-enroll a people directory into a serving "
+                       "gallery .npz (see also serve /enroll)")
+    en.add_argument("people_dir",
+                    help="directory with one subdirectory per person "
+                         "(reference gallery-dir layout)")
+    en.add_argument("gallery_file", metavar="NPZ",
+                    help="enrollment gallery to create or extend (usable "
+                         "by 'serve --gallery' and 'album --gallery')")
+    en.add_argument("--mode", choices=["face", "image"], default="face",
+                    help="face: detect + embed the largest face per photo; "
+                         "image: embed whole frames (pre-cropped faces)")
+    en.add_argument("--model", default="agegender_identity",
+                    choices=sorted(MODEL_ZOO),
+                    help="embedder for --mode image (mode=face always uses "
+                         "the analyzer's identity features)")
+    en.add_argument("--batch-size", type=int, default=64)
+    en.add_argument("--exact", action="store_true",
+                    help="rank in f32 instead of the int8-packed state")
+    en.add_argument("--replace", action="store_true",
+                    help="drop existing enrollments for each person found "
+                         "in people_dir before adding the new ones")
+    _add_model_args(en)
+    en.set_defaults(fn=cmd_enroll)
 
     u = sub.add_parser("utkface", help="age/gender benchmark (UTKFace layout)")
     u.add_argument("dataset_dir")

@@ -100,11 +100,13 @@ class AlbumOrganizer:
 
     def __init__(self, analyzer: FacialAnalyzer, config: Optional[AlbumConfig] = None,
                  analyze_batch: int = 8,
-                 downscale: Optional[Tuple[int, int]] = None):
+                 downscale: Optional[Tuple[int, int]] = None,
+                 gallery=None):
         self.analyzer = analyzer
         self.config = config or AlbumConfig()
         self.analyze_batch = max(1, int(analyze_batch))
         self.downscale = downscale
+        self.gallery = gallery
         det_minsize = getattr(getattr(analyzer, "detector", None),
                               "minsize", None)
         if det_minsize is not None and det_minsize != self.config.minsize:
@@ -480,6 +482,7 @@ class AlbumOrganizer:
             ds = dempster_shafer_gender(faces.genders[cluster])
             cluster_genders.append("male" if ds == 0 else "female")
             cluster_ages.append(int(avg_year))
+        cluster_labels = self._label_clusters(faces, clusters)
 
         result = {
             "n_photos": n_image_files,
@@ -488,10 +491,11 @@ class AlbumOrganizer:
             "clusters": clusters,
             "cluster_genders": cluster_genders,
             "cluster_born_years": cluster_ages,
+            "cluster_labels": cluster_labels,
         }
         if write_outputs:
             self._write_outputs(album_dir, faces, clusters, cluster_genders,
-                                cluster_ages, n_image_files)
+                                cluster_ages, n_image_files, cluster_labels)
             self.write_montage(album_dir, faces, clusters)
         return result
 
@@ -522,15 +526,53 @@ class AlbumOrganizer:
         plt.close(fig)
         return out
 
+    def _label_clusters(self, faces, clusters) -> List[Optional[str]]:
+        """Name clusters from the enrollment gallery (no reference analog —
+        the reference's dirs are anonymous ``{i} {gender} {age}``): every
+        member face votes via batched 1-NN at the album's distance
+        threshold; the majority label among matching faces wins, ties
+        broken toward the smaller summed distance. None = unrecognized
+        cluster (keeps its numeric name)."""
+        if self.gallery is None or len(self.gallery) == 0 or not clusters:
+            return [None] * len(clusters)
+        flat = [e for c in clusters for e in c]
+        idents = self.gallery.identify_many(
+            faces.features[flat], threshold=self.config.distance_threshold)
+        labels: List[Optional[str]] = []
+        pos = 0
+        for c in clusters:
+            votes: Dict[str, Tuple[int, float]] = {}
+            for (label, dist, _) in idents[pos:pos + len(c)]:
+                if label is not None:
+                    n, s = votes.get(label, (0, 0.0))
+                    votes[label] = (n + 1, s + dist)
+            pos += len(c)
+            labels.append(min(votes, key=lambda l: (-votes[l][0],
+                                                    votes[l][1]))
+                          if votes else None)
+        return labels
+
     def _write_outputs(self, album_dir, faces, clusters, cluster_genders,
-                       cluster_ages, n_image_files):
+                       cluster_ages, n_image_files, cluster_labels=None):
         import cv2
 
         res_dir = os.path.join(album_dir, "clusters")
         if os.path.exists(res_dir):
             shutil.rmtree(res_dir, ignore_errors=True)
+        used_names = set()
         for i, cluster in enumerate(clusters):
-            cdir = os.path.join(res_dir, f"{i} {cluster_genders[i]} {cluster_ages[i]}")
+            label = cluster_labels[i] if cluster_labels else None
+            if label:
+                # filesystem-safe, collision-suffixed person name
+                safe = "".join(ch for ch in label
+                               if ch.isalnum() or ch in " _-") or str(i)
+                name = f"{safe} {cluster_genders[i]} {cluster_ages[i]}"
+                if name in used_names:
+                    name = f"{safe} ({i}) {cluster_genders[i]} {cluster_ages[i]}"
+            else:
+                name = f"{i} {cluster_genders[i]} {cluster_ages[i]}"
+            used_names.add(name)
+            cdir = os.path.join(res_dir, name)
             os.makedirs(cdir, exist_ok=True)
             for ind in cluster:
                 bgr = cv2.cvtColor(faces.facial_images[ind], cv2.COLOR_RGB2BGR)

@@ -95,6 +95,28 @@ class EnrollmentGallery:
             self._save_locked()
             return len(self._labels)
 
+    def enroll_many(self, labels: List[str], embeddings: np.ndarray) -> int:
+        """Bulk ``enroll``: append every (label, embedding) pair under one
+        lock and persist ONCE — the CLI bulk-enrollment path would otherwise
+        rewrite the ``.npz`` per face. Returns the new gallery size."""
+        embeddings = np.asarray(embeddings, np.float32)
+        if embeddings.ndim != 2 or len(labels) != len(embeddings):
+            raise ValueError(f"expected (N, D) embeddings matching "
+                             f"{len(labels)} labels, got {embeddings.shape}")
+        if any(not l for l in labels):
+            raise ValueError("labels must be non-empty")
+        embs = np.asarray(l2_normalize(embeddings))
+        with self._lock:
+            if self._feats and embs.shape[1:] != self._feats[0].shape:
+                raise ValueError(
+                    f"embedding dim {embs.shape[1]} != gallery dim "
+                    f"{self._feats[0].shape[0]} (different --model?)")
+            self._feats.extend(embs)
+            self._labels.extend(str(l) for l in labels)
+            self._rank_state = None
+            self._save_locked()
+            return len(self._labels)
+
     def remove(self, label: str) -> int:
         """Drop every embedding enrolled under ``label``; returns how many
         were removed."""

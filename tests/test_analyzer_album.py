@@ -619,3 +619,171 @@ def test_album_downscale_uses_bounded_decode(analyzer, tmp_path, monkeypatch):
     org_native = AlbumOrganizer(analyzer)
     assert org_native._read_photo(p).shape[:2] == (1200, 1600)
     assert calls["bounded"] == 1
+
+
+def test_album_cluster_labels_from_gallery(tmp_path):
+    """Clusters are named by majority 1-NN vote of member faces against an
+    enrollment gallery; unmatched clusters keep numeric names; duplicate
+    and unsafe labels are sanitized/suffixed in the output dirs."""
+    import time as _time
+
+    from hse_facerec_tf_tpu.pipelines.album import AlbumFaces, AlbumOrganizer
+    from hse_facerec_tf_tpu.pipelines.gallery import EnrollmentGallery
+
+    rng = np.random.RandomState(7)
+    alice = rng.randn(16).astype(np.float32)
+    bob = rng.randn(16).astype(np.float32)
+    g = EnrollmentGallery()
+    g.enroll("Alice/Smith", alice)       # '/' must be sanitized in dir names
+    g.enroll("bob", bob)
+
+    def near(v, n):
+        out = v[None] + 0.02 * rng.randn(n, 16).astype(np.float32)
+        return out / np.linalg.norm(out, axis=1, keepdims=True)
+
+    # cluster 0: 3 alice-ish faces; cluster 1: 2 bob + 1 alice (majority
+    # bob); cluster 2: unknown person
+    feats = np.concatenate([near(alice, 3), near(bob, 2), near(alice, 1),
+                            near(rng.randn(16).astype(np.float32), 2)])
+    crops = [np.zeros((8, 8, 3), np.uint8)] * len(feats)
+    faces = AlbumFaces(files=["a.jpg"], mdates=[_time.localtime()],
+                       facial_images=crops, born_years=np.zeros(len(feats)),
+                       genders=np.full(len(feats), 0.9),
+                       features=feats, indices=[0] * len(feats),
+                       private_photo_indices=[])
+    clusters = [[0, 1, 2], [3, 4, 5], [6, 7]]
+
+    class _NoAnalyzer:        # _label_clusters/_write_outputs never touch it
+        face_size = 224
+
+    org = AlbumOrganizer.__new__(AlbumOrganizer)
+    org.gallery = g
+    from hse_facerec_tf_tpu.config import AlbumConfig
+
+    org.config = AlbumConfig()
+    labels = org._label_clusters(faces, clusters)
+    assert labels == ["Alice/Smith", "bob", None]
+
+    org._write_outputs(str(tmp_path), faces, clusters,
+                       ["male", "male", "female"], [1980, 1990, 2000],
+                       n_image_files=1, cluster_labels=labels)
+    dirs = sorted(os.listdir(tmp_path / "clusters"))
+    assert "AliceSmith male 1980" in dirs          # '/' stripped
+    assert "bob male 1990" in dirs
+    assert "2 female 2000" in dirs                 # unmatched keeps number
+
+    # no-gallery organizer: all-numeric naming unchanged
+    org.gallery = None
+    assert org._label_clusters(faces, clusters) == [None, None, None]
+
+    # duplicate labels get collision-suffixed dirs
+    org._write_outputs(str(tmp_path), faces, [[0], [1]], ["male", "male"],
+                       [1980, 1980], n_image_files=1,
+                       cluster_labels=["bob", "bob"])
+    dirs = sorted(os.listdir(tmp_path / "clusters"))
+    assert "bob male 1980" in dirs and "bob (1) male 1980" in dirs
+
+def test_video_frames_labeler_batches(tmp_path, monkeypatch):
+    """The optional ``labeler`` (person names from an enrollment gallery) is
+    called ONCE per flushed analyze batch with the FLAT face list, and each
+    frame's draw call receives exactly its slice of the returned labels."""
+    import hse_facerec_tf_tpu.pipelines.video as V
+    from hse_facerec_tf_tpu.pipelines.analyzer import FaceResult
+
+    def face(k):
+        return FaceResult(bbox=(k, 0, k + 4, 4), raw_bbox=(k, 0, k + 4, 4),
+                          score=0.9, age=30.0, gender_prob=0.7,
+                          identity=np.full(8, float(k), np.float32),
+                          landmarks=np.zeros(10))
+
+    counts = [2, 0, 1, 3, 1, 2, 0, 1]     # faces per selected frame
+
+    class _Stub:
+        def __init__(self):
+            self.pos = 0
+
+        def analyze_batch_padded(self, frames, batch):
+            out = []
+            for _ in range(len(frames)):
+                out.append([face(j) for j in range(counts[self.pos])])
+                self.pos += 1
+            return out
+
+    path = str(tmp_path / "lab.mp4")
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                             (32, 32))
+    for _ in range(8):
+        writer.write(np.full((32, 32, 3), 128, np.uint8))
+    writer.release()
+
+    label_calls = []
+
+    def labeler(faces):
+        label_calls.append(len(faces))
+        base = sum(label_calls[:-1])
+        return [f"L{base + i}" for i in range(len(faces))]
+
+    drawn = []
+    monkeypatch.setattr(
+        V, "draw_faces",
+        lambda fr, fc, labels=None: (drawn.append((len(fc), labels)), fr)[1])
+
+    out = list(V.annotated_video_frames(_Stub(), path, frame_skip=1,
+                                        batch=4, labeler=labeler))
+    assert len(out) == 8
+    # one labeler call per flush, over the flat face lists (2+0+1+3, 1+2+0+1)
+    assert label_calls == [6, 4]
+    assert [n for n, _ in drawn] == counts
+    flat = [l for _, ls in drawn if ls for l in ls]
+    assert flat == [f"L{i}" for i in range(10)]
+    # zero-face frames got an empty slice, not a misaligned one
+    assert all(ls == [] for n, ls in drawn if n == 0)
+
+    # without a labeler nothing is ranked and draw gets labels=None
+    drawn.clear()
+    out = list(V.annotated_video_frames(_Stub(), path, frame_skip=1, batch=4))
+    assert [ls for _, ls in drawn] == [None] * 8
+
+def test_process_image_dir_batched(tmp_path):
+    """Batched process_image_dir yields the same (name, faces) sequence as
+    the per-image path: consecutive same-shape images group into one padded
+    analyze call, a shape change flushes the group, order is preserved."""
+    from hse_facerec_tf_tpu.pipelines.analyzer import FaceResult
+    from hse_facerec_tf_tpu.pipelines.video import process_image_dir
+
+    # names sort as written: a..f; shapes AAAB BA -> groups |AAA|B|B|A|
+    shapes = {"a": (40, 60), "b": (40, 60), "c": (40, 60),
+              "d": (80, 20), "e": (80, 20), "f": (40, 60)}
+    for name, (h, w) in shapes.items():
+        cv2.imwrite(str(tmp_path / f"{name}.png"),
+                    np.full((h, w, 3), ord(name), np.uint8))
+    (tmp_path / "notes.txt").write_text("skip me")
+
+    def face(v):
+        return FaceResult(bbox=(0, 0, 4, 4), raw_bbox=(0, 0, 4, 4),
+                          score=0.9, age=float(v), gender_prob=0.5,
+                          identity=np.zeros(4, np.float32),
+                          landmarks=np.zeros(10))
+
+    class _Stub:
+        def __init__(self):
+            self.calls = []          # (n_real, lanes) per device program
+
+        def analyze(self, img):
+            return [face(img[0, 0, 0])]
+
+        def analyze_batch_padded(self, imgs, lanes):
+            self.calls.append((len(imgs), lanes))
+            return [[face(im[0, 0, 0])] for im in imgs]
+
+    seq_stub, bat_stub = _Stub(), _Stub()
+    seq = list(process_image_dir(seq_stub, str(tmp_path), batch=1))
+    bat = list(process_image_dir(bat_stub, str(tmp_path), batch=4))
+
+    assert [n for n, _, _ in bat] == [n for n, _, _ in seq] == [
+        f"{c}.png" for c in "abcdef"]
+    for (_, _, fs), (_, _, fb) in zip(seq, bat):
+        assert fb[0].age == fs[0].age        # pixel value round-tripped
+    # grouping: |abc| same shape, |de| the other shape, |f| the tail
+    assert bat_stub.calls == [(3, 4), (2, 4), (1, 4)]
+    assert seq_stub.calls == []              # batch=1 never pads

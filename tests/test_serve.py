@@ -2,6 +2,7 @@
 
 import http.client
 import json
+import os
 import threading
 import time
 
@@ -468,3 +469,144 @@ def test_gallery_identify_many_batches(rng, monkeypatch):
     assert g.identify_many(np.zeros((0, 32), np.float32)) == []
     with pytest.raises(ValueError):
         g.identify_many(probes[:, :8])
+
+def test_gallery_enroll_many(tmp_path, rng):
+    """Bulk enrollment appends everything under one lock, persists ONCE,
+    and validates labels/dims like per-item enroll."""
+    from hse_facerec_tf_tpu.pipelines import gallery as gal_mod
+
+    path = str(tmp_path / "g.npz")
+    g = gal_mod.EnrollmentGallery(path=path)
+    g.enroll("seed", rng.randn(16))
+
+    saves = []
+    orig = gal_mod.EnrollmentGallery._save_locked
+    gal_mod.EnrollmentGallery._save_locked = (
+        lambda self: (saves.append(1), orig(self)))
+    try:
+        n = g.enroll_many(["alice", "bob", "alice"],
+                          rng.randn(3, 16).astype(np.float32))
+    finally:
+        gal_mod.EnrollmentGallery._save_locked = orig
+    assert n == 4 and saves == [1]
+    assert len(gal_mod.EnrollmentGallery(path=path)) == 4
+    assert g.stats()["n_labels"] == 3
+
+    # bulk-enrolled rows are normalized and rankable like enroll()'s
+    probe = np.asarray(g._feats[1]) * 3.0
+    assert g.identify(probe)[0] == "alice"
+
+    with pytest.raises(ValueError):
+        g.enroll_many(["x"], rng.randn(1, 8))          # dim mismatch
+    with pytest.raises(ValueError):
+        g.enroll_many(["x", ""], rng.randn(2, 16))     # empty label
+    with pytest.raises(ValueError):
+        g.enroll_many(["x"], rng.randn(2, 16))         # count mismatch
+    assert len(g) == 4                                 # nothing partial
+
+
+def test_cli_enroll_face_mode(tmp_path, rng, monkeypatch, capsys):
+    """`cli enroll` (face mode) walks a people tree, embeds the LARGEST
+    face per photo via the analyzer, skips no-face photos, and writes a
+    gallery usable by EnrollmentGallery; --replace re-enrolls a person."""
+    import json
+
+    import cv2
+
+    from hse_facerec_tf_tpu import cli
+    from hse_facerec_tf_tpu.pipelines.analyzer import FaceResult
+    from hse_facerec_tf_tpu.pipelines.gallery import EnrollmentGallery
+
+    people = tmp_path / "people"
+    vecs = {"Alice": rng.randn(16).astype(np.float32),
+            "Bob": rng.randn(16).astype(np.float32)}
+    for name, n_imgs in [("Alice", 2), ("Bob", 1)]:
+        d = people / name
+        d.mkdir(parents=True)
+        for i in range(n_imgs):
+            cv2.imwrite(str(d / f"{i}.jpg"),
+                        rng.randint(0, 255, (32, 32, 3)).astype(np.uint8))
+    (people / "Alice" / "noface.jpg").write_bytes(
+        (people / "Alice" / "0.jpg").read_bytes())
+
+    def face(name, scale):
+        s = int(10 * scale)
+        return FaceResult(bbox=(0, 0, s, s), raw_bbox=(0, 0, s, s),
+                          score=0.99, age=30.0, gender_prob=0.9,
+                          identity=vecs[name] * scale,
+                          landmarks=np.zeros(10))
+
+    class _StubAnalyzer:
+        def analyze_with_rotations(self, img):
+            name = _StubAnalyzer.current
+            if _StubAnalyzer.noface_next:
+                _StubAnalyzer.noface_next = False
+                return [], 0
+            # two faces; the larger one carries the person's vector
+            return [face(name, 0.5), face(name, 1.0)], 0
+
+    monkeypatch.setattr(cli, "_build_analyzer", lambda args: _StubAnalyzer())
+
+    # drive which photo is being analyzed via imread interception
+    from hse_facerec_tf_tpu.utils import image_io
+
+    orig_imread = image_io.imread_rgb
+
+    def tracking_imread(path):
+        _StubAnalyzer.current = os.path.basename(os.path.dirname(path))
+        _StubAnalyzer.noface_next = os.path.basename(path) == "noface.jpg"
+        return orig_imread(path)
+
+    monkeypatch.setattr(image_io, "imread_rgb", tracking_imread)
+
+    gpath = str(tmp_path / "gal.npz")
+    cli.main(["enroll", str(people), gpath])
+    out = json.loads(capsys.readouterr().out)
+    assert out["n_added"] == 3 and out["n_people_added"] == 2
+    assert out["skipped_no_face"] == [os.path.join("Alice", "noface.jpg")]
+
+    g = EnrollmentGallery(path=gpath)
+    assert len(g) == 3 and g.stats()["n_labels"] == 2
+    # the LARGEST face's identity (scale 1.0 vector) was enrolled
+    assert g.identify(vecs["Alice"])[0] == "Alice"
+    assert g.identify(vecs["Bob"])[0] == "Bob"
+
+    # --replace drops the stale rows for people present in the tree
+    cli.main(["enroll", str(people), gpath, "--replace"])
+    assert len(EnrollmentGallery(path=gpath)) == 3
+
+def test_cli_analyze_gallery_labels(tmp_path, rng, monkeypatch, capsys):
+    """`cli analyze --gallery` ranks every detected face against the
+    enrollment gallery in one batched call and reports
+    label/distance/nearest per face (null label beyond the threshold)."""
+    import cv2
+
+    from hse_facerec_tf_tpu import cli
+    from hse_facerec_tf_tpu.pipelines.analyzer import FaceResult
+    from hse_facerec_tf_tpu.pipelines.gallery import EnrollmentGallery
+
+    alice = rng.randn(16).astype(np.float32)
+    gpath = str(tmp_path / "g.npz")
+    EnrollmentGallery(path=gpath).enroll("alice", alice)
+
+    img = str(tmp_path / "p.jpg")
+    cv2.imwrite(img, rng.randint(0, 255, (32, 32, 3)).astype(np.uint8))
+
+    def face(vec):
+        return FaceResult(bbox=(0, 0, 8, 8), raw_bbox=(0, 0, 8, 8),
+                          score=0.9, age=30.0, gender_prob=0.7,
+                          identity=vec, landmarks=np.zeros(10))
+
+    class _Stub:
+        def analyze_with_rotations(self, _):
+            return [face(alice * 2.0),
+                    face(rng.randn(16).astype(np.float32))], 0
+
+    monkeypatch.setattr(cli, "_build_analyzer", lambda args: _Stub())
+    cli.main(["analyze", img, "--gallery", gpath,
+              "--match-threshold", "0.5"])
+    rows = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert len(rows) == 2
+    assert rows[0]["label"] == "alice" and rows[0]["distance"] < 0.05
+    assert rows[1]["label"] is None and rows[1]["nearest"] == "alice"
+    assert rows[1]["distance"] > 0.5
