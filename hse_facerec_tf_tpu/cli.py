@@ -263,6 +263,60 @@ def cmd_identify(args):
     print(json.dumps(out))
 
 
+def _largest_face(faces):
+    return max(faces, key=lambda f: (f.bbox[2] - f.bbox[0])
+               * (f.bbox[3] - f.bbox[1]))
+
+
+def _enroll_face_embeddings(analyzer, people_dir, pairs):
+    """(person, rel, largest-face identity) per photo + no-face skip list:
+    bounded-prefetch decode, consecutive same-shape photos fused into one
+    pow2-padded analyze program (photos analyzed one-per-device-call would
+    pay a full host<->device round trip each), rotation retry
+    (``process_photos.py:241-247``) individually for the rare no-face
+    photos."""
+    import numpy as np
+
+    from .serve import _analyze_batch_pow2
+    from .utils.image_io import imread_rgb
+    from .utils.prefetch import bounded_thread_map
+
+    LANES = 8
+    out, retry, buf = [], [], []
+
+    def flush():
+        all_faces = _analyze_batch_pow2(
+            analyzer, np.stack([im for _, _, im in buf]))
+        for (person, rel, img), faces in zip(buf, all_faces):
+            if faces:
+                out.append((person, rel, _largest_face(faces).identity))
+            else:
+                retry.append((person, rel, img))
+        buf.clear()
+
+    decoded = bounded_thread_map(
+        lambda pr: (pr[0], pr[1],
+                    imread_rgb(os.path.join(people_dir, pr[1]))),
+        pairs, workers=4, depth=2 * LANES)
+    for person, rel, img in decoded:
+        if buf and buf[0][2].shape != img.shape:
+            flush()
+        buf.append((person, rel, img))
+        if len(buf) == LANES:
+            flush()
+    if buf:
+        flush()
+
+    skipped = []
+    for person, rel, img in retry:      # upright pass found nothing
+        faces, _ = analyzer.analyze_with_rotations(img)
+        if faces:
+            out.append((person, rel, _largest_face(faces).identity))
+        else:
+            skipped.append(rel)
+    return out, skipped
+
+
 def cmd_enroll(args):
     """Bulk-enroll a directory-per-person tree into an EnrollmentGallery
     ``.npz`` (the store behind ``serve`` /enroll//identify and ``album
@@ -273,11 +327,16 @@ def cmd_enroll(args):
     import numpy as np
 
     from .pipelines.gallery import EnrollmentGallery
+    from .utils.image_io import get_files
 
     if not os.path.isdir(args.people_dir):
         sys.exit(f"error: people directory not found: {args.people_dir}")
+    pairs = get_files(args.people_dir)
+    if not pairs:
+        sys.exit(f"error: no images under {args.people_dir} (expected "
+                 "<person name>/*.jpg subdirectories)")
     gallery = EnrollmentGallery(path=args.gallery_file,
-                                quantized=not args.exact)
+                                quantized=False if args.exact else None)
     skipped: list = []
     if args.mode == "image":
         from .eval import lfw
@@ -288,27 +347,27 @@ def cmd_enroll(args):
             args.people_dir, extractor)
         label_names = [names[int(y)] for y in labels]
     else:
-        from .utils.image_io import get_files, imread_rgb
-
         analyzer = _build_analyzer(args)
-        label_names, rows = [], []
-        for person, rel in get_files(args.people_dir):
-            img = imread_rgb(os.path.join(args.people_dir, rel))
-            faces, _ = analyzer.analyze_with_rotations(img)
-            if not faces:
-                skipped.append(rel)
-                continue
-            largest = max(faces, key=lambda f: (f.bbox[2] - f.bbox[0])
-                          * (f.bbox[3] - f.bbox[1]))
-            label_names.append(person)
-            rows.append(np.asarray(largest.identity, np.float32))
-        feats = (np.stack(rows) if rows
+        rows_prs, skipped = _enroll_face_embeddings(
+            analyzer, args.people_dir, pairs)
+        rows_prs.sort(key=lambda t: t[:2])      # retry results back in order
+        label_names = [p for p, _, _ in rows_prs]
+        feats = (np.stack([np.asarray(e, np.float32)
+                           for _, _, e in rows_prs]) if rows_prs
                  else np.zeros((0, 0), np.float32))
+    replace_labels = ()
     if args.replace:
-        for person in sorted(set(label_names)):
-            gallery.remove(person)
-    n_total = (gallery.enroll_many(label_names, feats) if label_names
-               else len(gallery))
+        # only persons who produced at least one NEW embedding are replaced
+        # atomically (same lock + single save as the additions); persons
+        # whose photos all failed detection keep their old enrollments
+        replace_labels = sorted(set(label_names))
+        stale = sorted({p for p, _ in pairs} - set(label_names))
+        if stale:
+            print(f"warning: --replace kept the existing enrollments of "
+                  f"{', '.join(stale)} (no face found in any of their new "
+                  "photos)", file=sys.stderr)
+    n_total = gallery.enroll_many(label_names, feats,
+                                  replace_labels=replace_labels)
     print(json.dumps({
         "gallery": args.gallery_file, "n_added": len(label_names),
         "n_people_added": len(set(label_names)), "n_enrolled_total": n_total,
@@ -679,12 +738,18 @@ def main(argv=None):
                     choices=sorted(MODEL_ZOO),
                     help="embedder for --mode image (mode=face always uses "
                          "the analyzer's identity features)")
-    en.add_argument("--batch-size", type=int, default=64)
+    en.add_argument("--batch-size", type=int, default=64,
+                    help="embedder batch for --mode image (mode=face groups "
+                         "same-shape photos into 8-lane analyze programs)")
     en.add_argument("--exact", action="store_true",
-                    help="rank in f32 instead of the int8-packed state")
+                    help="store an f32-ranking gallery instead of the "
+                         "int8-packed state (the preference persists in "
+                         "the .npz and holds when serve/album reload it)")
     en.add_argument("--replace", action="store_true",
-                    help="drop existing enrollments for each person found "
-                         "in people_dir before adding the new ones")
+                    help="atomically swap out the existing enrollments of "
+                         "each person that produced new embeddings (persons "
+                         "whose photos all fail detection keep their old "
+                         "rows, with a warning)")
     _add_model_args(en)
     en.set_defaults(fn=cmd_enroll)
 

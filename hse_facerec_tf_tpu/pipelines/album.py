@@ -536,8 +536,18 @@ class AlbumOrganizer:
         if self.gallery is None or len(self.gallery) == 0 or not clusters:
             return [None] * len(clusters)
         flat = [e for c in clusters for e in c]
-        idents = self.gallery.identify_many(
-            faces.features[flat], threshold=self.config.distance_threshold)
+        try:
+            idents = self.gallery.identify_many(
+                faces.features[flat], threshold=self.config.distance_threshold)
+        except ValueError as e:
+            # e.g. gallery enrolled with a different embedder: the scan +
+            # clustering results are minutes of work — keep them and fall
+            # back to anonymous numeric names instead of aborting at the end
+            import warnings
+
+            warnings.warn(f"--gallery cluster naming skipped: {e}",
+                          RuntimeWarning)
+            return [None] * len(clusters)
         labels: List[Optional[str]] = []
         pos = 0
         for c in clusters:
@@ -571,6 +581,8 @@ class AlbumOrganizer:
                     name = f"{safe} ({i}) {cluster_genders[i]} {cluster_ages[i]}"
             else:
                 name = f"{i} {cluster_genders[i]} {cluster_ages[i]}"
+                if name in used_names:   # a digit-named person above took it
+                    name = f"{i} ({i}) {cluster_genders[i]} {cluster_ages[i]}"
             used_names.add(name)
             cdir = os.path.join(res_dir, name)
             os.makedirs(cdir, exist_ok=True)

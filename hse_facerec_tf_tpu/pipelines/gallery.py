@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import os
 import threading
-from typing import List, Optional, Tuple
+from typing import Iterable, List, Optional, Tuple
 
 import numpy as np
 
@@ -41,12 +41,16 @@ class EnrollmentGallery:
     ``quantized``: rank through the int8 path (exact dequantized-L2; the
     quantization noise is ~1e-2 of the same-vs-cross-class margin for
     normalized embeddings — pinned in ``tests/test_pallas_knn.py``). With
-    ``False`` ranking is exact f32.
+    ``False`` ranking is exact f32. The preference persists in the ``.npz``
+    (``cli enroll --exact`` must still hold when serve/album later reload
+    the file); passing an explicit bool overrides the stored one, ``None``
+    follows the file (default int8 for new/legacy galleries).
     """
 
-    def __init__(self, path: Optional[str] = None, quantized: bool = True):
+    def __init__(self, path: Optional[str] = None,
+                 quantized: Optional[bool] = None):
         self.path = path
-        self.quantized = quantized
+        self.quantized = True if quantized is None else quantized
         self._lock = threading.RLock()
         self._labels: List[str] = []
         self._feats: List[np.ndarray] = []
@@ -60,6 +64,8 @@ class EnrollmentGallery:
                                  f"{len(labels)} labels vs {len(feats)} rows")
             self._feats = list(feats)
             self._labels = labels
+            if quantized is None and "ranking" in data:
+                self.quantized = str(data["ranking"]) == "int8"
 
     def __len__(self) -> int:
         with self._lock:
@@ -80,37 +86,39 @@ class EnrollmentGallery:
         gallery size. Multiple enrollments per label are intentional (more
         views of a person -> better 1-NN coverage, as in the reference's
         multi-image gallery dirs)."""
-        if not label:
-            raise ValueError("label must be non-empty")
-        emb = np.asarray(embedding, np.float32).reshape(-1)
-        emb = np.asarray(l2_normalize(emb[None]))[0]
-        with self._lock:
-            if self._feats and emb.shape != self._feats[0].shape:
-                raise ValueError(
-                    f"embedding dim {emb.shape[0]} != gallery dim "
-                    f"{self._feats[0].shape[0]} (different --model?)")
-            self._feats.append(emb)
-            self._labels.append(str(label))
-            self._rank_state = None
-            self._save_locked()
-            return len(self._labels)
+        return self.enroll_many(
+            [label], np.asarray(embedding, np.float32).reshape(1, -1))
 
-    def enroll_many(self, labels: List[str], embeddings: np.ndarray) -> int:
+    def enroll_many(self, labels: List[str], embeddings: np.ndarray,
+                    replace_labels: Iterable[str] = ()) -> int:
         """Bulk ``enroll``: append every (label, embedding) pair under one
         lock and persist ONCE — the CLI bulk-enrollment path would otherwise
-        rewrite the ``.npz`` per face. Returns the new gallery size."""
+        rewrite the ``.npz`` per face. ``replace_labels``: existing
+        enrollments to drop in the SAME atomic update (the CLI ``--replace``
+        path — a removal must never hit disk without its replacement).
+        All validation happens before any mutation, so a failed call leaves
+        the gallery untouched in memory and on disk. Returns the new
+        gallery size."""
         embeddings = np.asarray(embeddings, np.float32)
         if embeddings.ndim != 2 or len(labels) != len(embeddings):
             raise ValueError(f"expected (N, D) embeddings matching "
                              f"{len(labels)} labels, got {embeddings.shape}")
         if any(not l for l in labels):
             raise ValueError("labels must be non-empty")
-        embs = np.asarray(l2_normalize(embeddings))
+        embs = (np.asarray(l2_normalize(embeddings)) if len(embeddings)
+                else embeddings)
+        drop = {str(l) for l in replace_labels}
         with self._lock:
-            if self._feats and embs.shape[1:] != self._feats[0].shape:
+            keep = [i for i, l in enumerate(self._labels) if l not in drop]
+            if len(embs) and keep and embs.shape[1] != self._feats[keep[0]].shape[0]:
                 raise ValueError(
                     f"embedding dim {embs.shape[1]} != gallery dim "
-                    f"{self._feats[0].shape[0]} (different --model?)")
+                    f"{self._feats[keep[0]].shape[0]} (different --model?)")
+            if not len(embs) and len(keep) == len(self._labels):
+                return len(self._labels)      # nothing to add or drop
+            if len(keep) != len(self._labels):
+                self._feats = [self._feats[i] for i in keep]
+                self._labels = [self._labels[i] for i in keep]
             self._feats.extend(embs)
             self._labels.extend(str(l) for l in labels)
             self._rank_state = None
@@ -203,5 +211,6 @@ class EnrollmentGallery:
                  else np.zeros((0, 0), np.float32))
         with open(tmp, "wb") as f:   # file handle: savez can't munge the name
             np.savez(f, features=feats,
-                     labels=np.asarray(self._labels, dtype=np.str_))
+                     labels=np.asarray(self._labels, dtype=np.str_),
+                     ranking=np.str_("int8" if self.quantized else "f32"))
         os.replace(tmp, self.path)

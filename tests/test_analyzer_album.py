@@ -787,3 +787,43 @@ def test_process_image_dir_batched(tmp_path):
     # grouping: |abc| same shape, |de| the other shape, |f| the tail
     assert bat_stub.calls == [(3, 4), (2, 4), (1, 4)]
     assert seq_stub.calls == []              # batch=1 never pads
+
+def test_album_gallery_label_edge_cases(tmp_path, rng):
+    """A digit-named person cannot silently merge with a numeric cluster
+    dir, and a wrong-dim gallery degrades to anonymous names with a warning
+    instead of discarding the finished clustering run."""
+    import time as _time
+
+    from hse_facerec_tf_tpu.pipelines.album import AlbumFaces, AlbumOrganizer
+    from hse_facerec_tf_tpu.pipelines.gallery import EnrollmentGallery
+
+    feats = rng.randn(3, 16).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    faces = AlbumFaces(files=["a.jpg"], mdates=[_time.localtime()],
+                       facial_images=[np.zeros((8, 8, 3), np.uint8)] * 3,
+                       born_years=np.zeros(3), genders=np.full(3, 0.9),
+                       features=feats, indices=[0] * 3,
+                       private_photo_indices=[])
+
+    org = AlbumOrganizer.__new__(AlbumOrganizer)
+    from hse_facerec_tf_tpu.config import AlbumConfig
+
+    org.config = AlbumConfig()
+
+    # person named '1' lands on cluster 0 -> dir '1 male 1980'; numeric
+    # cluster 1 must not reuse that exact dir
+    org._write_outputs(str(tmp_path), faces, [[0], [1]], ["male", "male"],
+                       [1980, 1980], n_image_files=1,
+                       cluster_labels=["1", None])
+    dirs = sorted(d for d in os.listdir(tmp_path / "clusters")
+                  if d != "public")
+    assert dirs == ["1 (1) male 1980", "1 male 1980"]
+
+    # gallery enrolled with a different embedder (dim 8 != faces dim 16):
+    # warn + unlabeled, never raise
+    g = EnrollmentGallery()
+    g.enroll("alice", rng.randn(8))
+    org.gallery = g
+    with pytest.warns(RuntimeWarning, match="cluster naming skipped"):
+        labels = org._label_clusters(faces, [[0, 1], [2]])
+    assert labels == [None, None]

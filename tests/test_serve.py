@@ -506,9 +506,11 @@ def test_gallery_enroll_many(tmp_path, rng):
 
 
 def test_cli_enroll_face_mode(tmp_path, rng, monkeypatch, capsys):
-    """`cli enroll` (face mode) walks a people tree, embeds the LARGEST
-    face per photo via the analyzer, skips no-face photos, and writes a
-    gallery usable by EnrollmentGallery; --replace re-enrolls a person."""
+    """`cli enroll` (face mode) walks a people tree with BATCHED analysis
+    (same-shape photos fused into one pow2-padded program), embeds the
+    LARGEST face per photo, rotation-retries then skips no-face photos, and
+    --replace swaps a person's rows atomically while keeping persons whose
+    new photos all failed detection."""
     import json
 
     import cv2
@@ -518,62 +520,77 @@ def test_cli_enroll_face_mode(tmp_path, rng, monkeypatch, capsys):
     from hse_facerec_tf_tpu.pipelines.gallery import EnrollmentGallery
 
     people = tmp_path / "people"
-    vecs = {"Alice": rng.randn(16).astype(np.float32),
-            "Bob": rng.randn(16).astype(np.float32)}
-    for name, n_imgs in [("Alice", 2), ("Bob", 1)]:
-        d = people / name
+    vecs = {10: rng.randn(16).astype(np.float32),
+            20: rng.randn(16).astype(np.float32)}
+    pixel = {"Alice/Smith": 10, "bob": 20}   # '/' must be sanitized later
+    for name, n_imgs in [("Alice/Smith", 2), ("bob", 1)]:
+        d = people / name.replace("/", "_")
         d.mkdir(parents=True)
         for i in range(n_imgs):
-            cv2.imwrite(str(d / f"{i}.jpg"),
-                        rng.randint(0, 255, (32, 32, 3)).astype(np.uint8))
-    (people / "Alice" / "noface.jpg").write_bytes(
-        (people / "Alice" / "0.jpg").read_bytes())
+            cv2.imwrite(str(d / f"{i}.png"),           # png: lossless marker
+                        np.full((32, 32, 3), pixel[name], np.uint8))
+    # a photo in which no face will ever be found (marker 0)
+    cv2.imwrite(str(people / "Alice_Smith" / "noface.png"),
+                np.zeros((32, 32, 3), np.uint8))
 
-    def face(name, scale):
+    def face(vec, scale):
         s = int(10 * scale)
         return FaceResult(bbox=(0, 0, s, s), raw_bbox=(0, 0, s, s),
                           score=0.99, age=30.0, gender_prob=0.9,
-                          identity=vecs[name] * scale,
-                          landmarks=np.zeros(10))
+                          identity=vec * scale, landmarks=np.zeros(10))
 
     class _StubAnalyzer:
+        batch_calls = []
+        rotation_calls = []
+
+        def analyze_batch_padded(self, imgs, lanes):
+            _StubAnalyzer.batch_calls.append((len(imgs), lanes))
+            out = []
+            for im in imgs:
+                v = int(im[0, 0, 0])
+                # two faces per photo; the LARGER carries the marker vector
+                out.append([] if v == 0 else [face(vecs[v], 0.5),
+                                              face(vecs[v], 1.0)])
+            return out
+
         def analyze_with_rotations(self, img):
-            name = _StubAnalyzer.current
-            if _StubAnalyzer.noface_next:
-                _StubAnalyzer.noface_next = False
-                return [], 0
-            # two faces; the larger one carries the person's vector
-            return [face(name, 0.5), face(name, 1.0)], 0
+            _StubAnalyzer.rotation_calls.append(int(img[0, 0, 0]))
+            return [], 0
 
-    monkeypatch.setattr(cli, "_build_analyzer", lambda args: _StubAnalyzer())
-
-    # drive which photo is being analyzed via imread interception
-    from hse_facerec_tf_tpu.utils import image_io
-
-    orig_imread = image_io.imread_rgb
-
-    def tracking_imread(path):
-        _StubAnalyzer.current = os.path.basename(os.path.dirname(path))
-        _StubAnalyzer.noface_next = os.path.basename(path) == "noface.jpg"
-        return orig_imread(path)
-
-    monkeypatch.setattr(image_io, "imread_rgb", tracking_imread)
+    monkeypatch.setattr(cli, "_build_analyzer", lambda a: _StubAnalyzer())
 
     gpath = str(tmp_path / "gal.npz")
     cli.main(["enroll", str(people), gpath])
     out = json.loads(capsys.readouterr().out)
     assert out["n_added"] == 3 and out["n_people_added"] == 2
-    assert out["skipped_no_face"] == [os.path.join("Alice", "noface.jpg")]
+    assert out["skipped_no_face"] == [os.path.join("Alice_Smith",
+                                                   "noface.png")]
+    # all four same-shape photos went through ONE fused program (4 lanes),
+    # and only the no-face photo hit the rotation retry
+    assert _StubAnalyzer.batch_calls == [(4, 4)]
+    assert _StubAnalyzer.rotation_calls == [0]
 
     g = EnrollmentGallery(path=gpath)
     assert len(g) == 3 and g.stats()["n_labels"] == 2
     # the LARGEST face's identity (scale 1.0 vector) was enrolled
-    assert g.identify(vecs["Alice"])[0] == "Alice"
-    assert g.identify(vecs["Bob"])[0] == "Bob"
+    assert g.identify(vecs[10])[0] == "Alice_Smith"
+    assert g.identify(vecs[20])[0] == "bob"
 
-    # --replace drops the stale rows for people present in the tree
+    # --replace with a stale person whose new photos all fail detection:
+    # Carol's old rows survive (with a warning), others are swapped in the
+    # same atomic update
+    g.enroll("Carol", rng.randn(16))
+    carol = people / "Carol"
+    carol.mkdir()
+    cv2.imwrite(str(carol / "bad.png"), np.zeros((32, 32, 3), np.uint8))
+    _StubAnalyzer.batch_calls.clear()
     cli.main(["enroll", str(people), gpath, "--replace"])
-    assert len(EnrollmentGallery(path=gpath)) == 3
+    captured = capsys.readouterr()
+    assert "Carol" in captured.err and "kept" in captured.err
+    g2 = EnrollmentGallery(path=gpath)
+    assert len(g2) == 4                     # 3 replaced + Carol kept
+    assert g2.identify(np.asarray(g._feats[-1]) * 2.0)[0] == "Carol"
+
 
 def test_cli_analyze_gallery_labels(tmp_path, rng, monkeypatch, capsys):
     """`cli analyze --gallery` ranks every detected face against the
@@ -610,3 +627,67 @@ def test_cli_analyze_gallery_labels(tmp_path, rng, monkeypatch, capsys):
     assert rows[0]["label"] == "alice" and rows[0]["distance"] < 0.05
     assert rows[1]["label"] is None and rows[1]["nearest"] == "alice"
     assert rows[1]["distance"] > 0.5
+
+def test_gallery_replace_atomic(tmp_path, rng):
+    """enroll_many(replace_labels=...) swaps rows in ONE atomic update:
+    validation failures leave memory and disk untouched, the swap persists
+    in a single save, and the ranking-mode preference survives reload."""
+    from hse_facerec_tf_tpu.pipelines import gallery as gal_mod
+
+    path = str(tmp_path / "g.npz")
+    g = gal_mod.EnrollmentGallery(path=path)
+    alice_old = rng.randn(16).astype(np.float32)
+    g.enroll("alice", alice_old)
+    g.enroll("bob", rng.randn(16))
+
+    # failed validation (dim mismatch vs the SURVIVING rows) must not drop
+    # alice's old rows — not in memory, not on disk
+    with pytest.raises(ValueError):
+        g.enroll_many(["alice"], rng.randn(1, 8), replace_labels=["alice"])
+    assert len(g) == 2 and g.identify(alice_old)[0] == "alice"
+    assert len(gal_mod.EnrollmentGallery(path=path)) == 2
+
+    # successful replace: one save, old alice rows gone, new ones in
+    saves = []
+    orig = gal_mod.EnrollmentGallery._save_locked
+    gal_mod.EnrollmentGallery._save_locked = (
+        lambda self: (saves.append(1), orig(self)))
+    try:
+        alice_new = rng.randn(2, 16).astype(np.float32)
+        n = g.enroll_many(["alice", "alice"], alice_new,
+                          replace_labels=["alice"])
+    finally:
+        gal_mod.EnrollmentGallery._save_locked = orig
+    assert n == 3 and saves == [1]
+    assert g.identify(alice_new[0])[0] == "alice"
+    label, dist, _ = g.identify(alice_old, threshold=10.0)
+    assert dist > 0.1                  # the old row is really gone
+
+    # replacing EVERY row may change the embedding dim (new --model)
+    n = g.enroll_many(["x", "y"], rng.randn(2, 32).astype(np.float32),
+                      replace_labels=["alice", "bob"])
+    assert n == 2 and g.stats()["dim"] == 32
+
+    # drop-only update (no additions) still persists
+    n = g.enroll_many([], np.zeros((0, 0), np.float32),
+                      replace_labels=["x"])
+    assert n == 1 and len(gal_mod.EnrollmentGallery(path=path)) == 1
+
+
+def test_gallery_ranking_mode_persists(tmp_path, rng):
+    """--exact galleries stay f32 when reloaded without arguments (serve
+    and album open the file with no quantized override); an explicit ctor
+    bool still wins."""
+    from hse_facerec_tf_tpu.pipelines.gallery import EnrollmentGallery
+
+    path = str(tmp_path / "g.npz")
+    g = EnrollmentGallery(path=path, quantized=False)
+    g.enroll("a", rng.randn(16))
+    assert EnrollmentGallery(path=path).quantized is False
+    assert EnrollmentGallery(path=path, quantized=True).quantized is True
+    # default for fresh and legacy (no 'ranking' field) files is int8
+    assert EnrollmentGallery().quantized is True
+    data = dict(np.load(path, allow_pickle=False))
+    data.pop("ranking")
+    np.savez(path, **data)
+    assert EnrollmentGallery(path=path).quantized is True
