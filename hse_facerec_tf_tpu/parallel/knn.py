@@ -25,9 +25,10 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 
-def nearest_neighbor_sharded(probes: jnp.ndarray, gallery: jnp.ndarray,
+def nearest_neighbor_sharded(probes: jnp.ndarray, gallery,
                              mesh: Mesh, axis: str = "data",
-                             force_pallas: bool = False, int8: bool = False
+                             force_pallas: bool = False, int8: bool = False,
+                             n_valid: int = None,
                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(M, D) probes × (N, D) gallery -> (min_sq_dist (M,), argmin (M,)).
 
@@ -41,26 +42,47 @@ def nearest_neighbor_sharded(probes: jnp.ndarray, gallery: jnp.ndarray,
     and runs the int8 MXU kernel per shard. Padded shard rows are masked via
     the kernel's ``valid_n`` — an int8 pad row cannot be made to always lose
     the way the f32 path's 1e4-magnitude rows do.
+
+    A long-lived caller (the serving ``EnrollmentGallery``) can do the
+    quantize+pad+placement once per gallery version and pass
+    ``gallery=(q_int8, scale)`` already padded to the axis size together
+    with ``n_valid`` (the true row count); per-query work is then just the
+    sharded sweep.
     """
     from ..ops.pallas.knn import nearest_neighbor_auto, quantize_embeddings
 
     n_dev = mesh.shape[axis]
     m, d = probes.shape
-    n = gallery.shape[0]
-    shard = -(-n // n_dev)
-    n_pad = shard * n_dev
     g_scale = None
-    if int8:
-        gallery, g_scale = quantize_embeddings(gallery)
-        if n_pad != n:
+    if isinstance(gallery, tuple):
+        if not int8:
+            raise ValueError("a (q, scale) gallery requires int8=True")
+        gallery, g_scale = gallery
+        if gallery.shape[0] % n_dev:
+            raise ValueError(f"pre-quantized gallery rows "
+                             f"{gallery.shape[0]} not a multiple of the "
+                             f"{n_dev}-device '{axis}' axis")
+        n = gallery.shape[0] if n_valid is None else int(n_valid)
+        shard = gallery.shape[0] // n_dev
+    else:
+        if n_valid is not None:
+            raise ValueError("n_valid requires a pre-quantized (q, scale) "
+                             "gallery")
+        n = gallery.shape[0]
+        shard = -(-n // n_dev)
+        n_pad = shard * n_dev
+        if int8:
+            gallery, g_scale = quantize_embeddings(gallery)
+            if n_pad != n:
+                gallery = jnp.concatenate(
+                    [gallery, jnp.zeros((n_pad - n, d), jnp.int8)])
+        elif n_pad != n:
+            # pad rows must LOSE every local argmin (a zero row would win
+            # for small-norm probes); 1e4-magnitude rows give ~1e8
+            # sq-distances, far above any real embedding pair, and stay
+            # exact in f32/bf16
             gallery = jnp.concatenate(
-                [gallery, jnp.zeros((n_pad - n, d), jnp.int8)])
-    elif n_pad != n:
-        # pad rows must LOSE every local argmin (a zero row would win for
-        # small-norm probes); 1e4-magnitude rows give ~1e8 sq-distances,
-        # far above any real embedding pair, and stay exact in f32/bf16
-        gallery = jnp.concatenate(
-            [gallery, jnp.full((n_pad - n, d), 1e4, gallery.dtype)])
+                [gallery, jnp.full((n_pad - n, d), 1e4, gallery.dtype)])
 
     def local(probes_l, gallery_l, scale_l):
         # gallery_l: this device's (shard, D) slice; probes/scale replicated

@@ -45,12 +45,21 @@ class EnrollmentGallery:
     (``cli enroll --exact`` must still hold when serve/album later reload
     the file); passing an explicit bool overrides the stored one, ``None``
     follows the file (default int8 for new/legacy galleries).
+    ``mesh``: optional ``jax.sharding.Mesh`` — the ranking state is then
+    laid out ONCE per gallery version as shards along ``mesh_axis`` (int8:
+    4× less HBM per device) and queries run the distributed sweep of
+    ``parallel/knn.py`` (per-shard 1-NN + one tiny all-gather), so a
+    multi-chip server scales gallery capacity with the mesh instead of
+    replicating it.
     """
 
     def __init__(self, path: Optional[str] = None,
-                 quantized: Optional[bool] = None):
+                 quantized: Optional[bool] = None,
+                 mesh=None, mesh_axis: str = "data"):
         self.path = path
         self.quantized = True if quantized is None else quantized
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
         self._lock = threading.RLock()
         self._labels: List[str] = []
         self._feats: List[np.ndarray] = []
@@ -159,12 +168,9 @@ class EnrollmentGallery:
         if embeddings.ndim != 2:
             raise ValueError(f"expected (N, D) probes, got "
                              f"{embeddings.shape}")
-        gallery, labels = self._ranking_state()
-        if gallery is None:
+        rank_fn, dim, labels = self._ranking_state()
+        if rank_fn is None:
             return [(None, None, None)] * len(embeddings)
-        from ..ops.pallas.knn import nearest_neighbor_auto
-
-        dim = (gallery[0] if isinstance(gallery, tuple) else gallery).shape[1]
         if embeddings.shape[1] != dim:
             raise ValueError(f"probe dim {embeddings.shape[1]} != gallery "
                              f"dim {dim} (gallery enrolled in a different "
@@ -172,8 +178,7 @@ class EnrollmentGallery:
         if not len(embeddings):
             return []
         probes = np.asarray(l2_normalize(embeddings))
-        dsq, idx = nearest_neighbor_auto(probes, gallery,
-                                         int8=self.quantized)
+        dsq, idx = rank_fn(probes)
         dsq, idx = np.asarray(dsq), np.asarray(idx)
         out = []
         for d, i in zip(dsq, idx):
@@ -186,22 +191,61 @@ class EnrollmentGallery:
     # -- internals --------------------------------------------------------
 
     def _ranking_state(self):
-        """Gallery in ranking form + a labels snapshot, rebuilt only after
-        enrollments: quantize once per gallery version, not per query."""
+        """``(rank_fn, dim, labels-snapshot)``, rebuilt only after
+        enrollments: quantize (and, with a mesh, shard-place) once per
+        gallery version, not per query."""
         with self._lock:
             if not self._feats:
-                return None, None
+                return None, None, None
             if self._rank_state is None:
                 g = np.stack(self._feats)
-                if self.quantized:
-                    from ..ops.pallas.knn import quantize_embeddings
-
-                    qb, sb = quantize_embeddings(g)
-                    gallery = (qb, sb)   # nearest_neighbor_auto int8 form
-                else:
-                    gallery = g
-                self._rank_state = (gallery, list(self._labels))
+                rank_fn = (self._mesh_rank_fn(g) if self.mesh is not None
+                           else self._local_rank_fn(g))
+                self._rank_state = (rank_fn, g.shape[1], list(self._labels))
             return self._rank_state
+
+    def _local_rank_fn(self, g: np.ndarray):
+        from ..ops.pallas.knn import nearest_neighbor_auto, \
+            quantize_embeddings
+
+        gallery = quantize_embeddings(g) if self.quantized else g
+        return lambda probes: nearest_neighbor_auto(probes, gallery,
+                                                    int8=self.quantized)
+
+    def _mesh_rank_fn(self, g: np.ndarray):
+        """Distributed ranking: the gallery is padded to the mesh axis,
+        placed as device shards ONCE, and every query runs the per-shard
+        sweep + scalar all-gather of ``parallel/knn.py``."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.knn import nearest_neighbor_sharded
+
+        mesh, axis = self.mesh, self.mesh_axis
+        n, dim = g.shape
+        pad = (-n) % mesh.shape[axis]
+        rows = NamedSharding(mesh, P(axis))
+        if self.quantized:
+            from ..ops.pallas.knn import quantize_embeddings
+
+            qb, sb = (np.asarray(a) for a in quantize_embeddings(g))
+            if pad:
+                qb = np.concatenate([qb, np.zeros((pad, dim), np.int8)])
+            shards = (jax.device_put(qb, rows), sb)
+            return lambda probes: nearest_neighbor_sharded(
+                probes, shards, mesh, axis=axis, int8=True, n_valid=n)
+        if pad:
+            # padded rows must lose every argmin (parallel/knn.py f32 rule)
+            g = np.concatenate([g, np.full((pad, dim), 1e4, np.float32)])
+        shards = jax.device_put(g, rows)
+
+        def rank(probes):
+            dsq, idx = nearest_neighbor_sharded(probes, shards, mesh,
+                                                axis=axis)
+            # a 1e4 pad row can never outrank a real normalized embedding
+            return dsq, idx
+
+        return rank
 
     def _save_locked(self):
         if not self.path:

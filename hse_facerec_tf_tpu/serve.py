@@ -364,7 +364,9 @@ def build_server(port: int = 8000, model: str = "agegender_identity",
             functools.partial(_analyze_batch_pow2, analyzer), max_batch=8)
     from .pipelines.gallery import EnrollmentGallery
 
-    gallery = EnrollmentGallery(path=gallery_path)
+    # under --data-parallel the gallery's ranking state is sharded over the
+    # same mesh: capacity scales with the devices instead of replicating
+    gallery = EnrollmentGallery(path=gallery_path, mesh=mesh)
     return ThreadingHTTPServer(
         ("0.0.0.0", port),
         make_handler(worker, analyze_worker,

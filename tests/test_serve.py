@@ -398,12 +398,11 @@ def test_http_face_mode_and_analyze_identify(rng):
         # face-mode enrollment stores the LARGEST face's identity (e1)
         conn.request("POST", "/enroll?label=alice", body=enc)
         assert json.loads(conn.getresponse().read())["n_enrolled"] == 1
-        got = gallery._ranking_state()[0]
+        # the stored row is e1 L2-normalized: probing with it must hit at
+        # ~zero distance (int8 ranking noise only)
         want = e1 / np.linalg.norm(e1)
-        # int8-quantized state: compare after dequantization, loosely
-        qb, sb = got
-        np.testing.assert_allclose(np.asarray(qb[0], np.float32) * float(sb),
-                                   want, atol=0.02)
+        label, dist, _ = gallery.identify(want)
+        assert label == "alice" and dist < 0.05
 
         conn.request("POST", "/identify", body=enc)
         r = json.loads(conn.getresponse().read())
@@ -691,3 +690,34 @@ def test_gallery_ranking_mode_persists(tmp_path, rng):
     data.pop("ranking")
     np.savez(path, **data)
     assert EnrollmentGallery(path=path).quantized is True
+
+def test_gallery_mesh_sharded_ranking(rng):
+    """EnrollmentGallery(mesh=...) ranks through the gallery-sharded
+    distributed 1-NN (state placed once per gallery version) and matches
+    the single-device gallery exactly — int8 and f32, non-divisible N,
+    rebuild after new enrollments."""
+    from hse_facerec_tf_tpu.parallel.sharding import make_mesh
+    from hse_facerec_tf_tpu.pipelines.gallery import EnrollmentGallery
+
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    feats = rng.randn(19, 32).astype(np.float32)    # 19 % 8 -> padded shards
+    labels = [f"p{i % 7}" for i in range(19)]
+    probes = np.concatenate([rng.randn(5, 32).astype(np.float32),
+                             feats[3:4] * 2.0])     # one exact-hit probe
+    for quantized in (True, False):
+        local = EnrollmentGallery(quantized=quantized)
+        sharded = EnrollmentGallery(quantized=quantized, mesh=mesh)
+        local.enroll_many(labels, feats)
+        sharded.enroll_many(labels, feats)
+        want = local.identify_many(probes, threshold=0.9)
+        got = sharded.identify_many(probes, threshold=0.9)
+        for (l1, d1, n1), (l2, d2, n2) in zip(want, got):
+            assert (l1, n1) == (l2, n2)
+            assert d1 == pytest.approx(d2, abs=1e-4)
+        assert got[-1][0] == "p3" and got[-1][1] < 0.05  # int8 noise ~1e-2
+
+        # enrollment invalidates and rebuilds the sharded state
+        new = rng.randn(32).astype(np.float32)
+        sharded.enroll("newcomer", new)
+        assert sharded.identify(new * 0.5)[0] == "newcomer"
