@@ -18,6 +18,7 @@ its lowest local index, shard offsets preserve the order).
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -84,6 +85,22 @@ def nearest_neighbor_sharded(probes: jnp.ndarray, gallery,
             gallery = jnp.concatenate(
                 [gallery, jnp.full((n_pad - n, d), 1e4, gallery.dtype)])
 
+    fn = _sharded_ranker(mesh, axis, shard, int(n), bool(int8),
+                         bool(force_pallas))
+    if g_scale is None:
+        g_scale = jnp.zeros((), jnp.float32)   # unused in the f32 path
+    dmin, idx = fn(probes, gallery, g_scale)
+    return dmin, idx
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_ranker(mesh: Mesh, axis: str, shard: int, n: int, int8: bool,
+                    force_pallas: bool):
+    """Jitted shard_map sweep, cached per (mesh, layout): a fresh closure
+    per query would defeat JAX's dispatch cache and pay trace+lower time on
+    every call of a long-lived caller (the serving gallery)."""
+    from ..ops.pallas.knn import nearest_neighbor_auto
+
     def local(probes_l, gallery_l, scale_l):
         # gallery_l: this device's (shard, D) slice; probes/scale replicated
         offset = jax.lax.axis_index(axis) * shard
@@ -107,10 +124,6 @@ def nearest_neighbor_sharded(probes: jnp.ndarray, gallery,
     # check_vma=False: after the all_gather the combine is computed
     # redundantly on every device, which the replication checker cannot
     # infer statically
-    fn = jax.shard_map(local, mesh=mesh,
-                       in_specs=(P(), P(axis), P()),
-                       out_specs=(P(), P()), check_vma=False)
-    if g_scale is None:
-        g_scale = jnp.zeros((), jnp.float32)   # unused in the f32 path
-    dmin, idx = fn(probes, gallery, g_scale)
-    return dmin, idx
+    return jax.jit(jax.shard_map(local, mesh=mesh,
+                                 in_specs=(P(), P(axis), P()),
+                                 out_specs=(P(), P()), check_vma=False))

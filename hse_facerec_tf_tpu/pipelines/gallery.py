@@ -30,7 +30,26 @@ from typing import Iterable, List, Optional, Tuple
 
 import numpy as np
 
-from ..ops.distance import l2_normalize
+
+def _l2_normalize_host(x: np.ndarray) -> np.ndarray:
+    """Host mirror of ``ops/distance.l2_normalize`` (sklearn semantics).
+    Probes and enrollments are a handful of rows — normalizing them on
+    device would cost a full host↔device round trip per request over a
+    remote device link for microseconds of math."""
+    n = np.linalg.norm(x, axis=-1, keepdims=True)
+    return x / np.maximum(n, 1e-10)
+
+
+def _quantize_host(x: np.ndarray):
+    """Host mirror of ``ops/pallas/knn.py::quantize_embeddings`` (same
+    global symmetric scale, same round-half-even), so building the sharded
+    ranking state never downloads the quantized gallery from the device
+    (over a remote link that is the slow direction)."""
+    x = np.asarray(x, np.float32)
+    scale = np.maximum(np.max(np.abs(x)) / np.float32(127.0),
+                       np.float32(1e-30))        # f32 arithmetic throughout
+    q = np.clip(np.round(x / scale), -127, 127).astype(np.int8)
+    return q, np.float32(scale)
 
 
 class EnrollmentGallery:
@@ -114,7 +133,7 @@ class EnrollmentGallery:
                              f"{len(labels)} labels, got {embeddings.shape}")
         if any(not l for l in labels):
             raise ValueError("labels must be non-empty")
-        embs = (np.asarray(l2_normalize(embeddings)) if len(embeddings)
+        embs = (_l2_normalize_host(embeddings) if len(embeddings)
                 else embeddings)
         drop = {str(l) for l in replace_labels}
         with self._lock:
@@ -177,9 +196,10 @@ class EnrollmentGallery:
                              f"mode or with a different --model?)")
         if not len(embeddings):
             return []
-        probes = np.asarray(l2_normalize(embeddings))
-        dsq, idx = rank_fn(probes)
-        dsq, idx = np.asarray(dsq), np.asarray(idx)
+        probes = _l2_normalize_host(embeddings)
+        import jax
+
+        dsq, idx = jax.device_get(rank_fn(probes))   # ONE fetch round trip
         out = []
         for d, i in zip(dsq, idx):
             dist = float(np.sqrt(max(float(d), 0.0)))
@@ -205,10 +225,14 @@ class EnrollmentGallery:
             return self._rank_state
 
     def _local_rank_fn(self, g: np.ndarray):
-        from ..ops.pallas.knn import nearest_neighbor_auto, \
-            quantize_embeddings
+        import jax
 
-        gallery = quantize_embeddings(g) if self.quantized else g
+        from ..ops.pallas.knn import nearest_neighbor_auto
+
+        # quantize host-side and device_put ONCE: a numpy gallery argument
+        # would re-upload the whole store every query
+        gallery = (tuple(map(jax.device_put, _quantize_host(g)))
+                   if self.quantized else jax.device_put(g))
         return lambda probes: nearest_neighbor_auto(probes, gallery,
                                                     int8=self.quantized)
 
@@ -226,9 +250,9 @@ class EnrollmentGallery:
         pad = (-n) % mesh.shape[axis]
         rows = NamedSharding(mesh, P(axis))
         if self.quantized:
-            from ..ops.pallas.knn import quantize_embeddings
-
-            qb, sb = (np.asarray(a) for a in quantize_embeddings(g))
+            # host-side quantization: the device round trip would download
+            # the full int8 gallery over the slow direction of a remote link
+            qb, sb = _quantize_host(g)
             if pad:
                 qb = np.concatenate([qb, np.zeros((pad, dim), np.int8)])
             shards = (jax.device_put(qb, rows), sb)

@@ -90,8 +90,12 @@ def annotated_video_frames(analyzer: FacialAnalyzer, video_path: str,
                 continue
             _, frame = video.retrieve()
             frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
-            frame = rotate_image(frame, rotation)
+            # reference order (facial_analysis.py:654-661): bound to
+            # <=640x480 FIRST, rotate the small frame after — rotating the
+            # full-res frame first changes the non-aspect-preserving
+            # resize's geometry (and pays the resize at full resolution)
             frame = _downscale(frame, *max_size)
+            frame = rotate_image(frame, rotation)
             if batch <= 1:
                 faces = analyzer.analyze(frame)
                 yield draw_faces(frame, faces,

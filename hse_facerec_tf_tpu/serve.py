@@ -146,6 +146,26 @@ def make_handler(worker: _BatchingWorker, analyze_worker,
     timer = StageTimer()
     profile_lock = threading.Lock()
 
+    # Gallery RANKING is device work and must honor the same per-request
+    # deadline as the worker paths — run it on one dedicated thread and map
+    # a blown deadline to TimeoutError (-> 504) instead of hanging the
+    # handler thread on a wedged device link. One thread is the right
+    # width: device calls serialize anyway, and queued requests behind a
+    # wedge each time out cleanly.
+    import concurrent.futures as _futures
+
+    rank_pool = _futures.ThreadPoolExecutor(
+        max_workers=1, thread_name_prefix="gallery-rank")
+
+    def ranked(fn, *a, **kw):
+        fut = rank_pool.submit(fn, *a, **kw)
+        try:
+            return fut.result(timeout=request_timeout_s)
+        except _futures.TimeoutError:
+            raise TimeoutError(
+                f"identification did not complete within "
+                f"{request_timeout_s:.0f}s") from None
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet
             pass
@@ -272,8 +292,9 @@ def make_handler(worker: _BatchingWorker, analyze_worker,
                 elif url.path == "/identify":
                     with timer.stage("identify"):
                         feats = self._embedding_for(img, query)
-                        label, dist, nearest = gallery.identify(
-                            np.asarray(feats), threshold=thr)
+                        label, dist, nearest = ranked(
+                            gallery.identify, np.asarray(feats),
+                            threshold=thr)
                     if dist is None:
                         self._json(200, {"label": None, "distance": None,
                                          "nearest": None,
@@ -304,7 +325,8 @@ def make_handler(worker: _BatchingWorker, analyze_worker,
                     } for f in faces]
                     if with_ident and faces:
                         # one batched device call for every face's 1-NN
-                        idents = gallery.identify_many(
+                        idents = ranked(
+                            gallery.identify_many,
                             np.stack([f.identity for f in faces]),
                             threshold=thr)
                         for row, (label, dist, nearest) in zip(rows, idents):

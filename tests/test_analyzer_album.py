@@ -827,3 +827,25 @@ def test_album_gallery_label_edge_cases(tmp_path, rng):
     with pytest.warns(RuntimeWarning, match="cluster naming skipped"):
         labels = org._label_clusters(faces, [[0, 1], [2]])
     assert labels == [None, None]
+
+def test_video_downscale_before_rotation(tmp_path, monkeypatch):
+    """Reference order (facial_analysis.py:654-661): bound the frame to
+    <=640x480 FIRST, then rotate — a 1280x960 video with rotation=90 must
+    come out 640h x 480w, not 480h x 640w."""
+    import hse_facerec_tf_tpu.pipelines.video as V
+
+    path = str(tmp_path / "rot.mp4")
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                             (1280, 960))
+    for _ in range(2):
+        writer.write(np.full((960, 1280, 3), 90, np.uint8))
+    writer.release()
+    monkeypatch.setattr(V, "video_rotation", lambda p: 90)
+
+    class _Stub:
+        def analyze(self, img):
+            return []
+
+    frames = [fr for fr, _ in V.annotated_video_frames(_Stub(), path,
+                                                       frame_skip=1, batch=1)]
+    assert frames and all(fr.shape == (640, 480, 3) for fr in frames)

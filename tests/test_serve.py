@@ -328,14 +328,22 @@ def test_build_server_data_parallel(monkeypatch, tmp_path):
             seen["analyzer_mesh"] = mesh
             return cls()
 
+    class FakeGallery:
+        def __init__(self, path=None, mesh=None, **kw):
+            seen["gallery_mesh"] = mesh
+
     monkeypatch.setattr("hse_facerec_tf_tpu.models.zoo.build_extractor",
                         fake_build_extractor)
     monkeypatch.setattr("hse_facerec_tf_tpu.pipelines.analyzer.FacialAnalyzer",
                         FakeAnalyzer)
+    monkeypatch.setattr(
+        "hse_facerec_tf_tpu.pipelines.gallery.EnrollmentGallery", FakeGallery)
     srv = serve_mod.build_server(port=0, data_parallel=True)
     try:
         assert seen["extractor_mesh"] is not None
         assert seen["analyzer_mesh"] is seen["extractor_mesh"]
+        # the enrollment gallery shards its ranking state over the SAME mesh
+        assert seen["gallery_mesh"] is seen["extractor_mesh"]
         assert seen["extractor_mesh"].devices.size == len(jax.devices())
     finally:
         srv.server_close()
@@ -721,3 +729,59 @@ def test_gallery_mesh_sharded_ranking(rng):
         new = rng.randn(32).astype(np.float32)
         sharded.enroll("newcomer", new)
         assert sharded.identify(new * 0.5)[0] == "newcomer"
+
+    # repeated queries reuse the cached shard_map program (a fresh closure
+    # per query would re-trace the distributed sweep every request)
+    from hse_facerec_tf_tpu.parallel import knn as pknn
+
+    before = pknn._sharded_ranker.cache_info().hits
+    sharded.identify_many(probes)
+    sharded.identify_many(probes)
+    assert pknn._sharded_ranker.cache_info().hits > before
+
+def test_identify_honors_request_deadline(rng):
+    """Gallery ranking is device work: a wedged ranking call must return
+    504 within the per-request deadline, not hang the handler thread."""
+    from http.server import ThreadingHTTPServer
+
+    from hse_facerec_tf_tpu.serve import make_handler
+
+    block = threading.Event()
+
+    class WedgedGallery:
+        def identify(self, emb, threshold=0.82):
+            block.wait(30)            # simulates a hung device link
+            return ("x", 0.1, "x")
+
+        def identify_many(self, embs, threshold=0.82):
+            return [self.identify(e) for e in embs]
+
+        def enroll(self, label, emb):
+            return 1
+
+        def stats(self):
+            return {}
+
+        def __len__(self):
+            return 1
+
+    fake = _FakeExtractor()
+    server = ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        make_handler(_BatchingWorker(fake.extract_batch), analyze_worker=None,
+                     request_timeout_s=0.5, gallery=WedgedGallery()))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        img = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+        enc = cv2.imencode(".png", img)[1].tobytes()
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        t0 = time.monotonic()
+        conn.request("POST", "/identify?mode=image", body=enc)
+        r = conn.getresponse()
+        assert r.status == 504
+        assert time.monotonic() - t0 < 5
+        assert "within" in json.loads(r.read())["error"]
+    finally:
+        block.set()
+        server.shutdown()
