@@ -154,6 +154,8 @@ def cmd_video(args):
 
     from .pipelines.video import annotated_video_frames
 
+    if args.frame_skip < 1:
+        sys.exit("error: --frame-skip must be >= 1")
     analyzer = _build_analyzer(args)
     writer = None
     n = 0
@@ -162,8 +164,15 @@ def cmd_video(args):
             batch=args.batch, labeler=_gallery_labeler(args)):
         if args.out and writer is None:
             h, w = annotated.shape[:2]
+            # annotated frames are every frame_skip-th source frame: write
+            # at the SOURCE rate / skip so playback speed is preserved
+            cap = cv2.VideoCapture(args.video)
+            src_fps = cap.get(cv2.CAP_PROP_FPS) or 0.0
+            cap.release()
+            fps = max(1.0, (src_fps if src_fps > 0 else 30.0)
+                      / args.frame_skip)
             writer = cv2.VideoWriter(args.out, cv2.VideoWriter_fourcc(*"mp4v"),
-                                     30 // args.frame_skip, (w, h))
+                                     fps, (w, h))
         if writer is not None:
             writer.write(cv2.cvtColor(annotated, cv2.COLOR_RGB2BGR))
         n += 1
@@ -308,10 +317,17 @@ def _enroll_face_embeddings(analyzer, people_dir, pairs):
         flush()
 
     skipped = []
-    for person, rel, img in retry:      # upright pass found nothing
-        faces, _ = analyzer.analyze_with_rotations(img)
-        if faces:
-            out.append((person, rel, _largest_face(faces).identity))
+    for person, rel, img in retry:
+        # rotations-only retry: the batch pass already proved upright finds
+        # nothing, and the upright single-image program would be a fresh
+        # per-shape compile (reference retry order, process_photos.py:241-247)
+        for rot in (90, 270):
+            rotated = np.ascontiguousarray(
+                np.rot90(img, 3 if rot == 90 else 1))
+            faces = analyzer.analyze(rotated)
+            if faces:
+                out.append((person, rel, _largest_face(faces).identity))
+                break
         else:
             skipped.append(rel)
     return out, skipped

@@ -99,26 +99,47 @@ def evaluate_age_gender(predict_fn: Callable[[np.ndarray], Tuple[np.ndarray, np.
     n = len(records)
     gender_ok = bucket_ok = within5 = 0
     abs_err = 0.0
-    by_size: Dict[Tuple[int, int], List[int]] = {}
-    imgs = []
-    for i, (p, _, _) in enumerate(records):
-        im = imread_rgb(p)
+    pred_age = np.zeros(n)
+    pred_male = np.zeros(n)
+
+    # Streamed extraction: threaded decode overlapped with device compute,
+    # per-size buckets flushed at batch_size (never the whole dataset in
+    # RAM), and tails REPEAT-PADDED to batch_size so every size bucket
+    # compiles exactly one program — an unpadded tail chunk would be a
+    # fresh multi-minute XLA compile per bucket over a remote device link.
+    from ..parallel.sharding import pad_batch
+    from ..utils.prefetch import bounded_thread_map
+
+    def _decode(item):
+        i, path = item
+        im = imread_rgb(path)
         if host_resize_to is not None and im.shape[:2] != tuple(host_resize_to):
             from ..ops.resize import resize_host
 
             im = resize_host(im, tuple(host_resize_to), host_resize_method)
-        imgs.append(im)
-        by_size.setdefault(im.shape[:2], []).append(i)
+        return i, im
 
-    pred_age = np.zeros(n)
-    pred_male = np.zeros(n)
-    for size, idxs in by_size.items():
-        for s in range(0, len(idxs), batch_size):
-            chunk = idxs[s:s + batch_size]
-            batch = np.stack([imgs[i] for i in chunk])
-            ages, p_male = predict_fn(batch)
-            pred_age[chunk] = np.asarray(ages)
-            pred_male[chunk] = np.asarray(p_male)
+    def _flush(bucket):
+        idxs = [i for i, _ in bucket]
+        batch, n_valid = pad_batch(np.stack([im for _, im in bucket]),
+                                   batch_size)
+        ages, p_male = predict_fn(batch)
+        pred_age[idxs] = np.asarray(ages)[:n_valid]
+        pred_male[idxs] = np.asarray(p_male)[:n_valid]
+        bucket.clear()
+
+    buckets: Dict[Tuple[int, int], List] = {}
+    decoded = bounded_thread_map(
+        _decode, [(i, p) for i, (p, _, _) in enumerate(records)],
+        workers=4, depth=2 * batch_size)
+    for i, im in decoded:
+        bucket = buckets.setdefault(im.shape[:2], [])
+        bucket.append((i, im))
+        if len(bucket) == batch_size:
+            _flush(bucket)
+    for bucket in buckets.values():
+        if bucket:
+            _flush(bucket)
 
     effective_clamp = clamp_range if clamp_range is not None else (
         age_range if clamp_to_age_range else None)
@@ -152,18 +173,23 @@ def multihead_predict_fn(mh_params, face_size: int = 224):
     from ..ops.resize import resize
 
     means = np.asarray(IMAGENET_MEANS_BGR, dtype=np.float32)
+    # params ride as a jit ARGUMENT, device_put once — closure-captured
+    # device constants are re-fetched at every lowering, and numpy args
+    # would re-upload the model every call (CLAUDE.md residency rules)
+    params = jax.device_put(mh_params)
 
     @jax.jit
-    def fn(images):
+    def fn(p, images):
         x = resize(images.astype(jnp.float32), (face_size, face_size), "cv2_linear")
         # reference resizes the uint8 crop (facial_analysis.py:95), so pixels
         # are integer-rounded before mean subtraction
         x = jnp.clip(jnp.round(x), 0.0, 255.0)
         x = x[..., ::-1] - means
-        out = multihead_apply(mh_params, x)
+        out = multihead_apply(p, x)
         return 1.0 + expected_age_top_k(out.age_probs, 2), out.gender_prob
 
-    return lambda batch: tuple(np.asarray(a) for a in fn(jnp.asarray(batch)))
+    return lambda batch: tuple(
+        np.asarray(a) for a in fn(params, jnp.asarray(batch)))
 
 
 def insightface_predict_fn(ga_params):

@@ -73,6 +73,12 @@ def expected_age_top_k(age_probs: jnp.ndarray, k: int = 2) -> jnp.ndarray:
 def import_multihead_params(pb_path: str) -> Params:
     """Import weights from the (possibly quantized) frozen multi-head pb.
 
+    Returns HOST numpy arrays: importer outputs get closure-captured by
+    jitted functions, and device-array trace constants are re-fetched from
+    the device during every lowering (catastrophic over a remote device
+    link). Callers that pass params as jit arguments ``jax.device_put``
+    them once (``pipelines/analyzer.py``).
+
     Folds graph_transforms artifacts into clean per-layer params:
     - plain convs: BN pre-folded into kernels by graph_transforms; the trailing
       ``Add`` offset becomes the bias.
@@ -93,26 +99,26 @@ def import_multihead_params(pb_path: str) -> Params:
     backbone: Dict[str, Dict] = {}
     # conv1: folded kernel + offset bias
     backbone["conv1"] = {
-        "kernel": jnp.asarray(find("conv1/kernel")),
-        "bias": jnp.asarray(find("conv1_bn/batchnorm_1/sub")).reshape(-1),
+        "kernel": np.asarray(find("conv1/kernel")),
+        "bias": np.asarray(find("conv1_bn/batchnorm_1/sub")).reshape(-1),
     }
     for i, _ in enumerate(MOBILENET_V1_BLOCKS, start=1):
         dw_kernel = np.asarray(find(f"conv_dw_{i}/depthwise_kernel"), dtype=np.float32)
         dw_scale = np.asarray(find(f"conv_dw_{i}_bn/batchnorm_1/mul"), dtype=np.float32).reshape(-1)
         dw_bias = np.asarray(find(f"conv_dw_{i}_bn/batchnorm_1/sub"), dtype=np.float32).reshape(-1)
         backbone[f"dw{i}"] = {
-            "kernel": jnp.asarray(dw_kernel * dw_scale[None, None, :, None]),
-            "bias": jnp.asarray(dw_bias),
+            "kernel": np.asarray(dw_kernel * dw_scale[None, None, :, None]),
+            "bias": np.asarray(dw_bias),
         }
         backbone[f"pw{i}"] = {
-            "kernel": jnp.asarray(find(f"conv_pw_{i}/kernel")),
-            "bias": jnp.asarray(find(f"conv_pw_{i}_bn/batchnorm_1/sub")).reshape(-1),
+            "kernel": np.asarray(find(f"conv_pw_{i}/kernel")),
+            "bias": np.asarray(find(f"conv_pw_{i}_bn/batchnorm_1/sub")).reshape(-1),
         }
 
     def head(name):
         return {
-            "kernel": jnp.asarray(find(f"{name}/kernel")),
-            "bias": jnp.asarray(find(f"{name}/bias")).reshape(-1),
+            "kernel": np.asarray(find(f"{name}/kernel")),
+            "bias": np.asarray(find(f"{name}/bias")).reshape(-1),
         }
 
     return {

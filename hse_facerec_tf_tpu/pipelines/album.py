@@ -154,10 +154,12 @@ class AlbumOrganizer:
 
     def _faces_to_outputs(self, img: np.ndarray, faces, content_w: Optional[int] = None):
         """Host-side per-photo assembly from FaceResults: 224² crops, ages,
-        genders, L2-normed features, big-face flag (reference ``process_image``
-        :30-42). ``content_w``: real photo-content width when ``img`` is a
-        letterboxed canvas — the big-face fraction divides by it, not by the
-        padded canvas width."""
+        genders, RAW identity features, big-face flag (reference
+        ``process_image`` :30-42, which also returns raw features — the
+        photo loop normalizes them :252-254 while the video loop means the
+        RAW vectors per cluster :145-153). ``content_w``: real photo-content
+        width when ``img`` is a letterboxed canvas — the big-face fraction
+        divides by it, not by the padded canvas width."""
         width = content_w if content_w else img.shape[1]
         crops, ages, genders, feats = [], [], [], []
         has_center_face = False
@@ -170,7 +172,7 @@ class AlbumOrganizer:
             crops.append(cv2.resize(img[y1:y2, x1:x2], (self.analyzer.face_size,) * 2))
             ages.append(f.age)
             genders.append(f.gender_prob)
-            feats.append(f.identity / max(np.linalg.norm(f.identity), 1e-12))
+            feats.append(np.asarray(f.identity, np.float32))
             if (x2 - x1) / width >= self.config.min_face_width_percent:
                 has_center_face = True
         return crops, ages, genders, feats, has_center_face
@@ -205,7 +207,9 @@ class AlbumOrganizer:
     def _video_frames_sequential(self, video, rotation):
         """Reference frame loop: adaptive skip (delta 5, 3 once faces are
         found — ``process_photos.py:118``), one analyze per selected frame.
-        Yields each processed frame's ``_process_photo`` outputs."""
+        NO rotation retry here: the reference retries 90°/270° only in the
+        photo loop (:241-247); its video loop calls plain ``process_image``
+        (:108)."""
         import cv2
 
         counter, delta = 0, 5
@@ -218,7 +222,7 @@ class AlbumOrganizer:
             _, frame = video.retrieve()
             frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
             frame = rotate_image(frame, rotation)
-            out = self._process_photo(frame)
+            out = self._faces_to_outputs(frame, self.analyzer.analyze(frame))
             yield out
             delta = 5 if len(out[1]) == 0 else 3
 
@@ -251,11 +255,10 @@ class AlbumOrganizer:
             for c in range(state["replayed"] + 1, up_to + 1):
                 if c % state["delta"] == 0:
                     fr, faces = results[c]
-                    # the rotation retry (two more single-image analyses)
-                    # runs LAZILY, only for frames the policy selects —
-                    # never-selected no-face candidates cost nothing extra
-                    out = (self._faces_to_outputs(fr, faces) if faces
-                           else self._rotation_retry(fr))
+                    # no rotation retry for video frames — the reference's
+                    # video loop calls plain process_image (:108); the
+                    # 90°/270° retry is photo-loop-only (:241-247)
+                    out = self._faces_to_outputs(fr, faces)
                     outputs.append(out)
                     state["delta"] = 5 if len(out[1]) == 0 else 3
                 results.pop(c, None)   # bound memory to one batch window
@@ -301,8 +304,13 @@ class AlbumOrganizer:
         for c, ages, g, f, _ in per_frame:
             crops.extend(c)
             genders.extend(g)
+            # RAW features for the per-cluster means (reference
+            # all_features, :145-153: the mean is over raw vectors and only
+            # normalized when merged into the album set), NORMALIZED copies
+            # for the within-video distance matrix (all_normed_features)
             feats.extend(f)
-            normed.extend(f)
+            normed.extend(x / max(float(np.linalg.norm(x)), 1e-12)
+                          for x in f)
             indices.extend([frame_count] * len(ages))
             born_years.extend([video_year - (a - 0.5) for a in ages])
             frame_count += 1
@@ -360,7 +368,12 @@ class AlbumOrganizer:
 
         buckets: Dict[Tuple[int, int], list] = {}
         # threaded decode, bounded in-flight (utils/prefetch): photo decode
-        # overlaps the device-side batch analysis of earlier buckets
+        # overlaps the device-side batch analysis of earlier buckets.
+        # Open buckets also retain decoded photos; a mixed-resolution album
+        # without --downscale can open many shapes at once, so total
+        # retention is capped — past it the fullest bucket flushes early
+        # (a partial batch pads to the same lane count, costing nothing new)
+        max_retained = 4 * self.analyze_batch
         decoded = bounded_thread_map(
             lambda f: self._maybe_downscale(self._read_photo(os.path.join(album_dir, f))),
             files, workers=4, depth=2 * self.analyze_batch)
@@ -371,6 +384,10 @@ class AlbumOrganizer:
             if len(bucket) == self.analyze_batch:
                 flush(bucket)
                 buckets[shape] = []
+            elif sum(len(b) for b in buckets.values()) > max_retained:
+                fullest = max(buckets, key=lambda s: len(buckets[s]))
+                flush(buckets[fullest])
+                buckets[fullest] = []
         for bucket in buckets.values():
             if bucket:
                 flush(bucket)
@@ -379,12 +396,20 @@ class AlbumOrganizer:
     def scan_album(self, album_dir: str, use_cache: bool = True) -> AlbumFaces:
         cache = os.path.join(album_dir, "features.npz")
         files = sorted(f for f in next(os.walk(album_dir))[2] if is_image(f))
+        mtimes = [os.path.getmtime(os.path.join(album_dir, f)) for f in files]
         if use_cache and os.path.exists(cache):
             d = np.load(cache, allow_pickle=True)
-            # the cache is keyed on the analysis resolution: features saved
-            # at another --downscale setting must not be returned silently
+            # the cache is keyed on the analysis resolution AND the album's
+            # current content: features saved at another --downscale
+            # setting, or from before photos were added/removed/edited,
+            # must not be returned silently (the reference's features.dump
+            # has the same staleness hole — process_photos.py:220-231)
             stored_ds = str(d["downscale"]) if "downscale" in d else "None"
-            if stored_ds == str(self.downscale):
+            fresh = (stored_ds == str(self.downscale)
+                     and list(d["files"]) == files
+                     and np.array_equal(np.asarray(d["mtimes"], np.float64),
+                                        np.asarray(mtimes, np.float64)))
+            if fresh:
                 return AlbumFaces(
                     files=list(d["files"]),
                     mdates=[time.gmtime(t) for t in d["mtimes"]],
@@ -394,7 +419,6 @@ class AlbumOrganizer:
                     features=d["features"], indices=list(d["indices"]),
                     private_photo_indices=list(d["private"]))
 
-        mtimes = [os.path.getmtime(os.path.join(album_dir, f)) for f in files]
         mdates = [time.gmtime(t) for t in mtimes]
         per_photo = self._analyze_photos(album_dir, files)
         facial_images, born_years, genders, features, indices, private = \
@@ -405,7 +429,10 @@ class AlbumOrganizer:
                 private.append(i)
             facial_images.extend(crops)
             genders.extend(g)
-            features.extend(feats)
+            # the photo loop stores NORMALIZED features (reference
+            # :252-254); _faces_to_outputs returns them raw
+            features.extend(x / max(float(np.linalg.norm(x)), 1e-12)
+                            for x in feats)
             indices.extend([i] * len(ages))
             year = _photo_year(mdates[i])
             born_years.extend([year - (a - 0.5) for a in ages])

@@ -849,3 +849,157 @@ def test_video_downscale_before_rotation(tmp_path, monkeypatch):
     frames = [fr for fr, _ in V.annotated_video_frames(_Stub(), path,
                                                        frame_skip=1, batch=1)]
     assert frames and all(fr.shape == (640, 480, 3) for fr in frames)
+
+def test_video_frames_no_rotation_retry(tmp_path, monkeypatch):
+    """The reference's 90/270 rotation retry is PHOTO-loop-only
+    (process_photos.py:241-247); its video loop calls plain process_image
+    (:108). Both video paths must analyze each selected frame exactly once
+    — a faceless clip must never trigger extra rotated analyses."""
+    from hse_facerec_tf_tpu.pipelines.album import AlbumOrganizer
+
+    path = str(tmp_path / "faceless.mp4")
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                             (32, 32))
+    for _ in range(20):
+        writer.write(np.zeros((32, 32, 3), np.uint8))
+    writer.release()
+
+    calls = {"single": 0, "batch": 0}
+
+    class _Stub:
+        face_size = 8
+
+        def analyze(self, img):
+            calls["single"] += 1
+            return []
+
+        def analyze_batch_padded(self, imgs, lanes):
+            calls["batch"] += len(imgs)
+            return [[] for _ in imgs]
+
+    for analyze_batch in (1, 4):
+        calls["single"] = calls["batch"] = 0
+        org = AlbumOrganizer.__new__(AlbumOrganizer)
+        org.analyzer = _Stub()
+        org.config = AlbumConfig()
+        org.analyze_batch = analyze_batch
+        org.downscale = None
+        out = org.process_video(path, time.gmtime(0))
+        assert out[:4] == ([], [], [], [])
+        # delta stays 5 -> 4 selected frames; batch mode pre-analyzes the
+        # divisible-by-3-or-5 candidates but NEVER single-frame retries
+        if analyze_batch == 1:
+            assert calls == {"single": 4, "batch": 0}
+        else:
+            assert calls["single"] == 0 and calls["batch"] >= 4
+
+
+def test_video_cluster_features_are_raw_means(tmp_path):
+    """Reference process_video (:145-153) means the RAW per-frame features
+    of a cluster (normalization happens only when the album merges the
+    video cluster, :293-296) — mean-of-normalized is a different vector
+    when member norms differ."""
+    from hse_facerec_tf_tpu.pipelines.album import AlbumOrganizer
+    from hse_facerec_tf_tpu.pipelines.analyzer import FaceResult
+
+    path = str(tmp_path / "two.mp4")
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                             (32, 32))
+    for _ in range(30):
+        writer.write(np.full((32, 32, 3), 50, np.uint8))
+    writer.release()
+
+    base = np.zeros(8, np.float32)
+    base[0] = 1.0
+    norms = iter(float(1 + 2 * k) for k in range(64))
+
+    class _Stub:
+        face_size = 8
+        seen = []
+
+        def analyze(self, img):
+            s = next(norms)
+            _Stub.seen.append(s)
+            return [FaceResult(bbox=(0, 0, 8, 8), raw_bbox=(0, 0, 8, 8),
+                               score=1.0, age=30.0, gender_prob=0.9,
+                               identity=base * s, landmarks=np.zeros(10))]
+
+    org = AlbumOrganizer.__new__(AlbumOrganizer)
+    org.analyzer = _Stub()
+    org.config = AlbumConfig(min_no_frames=3)
+    org.analyze_batch = 1
+    org.downscale = None
+    crops, ages, genders, feats, has = org.process_video(path, time.gmtime(0))
+    assert has and len(feats) == 1
+    # all frames share one direction -> one cluster; its feature is the
+    # RAW mean: mean(norm_i) * e0, not the unit vector
+    want = np.mean(_Stub.seen) * base
+    np.testing.assert_allclose(feats[0], want, rtol=1e-6)
+
+
+def test_album_cache_invalidated_by_content_change(analyzer, fixture_img,
+                                                   tmp_path, monkeypatch):
+    """features.npz must not be returned for a changed album: adding a
+    photo (or touching one) forces a rescan; an unchanged album still hits
+    the cache."""
+    import hse_facerec_tf_tpu.pipelines.album as album_mod
+
+    d = tmp_path / "alb"
+    d.mkdir()
+    cv2.imwrite(str(d / "a.jpg"), cv2.cvtColor(fixture_img,
+                                               cv2.COLOR_RGB2BGR))
+    org = AlbumOrganizer(analyzer, AlbumConfig(minsize=40))
+    first = org.scan_album(str(d))
+    assert os.path.exists(d / "features.npz")
+
+    analyzed = {"n": 0}
+    orig = AlbumOrganizer._analyze_photos
+
+    def counting(self, album_dir, files):
+        analyzed["n"] += 1
+        return orig(self, album_dir, files)
+
+    monkeypatch.setattr(AlbumOrganizer, "_analyze_photos", counting)
+    # unchanged -> cache hit, no re-analysis
+    again = org.scan_album(str(d))
+    assert analyzed["n"] == 0 and len(again.indices) == len(first.indices)
+
+    # new photo -> stale cache detected, full rescan sees both photos
+    cv2.imwrite(str(d / "b.jpg"), cv2.cvtColor(fixture_img,
+                                               cv2.COLOR_RGB2BGR))
+    rescan = org.scan_album(str(d))
+    assert analyzed["n"] == 1
+    assert len(rescan.files) == 2
+    assert len(rescan.indices) == 2 * len(first.indices)
+
+def test_cli_video_writer_uses_source_fps(tmp_path, monkeypatch):
+    """`cli video --out` writes at source_fps / frame_skip (real playback
+    speed), never fps=0; --frame-skip < 1 exits cleanly."""
+    from hse_facerec_tf_tpu import cli
+
+    path = str(tmp_path / "clip.mp4")
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 24,
+                             (32, 32))
+    for _ in range(6):
+        writer.write(np.zeros((32, 32, 3), np.uint8))
+    writer.release()
+
+    class _Stub:
+        def analyze_batch_padded(self, imgs, lanes):
+            return [[] for _ in imgs]
+
+    monkeypatch.setattr(cli, "_build_analyzer", lambda a: _Stub())
+    captured = {}
+    real_writer = cv2.VideoWriter
+
+    def spy_writer(filename, fourcc, fps, size):
+        captured["fps"] = fps
+        return real_writer(filename, fourcc, fps, size)
+
+    monkeypatch.setattr(cv2, "VideoWriter", spy_writer)
+    out = str(tmp_path / "out.mp4")
+    cli.main(["video", path, "--out", out, "--frame-skip", "2"])
+    assert abs(captured["fps"] - 12.0) < 0.1
+
+    with pytest.raises(SystemExit):
+        cli.main(["video", path, "--frame-skip", "0"])

@@ -560,9 +560,10 @@ def test_cli_enroll_face_mode(tmp_path, rng, monkeypatch, capsys):
                                               face(vecs[v], 1.0)])
             return out
 
-        def analyze_with_rotations(self, img):
+        def analyze(self, img):
+            # the retry path is rotations-ONLY (no redundant upright pass)
             _StubAnalyzer.rotation_calls.append(int(img[0, 0, 0]))
-            return [], 0
+            return []
 
     monkeypatch.setattr(cli, "_build_analyzer", lambda a: _StubAnalyzer())
 
@@ -573,9 +574,10 @@ def test_cli_enroll_face_mode(tmp_path, rng, monkeypatch, capsys):
     assert out["skipped_no_face"] == [os.path.join("Alice_Smith",
                                                    "noface.png")]
     # all four same-shape photos went through ONE fused program (4 lanes),
-    # and only the no-face photo hit the rotation retry
+    # and only the no-face photo hit the retry: two rotated attempts, no
+    # redundant upright re-analysis
     assert _StubAnalyzer.batch_calls == [(4, 4)]
-    assert _StubAnalyzer.rotation_calls == [0]
+    assert _StubAnalyzer.rotation_calls == [0, 0]
 
     g = EnrollmentGallery(path=gpath)
     assert len(g) == 3 and g.stats()["n_labels"] == 2
