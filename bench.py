@@ -376,20 +376,22 @@ def bench_train_age_gender(chain=8, batch=256, size=224):
     backbone = init_mobilenet_params(kb)
     backbone.pop("classifier", None)
     params = {"backbone": backbone, **init_head_params(kh)}
-    optimizer = make_optimizer(1e-4, freeze_backbone=False)
-    opt_state = optimizer.init(params)
-    age_step, gender_step = make_steps(optimizer, jit=False)
+    age_opt = make_optimizer(1e-4, freeze_backbone=False, task="age")
+    gender_opt = make_optimizer(1e-4, freeze_backbone=False, task="gender")
+    age_os = age_opt.init(params)
+    gender_os = gender_opt.init(params)
+    age_step, gender_step = make_steps(age_opt, gender_opt, jit=False)
 
     @jax.jit
-    def many(params, opt_state, keys, images, ages, genders):
+    def many(params, age_os, gender_os, keys, images, ages, genders):
         def body(carry, key):
-            p, o = carry
+            p, oa, og = carry
             ka, kg = jax.random.split(key)
-            p, o, m1 = age_step(p, o, ka, images, ages)
-            p, o, m2 = gender_step(p, o, kg, images, genders)
-            return (p, o), m1["age_loss"] + m2["gender_loss"]
-        (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), keys)
+            p, oa, m1 = age_step(p, oa, ka, images, ages)
+            p, og, m2 = gender_step(p, og, kg, images, genders)
+            return (p, oa, og), m1["age_loss"] + m2["gender_loss"]
+        (params, age_os, gender_os), losses = jax.lax.scan(
+            body, (params, age_os, gender_os), keys)
         return losses[-1]
 
     rng = np.random.RandomState(0)
@@ -397,11 +399,11 @@ def bench_train_age_gender(chain=8, batch=256, size=224):
     ages = jnp.asarray(rng.randint(0, 100, batch))
     genders = jnp.asarray(rng.randint(0, 2, batch))
     keys = jax.random.split(jax.random.PRNGKey(0), chain)
-    loss = np.asarray(many(params, opt_state, keys, images, ages, genders))
+    loss = np.asarray(many(params, age_os, gender_os, keys, images, ages, genders))
     assert np.isfinite(loss), f"age/gender train bench diverged: loss={loss}"
     t0 = time.perf_counter()
     iters = 2
-    outs = [many(params, opt_state, keys, images, ages, genders)
+    outs = [many(params, age_os, gender_os, keys, images, ages, genders)
             for _ in range(iters)]
     np.asarray(outs[-1])
     # images/sec counting each image once per age+gender PAIR of steps

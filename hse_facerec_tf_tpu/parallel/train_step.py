@@ -91,8 +91,11 @@ def make_sharded_age_gender_trainer(mesh: Mesh, lr: float = 1e-3,
 
     The heads are tiny (1024→256→100/1), so the honest layout is pure batch
     data parallelism over the WHOLE mesh (both axes), params replicated —
-    GSPMD turns the gradient reductions into psums over ICI. Returns
-    (params, opt_state, age_step, gender_step, batch_sharding)."""
+    GSPMD turns the gradient reductions into psums over ICI. Each task owns
+    its own Adam state (the reference's separately-compiled age_model /
+    gender_model, ``age_gender_train.py:243-245``). Returns
+    (params, age_opt_state, gender_opt_state, age_step, gender_step,
+    batch_sharding)."""
     from ..models.mobilenet import init_mobilenet_params
     from ..train.age_gender import (init_head_params, make_optimizer as
                                     make_ag_optimizer, make_steps)
@@ -100,16 +103,19 @@ def make_sharded_age_gender_trainer(mesh: Mesh, lr: float = 1e-3,
     kb, kh = jax.random.split(jax.random.PRNGKey(seed))
     params = {"backbone": init_mobilenet_params(kb, width=width),
               **init_head_params(kh, backbone_dim=max(8, int(1024 * width)))}
-    optimizer = make_ag_optimizer(lr, freeze_backbone)
-    opt_state = optimizer.init(params)
-    age_step, gender_step = make_steps(optimizer,
+    age_opt = make_ag_optimizer(lr, freeze_backbone, task="age")
+    gender_opt = make_ag_optimizer(lr, freeze_backbone, task="gender")
+    age_opt_state = age_opt.init(params)
+    gender_opt_state = gender_opt.init(params)
+    age_step, gender_step = make_steps(age_opt, gender_opt,
                                        freeze_backbone=freeze_backbone,
                                        jit=False)
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(tuple(mesh.axis_names)))  # DP over all axes
     params = jax.device_put(params, repl)
-    opt_state = jax.device_put(opt_state, repl)
+    age_opt_state = jax.device_put(age_opt_state, repl)
+    gender_opt_state = jax.device_put(gender_opt_state, repl)
 
     def jit_step(step):
         return jax.jit(step,
@@ -117,7 +123,8 @@ def make_sharded_age_gender_trainer(mesh: Mesh, lr: float = 1e-3,
                        out_shardings=(repl, repl, repl),
                        donate_argnums=(0, 1))
 
-    return params, opt_state, jit_step(age_step), jit_step(gender_step), data
+    return (params, age_opt_state, gender_opt_state,
+            jit_step(age_step), jit_step(gender_step), data)
 
 
 def run_one_sharded_age_gender_pair(mesh: Mesh, batch: int = None,
@@ -126,7 +133,7 @@ def run_one_sharded_age_gender_pair(mesh: Mesh, batch: int = None,
     driver dry run + tests."""
     n_dev = int(np.prod(list(mesh.shape.values())))
     batch = batch or 2 * n_dev
-    params, opt_state, age_step, gender_step, _ = \
+    params, age_os, gender_os, age_step, gender_step, _ = \
         make_sharded_age_gender_trainer(mesh, width=0.25, seed=seed)
     rng = np.random.RandomState(seed)
     images = jnp.asarray(rng.rand(batch, image_size, image_size, 3)
@@ -134,8 +141,8 @@ def run_one_sharded_age_gender_pair(mesh: Mesh, batch: int = None,
     ages = jnp.asarray(rng.randint(0, 100, batch))
     genders = jnp.asarray(rng.randint(0, 2, batch))
     key = jax.random.PRNGKey(seed)
-    params, opt_state, m1 = age_step(params, opt_state, key, images, ages)
-    params, opt_state, m2 = gender_step(params, opt_state, key, images, genders)
+    params, age_os, m1 = age_step(params, age_os, key, images, ages)
+    params, gender_os, m2 = gender_step(params, gender_os, key, images, genders)
     jax.block_until_ready(m2["gender_loss"])
     return {**{k: float(v) for k, v in m1.items()},
             **{k: float(v) for k, v in m2.items()}}

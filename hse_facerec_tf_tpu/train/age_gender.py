@@ -79,26 +79,58 @@ def forward(params: Dict, images, *, train: bool = False, dropout_key=None,
     return age_logits, gender_logit, stats
 
 
-def make_optimizer(lr: float, freeze_backbone: bool) -> optax.GradientTransformation:
-    if not freeze_backbone:
-        return optax.adam(lr)
-    # zero out backbone updates during the frozen phase (:240-247)
+L2_REG = 4e-5           # kernel_regularizer=l2(4e-5) (:178-181)
+ADAM_DECAY = 1e-6       # Adam(lr, decay=1e-6) (:243,262)
+
+
+def make_optimizer(lr: float, freeze_backbone: bool,
+                   task: Optional[str] = None) -> optax.GradientTransformation:
+    """Per-task Adam with the reference's legacy-Keras lr decay
+    ``lr/(1 + 1e-6·t)``.
+
+    ``task``: 'age' or 'gender' — the OTHER head is excluded from updates.
+    The reference compiles age_model and gender_model separately
+    (:243-245), so each task owns its own Adam slots and never moves the
+    other task's head; a shared Adam state would drift the idle head
+    through stale momentum even at zero gradient."""
+    adam = optax.adam(lambda t: lr / (1.0 + ADAM_DECAY * t))
+    other = {"age": "gender", "gender": "age"}.get(task)
+    if not freeze_backbone and other is None:
+        return adam
+
     def label_tree(params):
-        return {k: ("frozen" if k == "backbone" else "train") for k in params}
+        # zero out backbone updates during the frozen phase (:240-247)
+        return {k: ("frozen" if (freeze_backbone and k == "backbone")
+                    or k == other else "train") for k in params}
 
     return optax.multi_transform(
-        {"train": optax.adam(lr), "frozen": optax.set_to_zero()}, label_tree)
+        {"train": adam, "frozen": optax.set_to_zero()}, label_tree)
 
 
-def make_steps(optimizer: optax.GradientTransformation, bn_momentum: float = 0.99,
+def _l2_penalty(params: Dict, heads) -> jnp.ndarray:
+    """Keras ``l2(4e-5)`` adds ``4e-5·Σw²`` per regularized kernel to the
+    LOSS; each reference task model contains ``feats`` plus its own head
+    Dense (:178-181), never the other task's."""
+    return L2_REG * sum(jnp.sum(jnp.square(params[h]["kernel"]))
+                        for h in heads)
+
+
+def make_steps(age_optimizer: optax.GradientTransformation,
+               gender_optimizer: Optional[optax.GradientTransformation] = None,
+               bn_momentum: float = 0.99,
                freeze_backbone: bool = False, jit: bool = True):
-    """Two donated jitted steps sharing the param pytree (``jit=False``
-    returns the raw functions for callers that apply their own jit with mesh
-    shardings — parallel/train_step.py).
+    """Two donated jitted steps sharing the param pytree, each with its OWN
+    optimizer/state (the reference's separately-compiled age_model /
+    gender_model, :243-245). ``jit=False`` returns the raw functions for
+    callers that apply their own jit with mesh shardings —
+    parallel/train_step.py. Step signature:
+    ``step(params, own_opt_state, key, images, labels)``.
 
     With ``freeze_backbone`` the trunk runs inference-mode BN and its running
     statistics stay untouched (the reference's frozen Keras base — a frozen
     TF2 layer does not update BN moments)."""
+    if gender_optimizer is None:
+        gender_optimizer = age_optimizer
     backbone_train = not freeze_backbone
 
     def maybe_update(params, stats):
@@ -112,11 +144,12 @@ def make_steps(optimizer: optax.GradientTransformation, bn_momentum: float = 0.9
             age_logits, _, stats = forward(p, images, train=True, dropout_key=key,
                                            backbone_train=backbone_train)
             ce = optax.softmax_cross_entropy_with_integer_labels(age_logits, ages).mean()
+            ce = ce + _l2_penalty(p, ("feats", "age"))
             acc = jnp.mean(jnp.argmax(age_logits, -1) == ages)
             return ce, (stats, acc)
 
         (l, (stats, acc)), grads = jax.value_and_grad(loss, has_aux=True)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
+        updates, opt_state = age_optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         params = maybe_update(params, stats)
         return params, opt_state, {"age_loss": l, "age_acc": acc}
@@ -127,11 +160,12 @@ def make_steps(optimizer: optax.GradientTransformation, bn_momentum: float = 0.9
                                              backbone_train=backbone_train)
             bce = optax.sigmoid_binary_cross_entropy(gender_logit,
                                                      genders.astype(jnp.float32)).mean()
+            bce = bce + _l2_penalty(p, ("feats", "gender"))
             acc = jnp.mean((gender_logit > 0) == (genders > 0.5))
             return bce, (stats, acc)
 
         (l, (stats, acc)), grads = jax.value_and_grad(loss, has_aux=True)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
+        updates, opt_state = gender_optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         params = maybe_update(params, stats)
         return params, opt_state, {"gender_loss": l, "gender_acc": acc}
@@ -158,10 +192,16 @@ class AgeGenderTrainer:
         self._configure(self.cfg.learning_rate, freeze_backbone=True)
 
     def _configure(self, lr: float, freeze_backbone: bool):
-        self.optimizer = make_optimizer(lr, freeze_backbone)
-        self.opt_state = self.optimizer.init(self.params)
+        # one optimizer/state per task — the reference's separately
+        # compiled age_model/gender_model (:243-245)
+        self.age_optimizer = make_optimizer(lr, freeze_backbone, task="age")
+        self.gender_optimizer = make_optimizer(lr, freeze_backbone,
+                                               task="gender")
+        self.age_opt_state = self.age_optimizer.init(self.params)
+        self.gender_opt_state = self.gender_optimizer.init(self.params)
         self._age_step, self._gender_step = make_steps(
-            self.optimizer, freeze_backbone=freeze_backbone)
+            self.age_optimizer, self.gender_optimizer,
+            freeze_backbone=freeze_backbone)
 
     def unfreeze(self, lr: Optional[float] = None):
         """Phase 2: fine-tune the whole network (:249-269)."""
@@ -170,29 +210,31 @@ class AgeGenderTrainer:
     def train_alternating(self, age_batches: Iterator, gender_batches: Iterator,
                           steps: int) -> Dict[str, float]:
         """Interleave age and gender batches 1:1 (:194-232)."""
-        metrics: Dict[str, float] = {}
+        metrics: Dict = {}
         for s in range(steps):
             self.key, sub = jax.random.split(self.key)
             if s % 2 == 0:
                 images, ages = next(age_batches)
-                self.params, self.opt_state, m = self._age_step(
-                    self.params, self.opt_state, sub,
+                self.params, self.age_opt_state, m = self._age_step(
+                    self.params, self.age_opt_state, sub,
                     jnp.asarray(images, jnp.float32), jnp.asarray(ages))
             else:
                 images, genders = next(gender_batches)
-                self.params, self.opt_state, m = self._gender_step(
-                    self.params, self.opt_state, sub,
+                self.params, self.gender_opt_state, m = self._gender_step(
+                    self.params, self.gender_opt_state, sub,
                     jnp.asarray(images, jnp.float32), jnp.asarray(genders))
-            metrics = {**metrics, **{k: float(v) for k, v in m.items()}}
-        return metrics
+            metrics = {**metrics, **m}
+        # device values accumulate asynchronously; ONE fetch at the end —
+        # per-step float() conversions would block a round trip per metric
+        return {k: float(v) for k, v in jax.device_get(metrics).items()}
 
     def evaluate(self, images: np.ndarray, ages: np.ndarray, genders: np.ndarray,
                  batch_size: int = 64) -> Dict[str, float]:
         age_ok = gender_ok = 0
         for i in range(0, len(images), batch_size):
-            al, gl = self._eval_fwd(self.params,
-                                    jnp.asarray(images[i:i + batch_size], jnp.float32))
-            age_ok += int((np.argmax(np.asarray(al), -1) == ages[i:i + batch_size]).sum())
-            gender_ok += int(((np.asarray(gl) > 0) == (genders[i:i + batch_size] > 0.5)).sum())
+            al, gl = jax.device_get(self._eval_fwd(
+                self.params, jnp.asarray(images[i:i + batch_size], jnp.float32)))
+            age_ok += int((np.argmax(al, -1) == ages[i:i + batch_size]).sum())
+            gender_ok += int(((gl > 0) == (genders[i:i + batch_size] > 0.5)).sum())
         n = len(images)
         return {"age_acc": age_ok / n, "gender_acc": gender_ok / n}

@@ -134,6 +134,44 @@ def test_age_gender_alternating_training(rng):
     assert 0.0 <= stats["gender_acc"] <= 1.0
 
 
+def test_age_gender_per_task_optimizer_isolation(rng):
+    """An age step must not move the gender head (and vice versa): the
+    reference compiles age_model and gender_model separately
+    (``age_gender_train.py:243-245``), so each task owns its own Adam slots.
+    A shared Adam state would drift the idle head through stale momentum
+    even at zero gradient."""
+    imgs = rng.rand(8, 64, 64, 3).astype(np.float32) * 2 - 1
+    ages = rng.randint(0, 100, 8)
+    genders = (rng.rand(8) > 0.5).astype(np.float32)
+    trainer = AgeGenderTrainer(seed=0)
+    trainer.unfreeze()  # unfrozen phase: backbone moves, other head must not
+
+    def heads(p):
+        return jax.tree.map(np.asarray, {"age": p["age"], "gender": p["gender"]})
+
+    # seed both Adam states with real momentum first
+    m = trainer.train_alternating(iter(lambda: (imgs, ages), None),
+                                  iter(lambda: (imgs, genders), None), steps=2)
+    before = heads(trainer.params)
+    # one age-only step: gender head must be bit-identical after
+    trainer.params, trainer.age_opt_state, _ = trainer._age_step(
+        trainer.params, trainer.age_opt_state, jax.random.PRNGKey(7),
+        jax.numpy.asarray(imgs), jax.numpy.asarray(ages))
+    after = heads(trainer.params)
+    np.testing.assert_array_equal(after["gender"]["kernel"], before["gender"]["kernel"])
+    np.testing.assert_array_equal(after["gender"]["bias"], before["gender"]["bias"])
+    assert not np.allclose(after["age"]["kernel"], before["age"]["kernel"])
+    # and one gender-only step leaves the age head untouched
+    before = after
+    trainer.params, trainer.gender_opt_state, _ = trainer._gender_step(
+        trainer.params, trainer.gender_opt_state, jax.random.PRNGKey(8),
+        jax.numpy.asarray(imgs), jax.numpy.asarray(genders))
+    after = heads(trainer.params)
+    np.testing.assert_array_equal(after["age"]["kernel"], before["age"]["kernel"])
+    assert not np.allclose(after["gender"]["kernel"], before["gender"]["kernel"])
+    assert np.isfinite(m["age_loss"]) and np.isfinite(m["gender_loss"])
+
+
 def test_checkpoint_save_best_early_stop(tmp_path):
     ck = BestCheckpoint(str(tmp_path), mode="max", patience=2)
     params = {"a": np.arange(3.0), "b": {"c": np.ones((2, 2))}}
