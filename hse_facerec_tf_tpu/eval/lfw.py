@@ -88,10 +88,11 @@ def classifier_suite(features: np.ndarray, labels: np.ndarray,
     sss = StratifiedShuffleSplit(n_splits=1, test_size=0.5, random_state=0)
     (tr, te), = sss.split(feats, labs)
     results: Dict[str, float] = {}
+    # one SVD for both k values — the projection is k-independent
+    tr_p, te_p = ident.pca_project(feats[tr], feats[te], pca_components)
     for k in (1, 3):
         knn = ident.KNNIdentifier(k=k, normalize=False).fit(feats[tr], labs[tr])
         results[f"{k}nn"] = knn.score(feats[te], labs[te])
-        tr_p, te_p = ident.pca_project(feats[tr], feats[te], pca_components)
         knn_p = ident.KNNIdentifier(k=k, normalize=False).fit(tr_p, labs[tr])
         results[f"{k}nn_pca{pca_components}"] = knn_p.score(te_p, labs[te])
     return results

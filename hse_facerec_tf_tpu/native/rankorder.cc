@@ -84,7 +84,9 @@ int rank_order_cluster(const float* dist, int n, int n_neighbours, int k_norm,
                        float t, float norm_threshold, int* labels_out) {
   if (n <= 0) return 0;
   const int nn = std::min(n_neighbours, n);
-  const int k_eff = std::min(n_neighbours, k_norm);
+  // reference divisor: min(len(neighbour_list), K) — the list holds
+  // min(n, n_neighbours) entries (facial_clustering.py:85-86)
+  const int k_eff = std::min(nn, k_norm);
 
   // Per-face top-k absolute-distance sums (self included at rank 0).
   std::vector<double> face_topk_sum(n, 0.0);

@@ -88,7 +88,10 @@ def _rank_order_clusters(dist_matrix: np.ndarray, n_neighbours: int = 20,
     face_nbrs = order[:, :n_neighbours]                     # includes self at rank 0
     face_nbr_dists = np.take_along_axis(dist_matrix, face_nbrs, axis=1)
     face_topk_sum = face_nbr_dists[:, :k_norm].sum(axis=1)
-    k_eff = min(n_neighbours, k_norm)
+    # the reference divides by min(len(neighbour_list), K)
+    # (facial_clustering.py:85-86) — the neighbour list holds min(n, 20)
+    # entries, so with fewer than K faces the divisor is n, not K
+    k_eff = min(face_nbrs.shape[1], k_norm)
 
     clusters: List[List[int]] = [[i] for i in range(n)]
 

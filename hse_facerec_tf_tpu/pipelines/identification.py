@@ -50,7 +50,8 @@ class KNNIdentifier:
         self.mesh = mesh
         self.quantized = quantized
         self._gallery = None
-        self._labels = None
+        self._labels = None        # host numpy: used for host indexing only
+        self._labels_dev = None    # device copy for the on-device argmin path
 
     def fit(self, features: np.ndarray, labels: np.ndarray) -> "KNNIdentifier":
         g = jnp.asarray(features, jnp.float32)
@@ -62,7 +63,11 @@ class KNNIdentifier:
             self._gallery = quantize_embeddings(g)     # (q int8, scale)
         else:
             self._gallery = g   # mesh path quantizes inside the sharded sweep
-        self._labels = jnp.asarray(labels)
+        # labels stay HOST-side: 3 of the 4 predict paths only index with
+        # them on host, and re-downloading a device copy per predict costs a
+        # ~30 ms round trip over the tunnel each call
+        self._labels = np.asarray(labels)
+        self._labels_dev = jnp.asarray(self._labels)
         return self
 
     def predict(self, probes: np.ndarray) -> np.ndarray:
@@ -75,16 +80,17 @@ class KNNIdentifier:
 
                 _, idx = nearest_neighbor_sharded(p, self._gallery, self.mesh,
                                                   int8=self.quantized)
-                return np.asarray(self._labels)[np.asarray(idx)]
+                return self._labels[np.asarray(idx)]
             if self.quantized:
                 from ..ops.pallas.knn import nearest_neighbor_auto
 
                 _, idx = nearest_neighbor_auto(p, self._gallery, int8=True)
-                return np.asarray(self._labels)[np.asarray(idx)]
-            pred, _ = nearest_neighbor(self._gallery, self._labels, p, self.metric)
+                return self._labels[np.asarray(idx)]
+            pred, _ = nearest_neighbor(self._gallery, self._labels_dev, p,
+                                       self.metric)
             return np.asarray(pred)
         idx, _ = top_k_neighbors(self._gallery, p, self.k, self.metric)
-        votes = np.asarray(self._labels)[np.asarray(idx)]  # (M, k)
+        votes = self._labels[np.asarray(idx)]  # (M, k)
         out = np.empty(len(votes), dtype=votes.dtype)
         for i, row in enumerate(votes):
             vals, counts = np.unique(row, return_counts=True)
@@ -141,13 +147,20 @@ def stratified_split_eval(features: np.ndarray, labels: np.ndarray,
 def single_image_per_class_splits(labels: np.ndarray, n_splits: int = 10,
                                   seed: int = 0):
     """Gallery = 1 random image per class, probe = rest
-    (reference ``get_single_image_per_class_cv`` :177-198)."""
+    (reference ``get_single_image_per_class_cv`` :177-198).
+
+    Returns the list of (train, test) index pairs, built EAGERLY: the
+    reference seeds the global numpy RNG once and generates every split in
+    one uninterrupted loop (:180-190), so all shuffles must run before any
+    consumer code (e.g. an unseeded RandomForest) can touch np.random —
+    a lazy generator would silently desync the reference-identical
+    shuffle sequence."""
     labels = np.asarray(labels)
     inds = np.arange(len(labels))
-    # intentionally seeds/consumes the GLOBAL numpy RNG: the reference does
-    # exactly this (facerec_test.py:180-190), and reproducing its accuracy
-    # numbers requires the identical shuffle sequence.
+    # intentionally seeds/consumes the GLOBAL numpy RNG: reproducing the
+    # reference's accuracy numbers requires the identical shuffle sequence.
     np.random.seed(seed)
+    splits = []
     for _ in range(n_splits):
         tr, te = [], []
         for lbl in np.unique(labels):
@@ -155,7 +168,8 @@ def single_image_per_class_splits(labels: np.ndarray, n_splits: int = 10,
             np.random.shuffle(tmp)
             tr.extend(tmp[:1])
             te.extend(tmp[1:])
-        yield np.asarray(tr), np.asarray(te)
+        splits.append((np.asarray(tr), np.asarray(te)))
+    return splits
 
 
 def single_image_eval(features: np.ndarray, labels: np.ndarray,

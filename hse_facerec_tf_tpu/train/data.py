@@ -63,6 +63,18 @@ class DirectoryDataset:
         q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            """Bounded-wait q.put that re-checks ``stop`` — a plain q.put
+            blocks forever on a full queue once the consumer is gone,
+            permanently leaking this thread and its decoded batches."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             import sys
 
@@ -74,22 +86,37 @@ class DirectoryDataset:
                     for s in range(0, end, batch_size):
                         if stop.is_set():
                             return
-                        idx = order[s:s + batch_size]
+                        # fill to the intended batch length even across corrupt
+                        # files: a short batch would break the fixed-shape
+                        # contract the jitted train step was traced for (fresh
+                        # compile per shortfall size; sharding-divisibility
+                        # errors under a mesh)
+                        target = len(order[s:s + batch_size])
+                        pending = list(order[s:s + batch_size])
                         imgs, labels = [], []
-                        for i in idx:
+                        attempts = 0
+                        while pending and attempts < target + 3 * batch_size:
+                            i = pending.pop(0)
+                            attempts += 1
                             try:
                                 imgs.append(self._load(i))
                                 labels.append(self.labels[i])
-                            except Exception as e:  # corrupt file: skip, warn
+                            except Exception as e:  # corrupt file: warn, refill
                                 print(f"warning: skipping unreadable "
                                       f"{self.paths[i]}: {e}", file=sys.stderr)
-                        if imgs:
-                            q.put((np.stack(imgs), np.asarray(labels)))
+                                pending.append(int(rng.randint(0, len(self))))
+                        n_loaded = len(imgs)
+                        while imgs and len(imgs) < target:  # pathological tail
+                            j = len(imgs) % n_loaded  # cycle the loaded ones
+                            imgs.append(imgs[j])
+                            labels.append(labels[j])
+                        if imgs and not put((np.stack(imgs), np.asarray(labels))):
+                            return
                     epoch += 1
             except Exception as e:  # unexpected: surface to the consumer
-                q.put(e)
+                put(e)
             finally:
-                q.put(None)
+                put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

@@ -23,8 +23,8 @@ import optax
 
 from ..config import TrainConfig
 from ..models.layers import dense, global_avg_pool
-from ..models.mobilenet import (init_mobilenet_params, mobilenet_v1_backbone,
-                                update_bn_stats)
+from ..models.mobilenet import (init_mobilenet_params, mobilenet_embed,
+                                mobilenet_v1_backbone, update_bn_stats)
 from .augment import AugmentConfig, augment_batch
 
 
@@ -117,13 +117,17 @@ class FaceIdTrainer:
         else:
             self._step = jax.jit(step, donate_argnums=(0, 1))
         self._eval = jax.jit(forward_eval)
+        self._embed = jax.jit(lambda p, x: mobilenet_embed(
+            p, x, precision=jax.lax.Precision.DEFAULT,
+            compute_dtype=jnp.bfloat16))
 
     def train_batch(self, images: np.ndarray, labels: np.ndarray) -> Dict[str, float]:
         self.key, sub = jax.random.split(self.key)
         self.params, self.opt_state, metrics = self._step(
             self.params, self.opt_state, sub,
             jnp.asarray(images, jnp.float32), jnp.asarray(labels))
-        return {k: float(v) for k, v in metrics.items()}
+        # one host fetch for the whole metrics dict, not one per scalar
+        return {k: float(v) for k, v in jax.device_get(metrics).items()}
 
     def eval_accuracy(self, images: np.ndarray, labels: np.ndarray,
                       batch_size: int = 64) -> float:
@@ -136,7 +140,5 @@ class FaceIdTrainer:
         return correct / len(images)
 
     def embed(self, images: np.ndarray) -> np.ndarray:
-        h = mobilenet_v1_backbone(self.params, jnp.asarray(images, jnp.float32),
-                                  precision=jax.lax.Precision.DEFAULT,
-                                  compute_dtype=jnp.bfloat16)
-        return np.asarray(global_avg_pool(h).astype(jnp.float32))
+        return np.asarray(self._embed(self.params,
+                                      jnp.asarray(images, jnp.float32)))

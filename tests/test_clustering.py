@@ -140,6 +140,29 @@ def test_rankorder_native_matches_python(rng):
     assert canon(got) == canon(want)
 
 
+def test_rankorder_small_n_divisor():
+    """With fewer than k_norm=12 faces the normalization divisor is n (the
+    neighbour-list length), not 12 — the reference's min(len(list), K)
+    (facial_clustering.py:85-86). A /12 divisor at n=6 doubles every
+    normalized distance and over-fragments small albums: at this geometry
+    the buggy divisor loses two of the three pairs."""
+    from hse_facerec_tf_tpu.native import rankorder as native_ro
+    from hse_facerec_tf_tpu.pipelines.clustering import _rank_order_clusters
+
+    feats, _ = _blobs(np.random.RandomState(0), n_classes=3, per_class=2,
+                      spread=1.6)
+    dist = np.array(pairwise_euclidean(feats, feats))
+    np.fill_diagonal(dist, 0.0)
+    canon = lambda cs: sorted(tuple(sorted(c)) for c in cs)
+    got = canon(_rank_order_clusters(dist))
+    assert got == [(0, 1), (2, 3), (4, 5)]
+    # the buggy /12 divisor is equivalent to halving the threshold — it
+    # fragments this geometry (sanity that the case discriminates)
+    assert canon(_rank_order_clusters(dist, norm_threshold=0.45)) != got
+    if native_ro.available():
+        assert canon(native_ro.rank_order_cluster_native(dist)) == got
+
+
 def test_rankorder_native_speed(rng):
     """Native core should beat the Python loop comfortably at N=300."""
     import time

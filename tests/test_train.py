@@ -245,6 +245,56 @@ def test_directory_dataset(tmp_path, rng):
     assert set(np.unique(np.concatenate([b[1] for b in batches]))) <= {0, 1}
 
 
+def test_directory_dataset_corrupt_file_keeps_batch_shape(tmp_path, rng):
+    """A corrupt image must not shrink the batch: the jitted train step is
+    traced for a fixed (batch_size, H, W, 3) shape, and under a mesh a
+    non-divisible batch is a hard sharding error."""
+    import cv2
+
+    from hse_facerec_tf_tpu.train.data import DirectoryDataset
+
+    (tmp_path / "c").mkdir()
+    for j in range(7):
+        img = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+        cv2.imwrite(str(tmp_path / "c" / f"{j}.jpg"), img)
+    (tmp_path / "c" / "bad.jpg").write_bytes(b"not a jpeg")
+
+    ds = DirectoryDataset(str(tmp_path), image_size=(16, 16))
+    assert len(ds) == 8
+    batches = list(ds.batches(4, epochs=1, seed=0))
+    assert len(batches) == 2
+    for imgs, labels in batches:
+        assert imgs.shape == (4, 16, 16, 3)
+        assert labels.shape == (4,)
+
+
+def test_directory_dataset_abandoned_iterator_stops_producer(tmp_path, rng):
+    """Breaking out of the batch loop must terminate the decode thread —
+    q.put blocking forever on a full queue would leak a thread plus its
+    prefetched float32 batches per abandoned iterator."""
+    import threading
+    import time
+
+    import cv2
+
+    from hse_facerec_tf_tpu.train.data import DirectoryDataset
+
+    (tmp_path / "c").mkdir()
+    for j in range(64):
+        img = (rng.rand(8, 8, 3) * 255).astype(np.uint8)
+        cv2.imwrite(str(tmp_path / "c" / f"{j}.jpg"), img)
+
+    ds = DirectoryDataset(str(tmp_path), image_size=(8, 8))
+    before = threading.active_count()
+    it = ds.batches(4, prefetch=1)  # endless epochs; tiny queue
+    next(it)
+    it.close()  # generator finally -> stop.set()
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+
+
 def test_labeled_dir_dataset(tmp_path, rng):
     import cv2
 
