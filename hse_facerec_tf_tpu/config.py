@@ -22,6 +22,9 @@ class DetectorConfig:
     max_level_boxes: int = 384
     max_stage2: int = 128
     max_stage3: int = 64
+    # cap-doubling retries detect()/detect_batch() may take when a static
+    # budget saturates on a dense crowd (pipelines/detector.py::caps_for)
+    max_escalations: int = 2
 
 
 @dataclasses.dataclass

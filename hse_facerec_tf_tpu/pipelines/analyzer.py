@@ -135,13 +135,14 @@ class FacialAnalyzer:
                              jnp.clip(x2, 0, w), jnp.clip(y2, 0, h)], axis=-1)
         return rect, dilated
 
-    def _analyze_fn(self, h: int, w: int, head_batch: Optional[int] = None):
+    def _analyze_fn(self, h: int, w: int, head_batch: Optional[int] = None,
+                    tier: int = 0):
         k = head_batch or self.head_batch
-        key = (h, w, k)
+        key = (h, w, k, tier)
         if key in self._jitted:
             return self._jitted[key]
 
-        detect = self.detector.detect_fn(h, w)
+        detect = self.detector.detect_fn(h, w, tier)
         heads = self.heads
 
         def fn(params, img):
@@ -217,7 +218,7 @@ class FacialAnalyzer:
         key = ("batch", h, w, k, mesh_key)
         if key not in self._jitted:
             self._analyze_fn(h, w, k)   # builds the shared core
-            core = self._cores[(h, w, k)]
+            core = self._cores[(h, w, k, 0)]
             vfn = jax.vmap(core, in_axes=(None, 0))
             if mesh is not None:
                 from ..parallel.sharding import batch_sharding, replicated
@@ -326,20 +327,34 @@ class FacialAnalyzer:
         return results
 
     def analyze(self, img: np.ndarray) -> List[FaceResult]:
-        """RGB uint8/float (H, W, 3) -> per-face results."""
+        """RGB uint8/float (H, W, 3) -> per-face results.
+
+        Crowd robustness: when the detector's static box budgets saturate
+        (fused-program ``truncated`` output), re-runs at doubled-cap tiers
+        like ``MTCNNDetector.detect`` (up to ``max_escalations``); when only
+        the compact HEAD budget saturates, re-runs the full-head-width
+        program at the current tier. Each (shape, tier, width) program
+        compiles once, cached persistently."""
         h, w = img.shape[:2]
-        fn = self._analyze_fn(h, w)
+        dev = jnp.asarray(img)
         # fetch the whole tuple in ONE host transfer and test the truncation
-        # flag on host — a separate bool(out[10]) scalar fetch costs its own
-        # device round trip on every call
-        out_np = jax.device_get(fn(self.mh_params, jnp.asarray(img)))
-        if bool(out_np[10]) and self.head_batch < self.detector.max_stage3:
+        # flags on host — a separate bool(out[...]) scalar fetch costs its
+        # own device round trip on every call
+        tier = 0
+        out_np = jax.device_get(self._analyze_fn(h, w)(self.mh_params, dev))
+        while bool(out_np[9]) and tier < self.detector.max_escalations:
+            tier += 1
+            fn = self._analyze_fn(h, w, tier=tier)
+            out_np = jax.device_get(fn(self.mh_params, dev))
+        width = self.detector.caps_for(h, w, tier)[2]  # stage-3 width
+        if bool(out_np[10]) and self.head_batch < width:
             # more valid faces than the compact head budget: re-run the
             # full-width program (compiled once, cached) so every face gets
             # real head outputs
-            fn = self._analyze_fn(h, w, self.detector.max_stage3)
-            out_np = jax.device_get(fn(self.mh_params, jnp.asarray(img)))
-        self.detector._warn_truncated(bool(out_np[9]))
+            fn = self._analyze_fn(h, w, width, tier=tier)
+            out_np = jax.device_get(fn(self.mh_params, dev))
+        self.detector._warn_truncated(bool(out_np[9]),
+                                      self.detector.caps_for(h, w, tier))
         identity = self._scatter_identity(out_np[7], out_np[8], len(out_np[4]))
         return self._assemble_results(out_np, identity)
 
@@ -369,7 +384,8 @@ class FacialAnalyzer:
         if self.oversample:
             # 5-crop oversampling only exists in the vmapped per-lane form
             fn = self._analyze_batch_fn(h, w, mesh=self.mesh)
-            can_fallback = self._batch_head_budget() < self.detector.max_stage3
+            can_fallback = (self._batch_head_budget()
+                            < self.detector.caps_for(h, w)[2])
         elif self.mesh is not None:
             n_shards = int(np.prod(list(self.mesh.shape.values())))
             if n % n_shards:
@@ -388,7 +404,7 @@ class FacialAnalyzer:
             if key not in self._jitted:
                 self._jitted[key] = self._batch_compact_sharded_fn(h, w, total)
             fn = self._jitted[key]
-            can_fallback = total < lanes_ps * self.detector.max_stage3
+            can_fallback = total < lanes_ps * self.detector.caps_for(h, w)[2]
         else:
             total = self.batch_head_total or max(16, 2 * n)
             key = ("cbatch", n, h, w, total)
@@ -396,11 +412,17 @@ class FacialAnalyzer:
                 self._jitted[key] = jax.jit(
                     self._build_batch_compact_fn(h, w, total))
             fn = self._jitted[key]
-            can_fallback = total < n * self.detector.max_stage3
+            can_fallback = total < n * self.detector.caps_for(h, w)[2]
         # ONE batched host transfer for the whole output tuple: per-array
         # np.asarray costs a full host<->device round trip per buffer
         out = jax.device_get(fn(self.mh_params, jnp.asarray(images)))
-        self.detector._warn_truncated(bool(out[9][:n_valid].any()))
+        # lanes whose DETECTOR budgets truncated re-run through the
+        # single-image path below, which escalates cap tiers; warn at the
+        # batch level only when escalation is disabled
+        det_esc = self.detector.max_escalations > 0
+        self.detector._warn_truncated(
+            bool(out[9][:n_valid].any()) and not det_esc,
+            self.detector.caps_for(h, w))
         identity_k, sel = out[7], out[8]
         lanes, width = out[4].shape
         if identity_k.ndim == 3:      # vmapped path: per-lane (L, k, D)
@@ -419,7 +441,8 @@ class FacialAnalyzer:
                 identity_k, sel, lanes * width).reshape(lanes, width, -1)
         results = []
         for i in range(n_valid):
-            if bool(out[10][i]) and can_fallback:
+            if (bool(out[10][i]) and can_fallback) or \
+                    (bool(out[9][i]) and det_esc):
                 results.append(self.analyze(images[i]))
             else:
                 results.append(self._assemble_results(
@@ -440,7 +463,8 @@ class FacialAnalyzer:
             d.params, minsize=minsize, thresholds=d.thresholds,
             factor=d.factor, max_level_boxes=d.max_level_boxes,
             max_stage2=d.max_stage2, max_stage3=d.max_stage3,
-            supersample=d.supersample, precision=d.precision)
+            supersample=d.supersample, precision=d.precision,
+            max_escalations=d.max_escalations)
         clone._jitted = {}
         clone._cores = {}
         return clone

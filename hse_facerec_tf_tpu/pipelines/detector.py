@@ -79,13 +79,21 @@ class MTCNNDetector:
         The pyramid resize always runs HIGHEST — its output is rounded to
         integer pixels to match cv2's uint8 resize bit-exactly, so rounding
         sits on .5 boundaries that bf16_3x error could flip.
+      max_escalations: how many cap-doubling retries ``detect``/
+        ``detect_batch`` may take when the ``truncated`` flag reports that
+        a static budget dropped candidates (crowd photos). Each tier is a
+        separate compiled program (cached persistently, so the compile cost
+        is paid once per shape+tier ever); 0 disables escalation and
+        restores warn-only behavior. The fused FacialAnalyzer programs do
+        not escalate detector caps — pass larger max_stage2/3 there.
     """
 
     def __init__(self, params, minsize: int = 40,
                  thresholds=(0.6, 0.7, 0.9), factor: float = 0.709,
                  max_level_boxes: int = 384, max_stage2: int = 128,
                  max_stage3: int = 64, supersample: int = 2,
-                 precision=jax.lax.Precision.HIGH):
+                 precision=jax.lax.Precision.HIGH,
+                 max_escalations: int = 2):
         self.params = params
         self.minsize = minsize
         self.thresholds = thresholds
@@ -95,17 +103,42 @@ class MTCNNDetector:
         self.max_stage3 = max_stage3
         self.supersample = supersample
         self.precision = precision
+        self.max_escalations = max_escalations
         self._jitted: Dict[Tuple[int, int], object] = {}
+
+    def caps_for(self, h: int, w: int, tier: int = 0) -> Tuple[int, int, int]:
+        """Effective (max_level_boxes, max_stage2, max_stage3) for an
+        (h, w) image: candidate counts grow with image area, so the static
+        budgets scale by area relative to the 640x480 the defaults were
+        sized for (the 784x588 reference fixture alone has 149 stage-1
+        survivors vs the base stage-2 cap of 128). Each (h, w) compiles its
+        own program anyway, so per-shape budgets add no shape buckets; at
+        or below VGA with tier 0 the ctor values are returned unchanged.
+
+        ``tier`` doubles every budget per step: area scaling cannot
+        anticipate crowd DENSITY (a 10x9 face grid at 800x720 has 137
+        stage-2 NMS survivors vs the area-scaled cap of 128), so
+        ``detect``/``detect_batch`` escalate tiers until the ``truncated``
+        flag clears (bounded by ``max_escalations``). The area part is
+        clamped at 16x (~4K) to bound the O(N^2) NMS work; tiers multiply
+        past that only when observed truncation demands it."""
+        scale = min(16.0, max(1.0, (h * w) / (640.0 * 480.0))) * (2.0 ** tier)
+        if scale == 1.0:
+            return self.max_level_boxes, self.max_stage2, self.max_stage3
+        up = lambda v: int(np.ceil(v * scale / 32.0) * 32)
+        return (up(self.max_level_boxes), up(self.max_stage2),
+                up(self.max_stage3))
 
     # ---------- stage 1 ----------
 
-    def _stage1(self, img_f, h, w, scales):
+    def _stage1(self, img_f, h, w, scales, max_level, max_s2):
         """All pyramid levels + per-level NMS + global NMS + refine.
 
         Also returns a scalar ``truncated`` flag: True whenever a static box
         budget (per-level top-k, global-NMS pool, stage-2 cap) dropped
         candidates that the reference's unbounded lists would have kept
-        (``facial_analysis.py:478-604`` has no caps)."""
+        (``facial_analysis.py:478-604`` has no caps). ``max_level``/
+        ``max_s2`` are the per-shape budgets from ``caps_for``."""
         th1 = self.thresholds[0]
         truncated = jnp.zeros((), bool)
         all_boxes, all_scores, all_regs, all_valid = [], [], [], []
@@ -122,7 +155,7 @@ class MTCNNDetector:
             level_t = jnp.transpose(level, (1, 0, 2))[None]
             reg_map, prob_map = nets.pnet(self.params["pnet"], level_t,
                                           precision=self.precision)
-            kmax = min(self.max_level_boxes, prob_map.shape[1] * prob_map.shape[2])
+            kmax = min(max_level, prob_map.shape[1] * prob_map.shape[2])
             truncated |= jnp.sum(prob_map[0, :, :, 1] > th1) > kmax
             boxes, scores, regs, valid = B.generate_boxes(
                 prob_map[0, :, :, 1], reg_map[0], scale, th1, kmax)
@@ -138,14 +171,14 @@ class MTCNNDetector:
         # bound the global-NMS candidate set: the overlap matrix is O(N^2) and
         # per-level NMS already thinned each level, so the top max_global
         # survivors by score lose nothing in practice.
-        max_global = min(boxes.shape[0], 4 * self.max_stage2)
+        max_global = min(boxes.shape[0], 4 * max_s2)
         truncated |= jnp.sum(valid) > max_global
         boxes, scores, valid, regs = B.select_top(boxes, scores, valid, regs,
                                                   max_global)
         keep = nms_mask(boxes, scores, valid, 0.7, "union")
-        truncated |= jnp.sum(valid & keep) > self.max_stage2
+        truncated |= jnp.sum(valid & keep) > max_s2
         boxes, scores, valid, regs = B.select_top(boxes, scores, valid & keep, regs,
-                                                  self.max_stage2)
+                                                  max_s2)
         boxes = B.bbreg_stage1(boxes, regs)
         boxes = B.fix(B.rerec(boxes))
         return boxes, scores, valid, truncated
@@ -163,16 +196,16 @@ class MTCNNDetector:
         crops = (crops - 127.5) * 0.0078125
         return jnp.transpose(crops, (0, 2, 1, 3))  # swap spatial axes
 
-    def _stage2(self, img_f, boxes, valid):
+    def _stage2(self, img_f, boxes, valid, max_s3):
         th2 = self.thresholds[1]
         crops = self._crop_batch(img_f, boxes, 24)
         regs, probs = nets.rnet(self.params["rnet"], crops, precision=self.precision)
         scores = probs[:, 1]
         valid = valid & (scores > th2)
         keep = nms_mask(boxes, scores, valid, 0.7, "union")
-        truncated = jnp.sum(valid & keep) > self.max_stage3
+        truncated = jnp.sum(valid & keep) > max_s3
         boxes, scores, valid, regs = B.select_top(boxes, scores, valid & keep, regs,
-                                                  self.max_stage3)
+                                                  max_s3)
         boxes = B.bbreg(boxes, regs)
         boxes = B.fix(B.rerec(boxes))
         return boxes, scores, valid, truncated
@@ -196,51 +229,58 @@ class MTCNNDetector:
 
     # ---------- full pipeline ----------
 
-    def _pipeline_one(self, img, h: int, w: int, scales):
+    def _pipeline_one(self, img, h: int, w: int, scales, tier: int = 0):
         """The full (un-jitted) cascade for one image. Returns
         (boxes, scores, points, valid, truncated)."""
         img_f = img.astype(jnp.float32)
+        max_level, max_s2, max_s3 = self.caps_for(h, w, tier)
         if not scales:
             z = jnp.zeros
-            return (z((self.max_stage3, 4)), z((self.max_stage3,)),
-                    z((self.max_stage3, 10)), jnp.zeros((self.max_stage3,), bool),
+            return (z((max_s3, 4)), z((max_s3,)),
+                    z((max_s3, 10)), jnp.zeros((max_s3,), bool),
                     jnp.zeros((), bool))
-        boxes, scores, valid, trunc1 = self._stage1(img_f, h, w, scales)
-        boxes, scores, valid, trunc2 = self._stage2(img_f, boxes, valid)
+        boxes, scores, valid, trunc1 = self._stage1(img_f, h, w, scales,
+                                                    max_level, max_s2)
+        boxes, scores, valid, trunc2 = self._stage2(img_f, boxes, valid, max_s3)
         boxes, scores, points, valid = self._stage3(img_f, boxes, valid)
         return boxes, scores, points, valid, trunc1 | trunc2
 
-    def _build(self, h: int, w: int):
+    def _build(self, h: int, w: int, tier: int = 0):
         scales = pyramid_scales(h, w, self.minsize, self.factor)
-        return jax.jit(lambda img: self._pipeline_one(img, h, w, scales))
+        return jax.jit(lambda img: self._pipeline_one(img, h, w, scales, tier))
 
-    def detect_fn(self, h: int, w: int):
+    def detect_fn(self, h: int, w: int, tier: int = 0):
         """The jitted (boxes, scores, points, valid) pipeline for shape (h, w)."""
-        key = (h, w)
+        key = (h, w, tier)
         if key not in self._jitted:
-            self._jitted[key] = self._build(h, w)
+            self._jitted[key] = self._build(h, w, tier)
         return self._jitted[key]
 
-    def detect_batch_fn(self, h: int, w: int):
+    def detect_batch_fn(self, h: int, w: int, tier: int = 0):
         """vmapped cascade: (N, h, w, 3) -> per-image (boxes, scores, points,
         valid) stacked on a leading axis. One XLA program for the whole batch —
         the album-scan throughput path (the reference loops detect per photo,
         ``process_photos.py:238-261``)."""
-        key = ("batch", h, w)
+        key = ("batch", h, w, tier)
         if key not in self._jitted:
             scales = pyramid_scales(h, w, self.minsize, self.factor)
             self._jitted[key] = jax.jit(
-                jax.vmap(lambda img: self._pipeline_one(img, h, w, scales)))
+                jax.vmap(lambda img: self._pipeline_one(img, h, w, scales,
+                                                        tier)))
         return self._jitted[key]
 
     def detect_batch(self, images: np.ndarray):
         """(N, H, W, 3) uniform-size RGB -> list of (boxes (n_i, 5),
-        landmarks (10, n_i)) per image."""
+        landmarks (10, n_i)) per image. Escalates cap tiers on truncation
+        like ``detect`` (the whole batch re-runs at the higher tier)."""
         n, h, w = images.shape[0], images.shape[1], images.shape[2]
-        fn = self.detect_batch_fn(h, w)
-        boxes, scores, points, valid, truncated = jax.device_get(
-            fn(jnp.asarray(images)))
-        self._warn_truncated(bool(truncated.any()))
+        dev = jnp.asarray(images)
+        for tier in range(self.max_escalations + 1):
+            fn = self.detect_batch_fn(h, w, tier)
+            boxes, scores, points, valid, truncated = jax.device_get(fn(dev))
+            if not truncated.any() or tier == self.max_escalations:
+                break
+        self._warn_truncated(bool(truncated.any()), self.caps_for(h, w, tier))
         out = []
         for i in range(n):
             v = valid[i]
@@ -248,30 +288,39 @@ class MTCNNDetector:
                         points[i][v].T))
         return out
 
-    def _warn_truncated(self, truncated: bool) -> None:
+    def _warn_truncated(self, truncated: bool, caps=None) -> None:
         self.last_truncated = truncated
         if truncated:
             import warnings
 
+            lvl, s2, s3 = caps or (self.max_level_boxes, self.max_stage2,
+                                   self.max_stage3)
             warnings.warn(
                 "MTCNN box budget saturated: some candidates were dropped "
-                f"(caps: level={self.max_level_boxes}, "
-                f"stage2={self.max_stage2}, stage3={self.max_stage3}). The "
-                "reference cascade is unbounded — construct MTCNNDetector "
-                "with larger max_stage2/max_stage3 for crowd photos.",
+                f"(effective caps: level={lvl}, "
+                f"stage2={s2}, stage3={s3}). The "
+                "reference cascade is unbounded — raise max_escalations "
+                "(detect/detect_batch) or max_stage2/max_stage3 for crowd "
+                "photos.",
                 RuntimeWarning, stacklevel=3)
 
     def detect(self, img: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """Host API: RGB (H, W, 3) image -> (boxes (n,5), landmarks (10, n)).
 
         Landmark layout matches the reference's ``points`` output
-        (rows x0..x4, y0..y4; ``facial_analysis.py:595-597``). Sets
-        ``self.last_truncated`` and warns when a box budget saturated."""
+        (rows x0..x4, y0..y4; ``facial_analysis.py:595-597``). When a static
+        box budget saturates (dense crowds), retries at doubled-cap tiers —
+        matching the reference's unbounded cascade — up to
+        ``max_escalations``; sets ``self.last_truncated`` and warns only if
+        the top tier still truncates."""
         h, w = img.shape[:2]
-        fn = self.detect_fn(h, w)
-        boxes, scores, points, valid, truncated = jax.device_get(
-            fn(jnp.asarray(img)))
-        self._warn_truncated(bool(truncated))
+        dev = jnp.asarray(img)
+        for tier in range(self.max_escalations + 1):
+            fn = self.detect_fn(h, w, tier)
+            boxes, scores, points, valid, truncated = jax.device_get(fn(dev))
+            if not truncated or tier == self.max_escalations:
+                break
+        self._warn_truncated(bool(truncated), self.caps_for(h, w, tier))
         v = valid
         b = boxes[v]
         s = scores[v]

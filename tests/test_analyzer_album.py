@@ -142,6 +142,42 @@ def test_analyze_batch_vmapped_fallback_gate(fixture_img):
         assert g.age > 0.5
 
 
+def test_analyze_escalates_detector_caps(fixture_img):
+    """A 90-face crowd saturates the area-scaled detector budgets at tier 0
+    (137 stage-2 NMS survivors vs the scaled cap of 128); the fused analyze
+    path must escalate to doubled-cap tiers like ``MTCNNDetector.detect``
+    instead of silently truncating, and ``analyze_batch`` must route such
+    lanes through the escalating single-image path."""
+    import warnings
+
+    from hse_facerec_tf_tpu.models.mtcnn import import_mtcnn_params
+    from hse_facerec_tf_tpu.pipelines.detector import MTCNNDetector
+
+    crop = cv2.resize(fixture_img[110:210, 265:355], (80, 80))
+    grid = np.tile(crop, (10, 9, 1))        # (800, 720, 3)
+
+    params = import_mtcnn_params(str(MTCNN_PB))
+    det = MTCNNDetector(params, minsize=40)
+    boxes, _ = det.detect(grid)   # escalates; golden-equal in test_detector
+    assert not det.last_truncated and len(boxes) > 64
+
+    an = FacialAnalyzer(params, heads=_CropContentHeads(), minsize=40,
+                        head_batch=128)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        faces = an.analyze(grid)
+    assert len(faces) == len(boxes)
+    assert not an.detector.last_truncated
+    assert (800, 720, 1) in an.detector._jitted    # tier-1 detect compiled
+    assert not any("box budget saturated" in str(w.message) for w in caught)
+    for f in faces:
+        assert f.age > 0.5            # real head outputs for every face
+
+    got = an.analyze_batch(grid[None])[0]
+    assert [f.bbox for f in got] == [f.bbox for f in faces]
+    assert not an.detector.last_truncated
+
+
 def test_analyze_batch_sharded_mesh(analyzer, fixture_img, rng):
     """analyze_batch GSPMD-sharded over an 8-device 'data' mesh must equal
     the single-device batch path (pure batch DP — the cascade has no

@@ -124,10 +124,29 @@ def test_detect_batch_matches_single(params, test_img):
         assert max(ious) > 0.99
 
 
+def test_caps_scale_with_image_area(params):
+    """Static box budgets scale with image area relative to 640x480:
+    identity at or below VGA (bit-identical HLO for the bench shapes),
+    proportional above, clamped at 16x."""
+    det = MTCNNDetector(params)
+    assert det.caps_for(480, 640) == (384, 128, 64)
+    assert det.caps_for(240, 320) == (384, 128, 64)
+    lvl, s2, s3 = det.caps_for(588, 784)      # the reference fixture, 1.5x
+    assert (lvl, s2, s3) == (608, 224, 128)
+    # 4K hits the 16x clamp; anything larger stays there
+    assert det.caps_for(2160, 3840) == det.caps_for(4320, 7680) \
+        == (6144, 2048, 1024)
+    # escalation tiers double every budget per step
+    assert det.caps_for(480, 640, tier=1) == (768, 256, 128)
+    assert det.caps_for(480, 640, tier=2) == (1536, 512, 256)
+
+
 def test_detector_box_budget_saturation(params, test_img):
-    """>64-face synthetic crowd: default caps must saturate LOUDLY
-    (truncated flag + warning), and raised caps must recover the full face
-    count the reference's unbounded cascade finds (golden count)."""
+    """>64-face synthetic crowd at 800x720: a density the area-scaled
+    budgets alone cannot hold (137 stage-2 NMS survivors vs the scaled cap
+    of 128) — tier escalation must recover every face the unbounded golden
+    cascade finds, and with escalation disabled the same run must saturate
+    LOUDLY (truncated flag + warning naming the effective caps)."""
     import warnings
 
     # tile one face crop into a 10x9 grid (90 faces)
@@ -140,15 +159,19 @@ def test_detector_box_budget_saturation(params, test_img):
     assert len(golden_boxes) > 64, f"expected a >64-face crowd, golden found {len(golden_boxes)}"
 
     det = MTCNNDetector(params, minsize=40)
+    boxes, _ = det.detect(grid)
+    assert not det.last_truncated
+    assert len(boxes) == len(golden_boxes)
+    # the crowd is dense enough that tier 0 truncated and tier 1 compiled
+    assert (800, 720, 1) in det._jitted
+
+    fixed = MTCNNDetector(params, minsize=40, max_escalations=0)
+    eff = fixed.caps_for(800, 720)
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        boxes, _ = det.detect(grid)
-    assert det.last_truncated
-    assert len(boxes) <= 64
-    assert any("box budget saturated" in str(w.message) for w in caught)
-
-    big = MTCNNDetector(params, minsize=40, max_level_boxes=1536,
-                        max_stage2=1024, max_stage3=512)
-    boxes_big, _ = big.detect(grid)
-    assert not big.last_truncated
-    assert len(boxes_big) == len(golden_boxes)
+        boxes_f, _ = fixed.detect(grid)
+    assert fixed.last_truncated
+    assert len(boxes_f) <= eff[2]
+    msgs = [str(w.message) for w in caught]
+    assert any("box budget saturated" in m and f"stage3={eff[2]}" in m
+               for m in msgs)
