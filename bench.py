@@ -5,6 +5,8 @@ throughput, batch 1024, f32-HIGH. The ``extra`` dict carries the rest of the
 perf story:
 
   - embed_bf16_ips          — same path, bf16 compute on the MXU
+  - embed_int8_ips          — full-int8 serving path (int8 activations +
+                              int8 MXU pointwise matmuls) + its f32 cosine
   - detect_ms_per_image     — full MTCNN cascade @640x480, single image
   - detect_batch_ips        — vmapped cascade, batch 8 @640x480
   - analyze_ms_per_image    — fused detect+crop+3-heads program @640x480
@@ -216,6 +218,49 @@ def bench_embed(precision, compute_dtype, chain=10):
         prof["device_ips_busy"] = round(BATCH * chain / (prof["busy_ms"] / 1e3), 1)
         roofline["fusion_profile"] = prof
     return ips, forward, x, roofline
+
+
+def bench_embed_int8(chain=10):
+    """Full-int8 serving path (models/int8_infer.py): int8 activations +
+    int8 MXU pointwise matmuls. Returns (ips, roofline, cosine_vs_f32)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hse_facerec_tf_tpu.models.int8_infer import (multihead_apply_int8,
+                                                      quantize_multihead_int8)
+    from hse_facerec_tf_tpu.models.multihead import import_multihead_params
+    from hse_facerec_tf_tpu.models.zoo import AGEGENDER_PB
+    from hse_facerec_tf_tpu.ops.preprocess import IMAGENET_MEANS_BGR
+
+    params = import_multihead_params(AGEGENDER_PB)
+    qparams = quantize_multihead_int8(params)
+    means = jnp.asarray(IMAGENET_MEANS_BGR, dtype=jnp.float32)
+
+    def forward(images):
+        x = images.astype(jnp.float32)[..., ::-1] - means
+        return multihead_apply_int8(qparams, x).identity
+
+    many = _chain_unrolled(lambda x: forward(x)[0, 0].astype(jnp.float32), chain)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(BATCH, 224, 224, 3).astype(np.float32) * 255)
+    ips = _time_chained(many, x, chain, BATCH * chain)
+    flops, bytes_ = _cost_analysis(jax.jit(forward).lower(x).compile())
+    roofline = _roofline_entry(flops / BATCH, bytes_ / BATCH, ips)
+    # int8 MXU peak is 2x the bf16 figure: report the int8 fraction too
+    roofline["pct_mxu_peak_int8"] = round(roofline["pct_mxu_peak_bf16"] / 2.0, 1)
+    prof = profile_fusions(many, x, "embed_int8")
+    if prof is not None:
+        prof["busy_ms_per_forward"] = round(prof["busy_ms"] / chain, 2)
+        prof["device_ips_busy"] = round(BATCH * chain / (prof["busy_ms"] / 1e3), 1)
+        roofline["fusion_profile"] = prof
+
+    # fidelity vs the f32-HIGHEST parity path on the same inputs
+    f32_forward, _ = build_forward(jax.lax.Precision.HIGHEST, jnp.float32)
+    a = np.asarray(jax.jit(forward)(x)[:8], dtype=np.float64)
+    b = np.asarray(jax.jit(f32_forward)(x)[:8], dtype=np.float64)
+    cos = np.sum(a * b, -1) / (np.linalg.norm(a, axis=-1) *
+                               np.linalg.norm(b, axis=-1))
+    return ips, roofline, float(cos.min())
 
 
 def bench_detection(chain=40):
@@ -501,6 +546,7 @@ def main():
     # well below bf16 throughput (both are HBM-bound; bf16 halves the bytes).
     ips, forward, x, roof_f32 = bench_embed(jax.lax.Precision.HIGH, jnp.float32)
     bf16_ips, _, _, roof_bf16 = bench_embed(jax.lax.Precision.DEFAULT, jnp.bfloat16)
+    int8_ips, roof_int8, int8_cos = bench_embed_int8()
 
     # correctness guard: fast path must stay bit-close to the parity path
     fn = jax.jit(forward)
@@ -528,6 +574,8 @@ def main():
         "vs_baseline": round(ips / cpu_ips, 2) if cpu_ips else None,
         "extra": {
             "embed_bf16_ips": round(bf16_ips, 1),
+            "embed_int8_ips": round(int8_ips, 1),
+            "embed_int8_cosine_vs_f32": round(int8_cos, 5),
             "detect_ms_per_image_640x480": round(detect_ms, 2),
             "detect_batch8_ips_640x480": round(detect_batch_ips, 1),
             "analyze_ms_per_image_640x480": round(analyze_ms, 2),
@@ -542,6 +590,7 @@ def main():
                           "hbm_gbs": V5E_PEAK_HBM_GBS},
                 "embed_f32": roof_f32,
                 "embed_bf16": roof_bf16,
+                "embed_int8": roof_int8,
                 "detect_batch8": roof_detect,
                 "analyze": roof_analyze,
                 "train_bs256": roof_train,

@@ -37,7 +37,8 @@ def _build_analyzer(args):
             oversample=oversample)
     return FacialAnalyzer.from_reference_models(
         args.mtcnn_pb or zoo.MTCNN_PB, args.agegender_pb or zoo.AGEGENDER_PB,
-        minsize=args.minsize, oversample=oversample)
+        minsize=args.minsize, oversample=oversample,
+        int8_heads=getattr(args, "int8_heads", False))
 
 
 def _add_model_args(p):
@@ -54,6 +55,10 @@ def _add_model_args(p):
                    help="5-crop oversampling: average age/gender over the "
                         "base crop + four ±10 px diagonal shifts "
                         "(facial_analysis.py:248-253, disabled upstream)")
+    p.add_argument("--int8-heads", action="store_true",
+                   help="run the per-face multi-head net on the full-int8 "
+                        "serving path (int8 activations + int8 MXU matmuls; "
+                        "models/int8_infer.py)")
 
 
 def _load_gallery(path):

@@ -1,0 +1,214 @@
+"""Full-int8 MobileNet serving path riding the v5e int8 MXU.
+
+The reference serves its flagship multi-head model 8-bit quantized
+(``age_gender_identity/age_gender_tf2_new-01-0.14-0.92_quantized.pb`` —
+weight-only MIN_FIRST quantization, dequantized to f32 at load; reference
+``age_gender_identity/README.md:7``). This module extends that serving idea
+the TPU-native way — like the int8 1-NN gallery (``ops/pallas/knn.py``) — to
+the whole backbone: INT8 ACTIVATIONS, not just weights, so the pointwise
+convolutions (≈95% of MobileNet-V1 FLOPs) run as int8×int8→int32 matmuls on
+the int8 MXU (2× the bf16 peak) and every inter-layer activation tensor costs
+half the HBM traffic of bf16. The paths it accelerates are HBM-bound
+(BENCH ``extra.roofline``), so the traffic halving is the headline lever.
+
+Quantization scheme (post-training, no calibration needed):
+- Every MobileNet-V1 block activation is post-ReLU6, hence exactly bounded to
+  [0, 6]: activations quantize symmetrically with the FIXED scale 6/127
+  (zero-point 0, values in [0, 127]). No calibration set, no per-layer
+  statistics — the bound is architectural.
+- Weights quantize per-output-channel symmetric int8 (scale = max|w|/127),
+  after folding BN/affine params into the kernel (inference form).
+- Pointwise conv: (N·H·W, Cin) int8 · (Cin, Cout) int8 → int32 exact dot
+  (max |acc| ≤ 1024·127² < 2³¹), then a fused f32 epilogue:
+  ``y = acc · (s_act · s_w[c]) + bias``, ReLU6, requantize.
+- Depthwise conv + conv1 (<5% of FLOPs, VPU work): bf16 compute with f32
+  accumulation; the activation scale folds into the (tiny) kernel so the
+  int8 input feeds the conv directly after a fused convert.
+- The final block output stays f32 (no requant) so the GAP identity tap
+  (``global_pooling/Mean``) and the heads keep full precision.
+
+Fidelity is pinned in ``tests/test_int8_infer.py`` against the f32 path on
+the SHIPPED reference weights (embedding cosine, age/gender decisions) and
+bit-exactly against an independent numpy integer-math golden.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .layers import relu6
+from .mobilenet import MOBILENET_V1_BLOCKS
+from .multihead import MultiHeadOutput
+
+# Fixed activation quantization: post-ReLU6 tensors live in [0, 6].
+ACT_SCALE = 6.0 / 127.0
+
+
+def _fold_inference_affine(p: Dict, depthwise: bool) -> Dict:
+    """Collapse any param form ({kernel,bn} / {kernel,scale,bias} /
+    {kernel,bias}) to inference ``{kernel, bias}`` with the channel affine
+    folded into the kernel (same algebra as the frozen-graph importers,
+    ``core/h5_import.py``)."""
+    kernel = np.asarray(p["kernel"], dtype=np.float32)
+    if "bn" in p:
+        bn = p["bn"]
+        inv = np.asarray(bn["gamma"], np.float32) / np.sqrt(
+            np.asarray(bn["var"], np.float32) + 1e-3)
+        bias = np.asarray(bn["beta"], np.float32) - np.asarray(
+            bn["mean"], np.float32) * inv
+    else:
+        inv = np.asarray(p.get("scale", 1.0), np.float32)
+        bias = np.asarray(p.get("bias", 0.0), np.float32)
+        if np.ndim(inv) == 0 and float(np.max(inv)) == 1.0:
+            inv = None
+    if inv is not None and np.ndim(inv) > 0:
+        if depthwise:
+            # (H, W, C, 1): affine is per input channel C
+            kernel = kernel * inv.reshape(1, 1, -1, 1)
+        else:
+            # (H, W, I, O): affine is per output channel O
+            kernel = kernel * inv.reshape(1, 1, 1, -1)
+    return {"kernel": kernel, "bias": np.broadcast_to(
+        np.asarray(bias, np.float32), (kernel.shape[2] if depthwise else
+                                       kernel.shape[3],)).copy()}
+
+
+def quantize_backbone_int8(params: Dict) -> Dict:
+    """MobileNet-V1 param pytree (any form) → int8 serving params.
+
+    Host-side numpy (importers must return host arrays — see
+    ``import_multihead_params``); per block:
+    - ``pw{i}``: {"q": (Cin, Cout) int8, "scale": (Cout,) f32 = s_w·s_act,
+      "bias": (Cout,) f32}
+    - ``dw{i}``: {"kernel": (3,3,C,1) f32 with s_act pre-folded, "bias"}
+    - ``conv1``: f32 kernel/bias (first layer; input is not ReLU6-bounded).
+    """
+    out: Dict = {}
+    c1 = _fold_inference_affine(params["conv1"], depthwise=False)
+    out["conv1"] = c1
+    for i, _ in enumerate(MOBILENET_V1_BLOCKS, start=1):
+        dw = _fold_inference_affine(params[f"dw{i}"], depthwise=True)
+        # int8 input decodes as q·s_act: fold s_act into the depthwise kernel
+        out[f"dw{i}"] = {"kernel": dw["kernel"] * ACT_SCALE,
+                         "bias": dw["bias"]}
+        pw = _fold_inference_affine(params[f"pw{i}"], depthwise=False)
+        k = pw["kernel"][0, 0]                      # (Cin, Cout)
+        s_w = np.maximum(np.abs(k).max(axis=0), 1e-12) / 127.0
+        q = np.clip(np.round(k / s_w[None, :]), -127, 127).astype(np.int8)
+        out[f"pw{i}"] = {"q": q,
+                         "scale": (s_w * ACT_SCALE).astype(np.float32),
+                         "bias": pw["bias"]}
+    return out
+
+
+def _requant(y):
+    """f32 post-ReLU6 activation → int8 in [0, 127] at the fixed scale."""
+    return jnp.round(y * (1.0 / ACT_SCALE)).astype(jnp.int8)
+
+
+def _dw_conv_int8(a_int8, kernel, bias, stride: int):
+    """Depthwise conv on an int8 activation: bf16 taps, f32 accumulation.
+
+    The activation scale is pre-folded into ``kernel`` so the int8 input
+    converts straight to bf16 counts (≤127, exactly representable).
+
+    The convert WIDENS THROUGH int32 first: a single int8→float convert
+    fused as a conv operand miscompiles to all-zeros on the v5e backend
+    (verified r3: ``int8→bf16 conv`` and ``int8→f32 conv`` both return 0;
+    ``int8→int32→bf16 conv`` is exact)."""
+    h, w, c, m = kernel.shape
+    k = jnp.reshape(kernel.astype(jnp.bfloat16), (h, w, 1, c * m))
+    y = jax.lax.conv_general_dilated(
+        a_int8.astype(jnp.int32).astype(jnp.bfloat16), k,
+        window_strides=(stride, stride), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+        preferred_element_type=jnp.float32,
+    )
+    return relu6(y + bias)
+
+
+def _pw_conv_int8(a_int8, q_kernel, scale, bias):
+    """Pointwise conv as an exact int8×int8→int32 conv + f32 epilogue.
+
+    Kept in CONV form, not a reshaped (N·H·W, Cin) dot: XLA's conv emitter
+    tiles the int8 operands natively, while the reshaped giant-M dot gets
+    split into a dynamic-slice loop writing chunks at ~36 GB/s (measured
+    r3: the dot form ran the whole backbone 5.7× slower than bf16, 48% of
+    device time in dynamic-update-slice fusions)."""
+    acc = jax.lax.conv_general_dilated(
+        a_int8, q_kernel[None, None, :, :],
+        window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * scale + bias
+    return relu6(y)
+
+
+def mobilenet_backbone_int8(qparams: Dict, x) -> jnp.ndarray:
+    """(N, H, W, 3) f32 preprocessed → (N, H/32, W/32, 1024) f32 features.
+
+    conv1 runs bf16 (input is mean-subtracted, unbounded); every block
+    activation flows int8; the final block output skips requantization so
+    the GAP tap stays full-precision."""
+    c1 = qparams["conv1"]
+    y = jax.lax.conv_general_dilated(
+        x.astype(jnp.bfloat16), c1["kernel"].astype(jnp.bfloat16),
+        window_strides=(2, 2), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    a = _requant(relu6(y + c1["bias"]))
+    last = len(MOBILENET_V1_BLOCKS)
+    for i, (stride, _) in enumerate(MOBILENET_V1_BLOCKS, start=1):
+        dw = qparams[f"dw{i}"]
+        y = _dw_conv_int8(a, dw["kernel"], dw["bias"], stride)
+        a = _requant(y)
+        pw = qparams[f"pw{i}"]
+        y = _pw_conv_int8(a, pw["q"], pw["scale"], pw["bias"])
+        if i == last:
+            return y
+        a = _requant(y)
+    return y
+
+
+def quantize_multihead_int8(params: Dict) -> Dict:
+    """Multi-head param pytree → int8 serving pytree (heads stay f32)."""
+    return {
+        "backbone": quantize_backbone_int8(params["backbone"]),
+        "feats": jax.tree.map(np.asarray, params["feats"]),
+        "age": jax.tree.map(np.asarray, params["age"]),
+        "gender": jax.tree.map(np.asarray, params["gender"]),
+    }
+
+
+def multihead_apply_int8(qparams: Dict, x) -> MultiHeadOutput:
+    """int8 forward with the same output contract as ``multihead_apply``.
+
+    x: (N, H, W, 3) preprocessed f32 (BGR, VGGFace2 mean-subtracted)."""
+    from .layers import dense, global_avg_pool
+
+    h = mobilenet_backbone_int8(qparams["backbone"], x)
+    identity = global_avg_pool(h).astype(jnp.float32)
+    f = jax.nn.relu(dense(identity, qparams["feats"]["kernel"],
+                          qparams["feats"]["bias"]))
+    age_logits = dense(f, qparams["age"]["kernel"], qparams["age"]["bias"])
+    gender_logit = dense(f, qparams["gender"]["kernel"],
+                         qparams["gender"]["bias"])
+    return MultiHeadOutput(
+        age_probs=jax.nn.softmax(age_logits, axis=-1),
+        gender_prob=jax.nn.sigmoid(gender_logit)[:, 0],
+        identity=identity,
+        feats=f,
+    )
+
+
+def mobilenet_embed_int8(qparams: Dict, x) -> jnp.ndarray:
+    """Face embedding on the int8 backbone: GAP → (N, 1024) f32."""
+    from .layers import global_avg_pool
+
+    return global_avg_pool(mobilenet_backbone_int8(qparams, x)).astype(
+        jnp.float32)

@@ -56,6 +56,31 @@ def _mobilenet_fn(precision=jax.lax.Precision.HIGHEST):
     return lambda params, x: mobilenet_embed(params, x, precision=precision)
 
 
+def _multihead_identity_int8_fn(precision=jax.lax.Precision.HIGHEST):
+    # int8 serving path: precision dial does not apply (integer MXU dots)
+    from .int8_infer import multihead_apply_int8
+
+    return lambda params, x: multihead_apply_int8(params, x).identity
+
+
+def _agegender_int8_params():
+    from .int8_infer import quantize_multihead_int8
+
+    return quantize_multihead_int8(_agegender_params())
+
+
+def _mobilenet_int8_fn(precision=jax.lax.Precision.HIGHEST):
+    from .int8_infer import mobilenet_embed_int8
+
+    return lambda params, x: mobilenet_embed_int8(params, x)
+
+
+def _vgg2_mobilenet_int8_params():
+    from .int8_infer import quantize_backbone_int8
+
+    return quantize_backbone_int8(_vgg2_mobilenet_params())
+
+
 def _resnet_fn(precision=jax.lax.Precision.HIGHEST):
     from .resnet import resnet50_embed
 
@@ -81,6 +106,8 @@ def _warn_random_init(name: str, missing_path: str) -> None:
 def weights_origin(name: str) -> str:
     """'imported' if the zoo entry resolves to trained reference weights on
     this machine, 'random' if building it would fall back to random init."""
+    if name.endswith("_int8"):       # int8 serving variants share the blobs
+        name = name[: -len("_int8")]
     if name == "vgg2_mobilenet":
         return ("imported" if os.path.exists(VGG2_MOBILENET_H5)
                 or os.path.exists(VGG2_MOBILENET_PB) else "random")
@@ -208,6 +235,16 @@ MODEL_ZOO: Dict[str, ModelSpec] = {
         "insightface_arcface", (112, 112), "none", "cv2_linear", 512,
         _arcface_params, _arcface_fn,
         extractor_kwargs={"l2_normalize_output": True}),
+    # full-int8 serving variants (models/int8_infer.py): int8 activations +
+    # int8 MXU pointwise matmuls — the TPU-native extension of the
+    # reference's 8-bit-quantized serving model (age_gender_identity/
+    # README.md:7). Same preprocessing/protocols as their f32 bases.
+    "agegender_identity_int8": ModelSpec(
+        "agegender_identity_int8", (224, 224), "caffe", "cv2_linear", 1024,
+        _agegender_int8_params, _multihead_identity_int8_fn),
+    "vgg2_mobilenet_int8": ModelSpec(
+        "vgg2_mobilenet_int8", (192, 192), "caffe", "pil_bilinear", 1024,
+        _vgg2_mobilenet_int8_params, _mobilenet_int8_fn),
     # keras_vggface VGG16, fc7/relu tap (facerec_test.py:344-349,
     # facial_clustering_test.py:295-300): Keras load_img resizes with PIL
     # NEAREST (its default interpolation), preprocess_input v1 means

@@ -101,11 +101,20 @@ class FacialAnalyzer:
         self._cores: Dict[Tuple[int, int, int], object] = {}
 
     @classmethod
-    def from_reference_models(cls, mtcnn_pb: str, agegender_pb: str, **kwargs):
+    def from_reference_models(cls, mtcnn_pb: str, agegender_pb: str,
+                              int8_heads: bool = False, **kwargs):
+        """``int8_heads=True`` runs the per-face multi-head net on the
+        full-int8 serving path (``models/int8_infer.py``) — the TPU-native
+        extension of the reference's 8-bit-quantized serving model."""
         from ..models.mtcnn import import_mtcnn_params
 
-        return cls(import_mtcnn_params(mtcnn_pb), import_multihead_params(agegender_pb),
-                   **kwargs)
+        mh = import_multihead_params(agegender_pb)
+        if int8_heads:
+            from .heads import Int8MultiheadHeads
+
+            return cls(import_mtcnn_params(mtcnn_pb),
+                       heads=Int8MultiheadHeads(mh), **kwargs)
+        return cls(import_mtcnn_params(mtcnn_pb), mh, **kwargs)
 
     @classmethod
     def from_two_model_pbs(cls, mtcnn_pb: str, age_pb: str, gender_pb: str,

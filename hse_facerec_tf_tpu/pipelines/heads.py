@@ -50,6 +50,33 @@ class MultiheadHeads:
         return ages, out.gender_prob, out.identity
 
 
+class Int8MultiheadHeads:
+    """One-model configuration on the full-int8 serving path
+    (``models/int8_infer.py``): int8 activations + int8 MXU pointwise
+    matmuls — the TPU-native extension of the reference's 8-bit-quantized
+    serving model. Same per-face semantics as ``MultiheadHeads``; fidelity
+    vs the f32 heads is pinned in ``tests/test_int8_infer.py``."""
+
+    identity_dim = 1024
+
+    def __init__(self, params):
+        from ..models.int8_infer import quantize_multihead_int8
+
+        # accept either raw multi-head params or a pre-quantized pytree
+        self.params = (params if "backbone" in params and
+                       "q" in params["backbone"].get("pw1", {})
+                       else quantize_multihead_int8(params))
+        self._means = jnp.asarray(IMAGENET_MEANS_BGR, dtype=jnp.float32)
+
+    def apply(self, params, crops):
+        from ..models.int8_infer import multihead_apply_int8
+
+        x = crops[..., ::-1] - self._means
+        out = multihead_apply_int8(params, x)
+        ages = 1.0 + expected_age_top_k(out.age_probs, k=2)
+        return ages, out.gender_prob, out.identity
+
+
 def _placeholder_hw(graph, name: str) -> Optional[Tuple[int, int]]:
     """(H, W) from a placeholder's shape attr, or None if dynamic."""
     node = graph.by_name[name]
