@@ -31,6 +31,10 @@ def _build_analyzer(args):
     oversample = getattr(args, "oversample", False)
     if getattr(args, "age_pb", None) and getattr(args, "gender_pb", None):
         # two-model configuration (reference age_gender_one_model=False)
+        if getattr(args, "int8_heads", False):
+            raise SystemExit(
+                "--int8-heads applies to the single multi-head model only; "
+                "it is not available with --age-pb/--gender-pb")
         return FacialAnalyzer.from_two_model_pbs(
             args.mtcnn_pb or zoo.MTCNN_PB, args.age_pb, args.gender_pb,
             sota=getattr(args, "sota", False), minsize=args.minsize,

@@ -65,8 +65,10 @@ def _fold_inference_affine(p: Dict, depthwise: bool) -> Dict:
         bias = np.asarray(p.get("bias", 0.0), np.float32)
         if np.ndim(inv) == 0 and float(np.max(inv)) == 1.0:
             inv = None
-    if inv is not None and np.ndim(inv) > 0:
-        if depthwise:
+    if inv is not None:
+        if np.ndim(inv) == 0:
+            kernel = kernel * float(inv)
+        elif depthwise:
             # (H, W, C, 1): affine is per input channel C
             kernel = kernel * inv.reshape(1, 1, -1, 1)
         else:
@@ -169,9 +171,8 @@ def mobilenet_backbone_int8(qparams: Dict, x) -> jnp.ndarray:
         a = _requant(y)
         pw = qparams[f"pw{i}"]
         y = _pw_conv_int8(a, pw["q"], pw["scale"], pw["bias"])
-        if i == last:
-            return y
-        a = _requant(y)
+        if i < last:
+            a = _requant(y)
     return y
 
 

@@ -350,8 +350,10 @@ class FacialAnalyzer:
         # flags on host — a separate bool(out[...]) scalar fetch costs its
         # own device round trip on every call
         tier = 0
+        caps = self.detector.caps_for
         out_np = jax.device_get(self._analyze_fn(h, w)(self.mh_params, dev))
-        while bool(out_np[9]) and tier < self.detector.max_escalations:
+        while (bool(out_np[9]) and tier < self.detector.max_escalations
+               and caps(h, w, tier + 1) != caps(h, w, tier)):
             tier += 1
             fn = self._analyze_fn(h, w, tier=tier)
             out_np = jax.device_get(fn(self.mh_params, dev))

@@ -84,8 +84,8 @@ class MTCNNDetector:
         a static budget dropped candidates (crowd photos). Each tier is a
         separate compiled program (cached persistently, so the compile cost
         is paid once per shape+tier ever); 0 disables escalation and
-        restores warn-only behavior. The fused FacialAnalyzer programs do
-        not escalate detector caps — pass larger max_stage2/3 there.
+        restores warn-only behavior. ``FacialAnalyzer.analyze`` escalates
+        its fused programs through the same tiers.
     """
 
     def __init__(self, params, minsize: int = 40,
@@ -120,14 +120,21 @@ class MTCNNDetector:
         stage-2 NMS survivors vs the area-scaled cap of 128), so
         ``detect``/``detect_batch`` escalate tiers until the ``truncated``
         flag clears (bounded by ``max_escalations``). The area part is
-        clamped at 16x (~4K) to bound the O(N^2) NMS work; tiers multiply
-        past that only when observed truncation demands it."""
+        clamped at 16x (~4K), and each budget is further clamped at an
+        absolute ceiling (level 8192 / stage2 2048 / stage3 1024 — the
+        global-NMS pool is 4x stage2, so its O(N^2) overlap matrix stays
+        <=256 MB f32 even at the top tier; without the ceiling, tier 2 on
+        a 4K image would materialize a 32768^2 = 4.3 GB matrix inside one
+        program). The ceilings are ~8x the densest published group photos;
+        if a tier's caps equal the previous tier's (all at ceiling),
+        escalation stops early and the ``truncated`` warning fires."""
         scale = min(16.0, max(1.0, (h * w) / (640.0 * 480.0))) * (2.0 ** tier)
         if scale == 1.0:
             return self.max_level_boxes, self.max_stage2, self.max_stage3
-        up = lambda v: int(np.ceil(v * scale / 32.0) * 32)
-        return (up(self.max_level_boxes), up(self.max_stage2),
-                up(self.max_stage3))
+        # explicit ctor values above a ceiling are respected (never reduced)
+        up = lambda v, ceil: min(max(ceil, v), int(np.ceil(v * scale / 32.0) * 32))
+        return (up(self.max_level_boxes, 8192), up(self.max_stage2, 2048),
+                up(self.max_stage3, 1024))
 
     # ---------- stage 1 ----------
 
@@ -278,7 +285,8 @@ class MTCNNDetector:
         for tier in range(self.max_escalations + 1):
             fn = self.detect_batch_fn(h, w, tier)
             boxes, scores, points, valid, truncated = jax.device_get(fn(dev))
-            if not truncated.any() or tier == self.max_escalations:
+            if (not truncated.any() or tier == self.max_escalations
+                    or self.caps_for(h, w, tier + 1) == self.caps_for(h, w, tier)):
                 break
         self._warn_truncated(bool(truncated.any()), self.caps_for(h, w, tier))
         out = []
@@ -318,7 +326,8 @@ class MTCNNDetector:
         for tier in range(self.max_escalations + 1):
             fn = self.detect_fn(h, w, tier)
             boxes, scores, points, valid, truncated = jax.device_get(fn(dev))
-            if not truncated or tier == self.max_escalations:
+            if (not truncated or tier == self.max_escalations
+                    or self.caps_for(h, w, tier + 1) == self.caps_for(h, w, tier)):
                 break
         self._warn_truncated(bool(truncated), self.caps_for(h, w, tier))
         v = valid
