@@ -172,11 +172,18 @@ def _cost_analysis(compiled):
 
 def _roofline_entry(flops_per_unit, bytes_per_unit, units_per_sec):
     """Achieved rates vs v5e peaks; the bound is whichever resource the path
-    uses the larger fraction of."""
+    uses the larger fraction of. When NEITHER fraction is substantial the
+    label is "vpu/other": the time goes to work the MXU-FLOPs/HBM-bytes
+    model can't see (elementwise VPU ops — e.g. the train step's bilinear
+    augment warp — or transposes/reductions), so naming the larger of two
+    small fractions would be misleading."""
     tflops = flops_per_unit * units_per_sec / 1e12
     gbs = bytes_per_unit * units_per_sec / 1e9
     mxu_frac = tflops / V5E_PEAK_BF16_TFLOPS
     hbm_frac = gbs / V5E_PEAK_HBM_GBS
+    bound = "hbm" if hbm_frac >= mxu_frac else "mxu"
+    if max(mxu_frac, hbm_frac) < 0.25:
+        bound = "vpu/other"
     return {
         "flops_per_image": round(flops_per_unit / 1e9, 2),       # GFLOP
         "bytes_per_image": round(bytes_per_unit / 1e6, 2),       # MB
@@ -184,7 +191,7 @@ def _roofline_entry(flops_per_unit, bytes_per_unit, units_per_sec):
         "achieved_hbm_gbs": round(gbs, 1),
         "pct_mxu_peak_bf16": round(100 * mxu_frac, 1),
         "pct_hbm_peak": round(100 * hbm_frac, 1),
-        "bound": "hbm" if hbm_frac >= mxu_frac else "mxu",
+        "bound": bound,
     }
 
 
