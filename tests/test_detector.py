@@ -141,6 +141,24 @@ def test_caps_scale_with_image_area(params):
     assert det.caps_for(480, 640, tier=2) == (1536, 512, 256)
 
 
+def test_caps_absolute_ceilings_stop_escalation(params):
+    """Each budget is clamped at an absolute ceiling (level 8192 / stage2
+    2048 / stage3 1024) so a high tier on a huge image can never
+    materialize a multi-GB NMS overlap matrix; once every budget sits at
+    its ceiling, further tiers are identical and detect()'s escalation
+    loop stops early (detector.py caps_for docstring)."""
+    det = MTCNNDetector(params)
+    # 4K tier 1: stage2/stage3 already ceiling-clamped, level still growing
+    assert det.caps_for(2160, 3840, tier=1) == (8192, 2048, 1024)
+    # tier 2 == tier 1: all three at ceiling -> escalation has nothing
+    # bigger to compile, the loop's caps-equality early-stop must fire
+    assert det.caps_for(2160, 3840, tier=2) == det.caps_for(2160, 3840, tier=1)
+    # explicit ctor budgets ABOVE a ceiling are respected, never reduced
+    big = MTCNNDetector(params, max_stage2=4096)
+    assert det.caps_for(2160, 3840)[1] == 2048
+    assert big.caps_for(2160, 3840)[1] >= 4096
+
+
 def test_detector_box_budget_saturation(params, test_img):
     """>64-face synthetic crowd at 800x720: a density the area-scaled
     budgets alone cannot hold (137 stage-2 NMS survivors vs the scaled cap
