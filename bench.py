@@ -307,6 +307,13 @@ def bench_detection(chain=40):
 
     flops, bytes_ = _cost_analysis(jax.jit(lambda a: batch_fn(a)).lower(xb).compile())
     roofline = _roofline_entry(flops / nb, bytes_ / nb, batch_ips)
+    # detect is the furthest-from-roof major path (~73% of HBM peak):
+    # decompose it per fusion like the embed paths
+    prof = profile_fusions(many_batch, xb, "detect_batch8")
+    if prof is not None:
+        prof["busy_ms_per_forward"] = round(prof["busy_ms"] / chain, 2)
+        prof["device_ips_busy"] = round(nb * chain / (prof["busy_ms"] / 1e3), 1)
+        roofline["fusion_profile"] = prof
     return 1000.0 / single_ips, batch_ips, img, roofline
 
 
