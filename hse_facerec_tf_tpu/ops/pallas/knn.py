@@ -39,8 +39,17 @@ exposed VPU time, so the int8 kernel drops the per-row a2 add (41.0 →
 int32 domain (no int→f32 convert, integer min) is SLOWER (38.7 ms — f32
 min beats int32 min on the VPU: dot+min floors 26.1 f32 vs 27.8 int);
 pre-halving b2 to save the 2× multiply is a wash (34.5); splits 1/4 =
-36.0/38.5. The remaining ~8 ms over the 26.1 ms floor is the second
-epilogue pass (iota/where index selection), only partially overlapped.
+36.0/38.5. The remaining ~8 ms over the 26.1 ms floor was the second
+epilogue pass (iota/where index selection) — r4 deletes it by PACKING the
+column index into the low 10 mantissa bits of the (offset-shifted,
+non-negative) f32 ranking value so ONE f32 min returns value and argmin
+together (``_make_kernel_packed``, default ``pack_idx=True``): **28.6 ms
+vs 34.5 two-pass** at the design point, 91% of the 26.1 ms floor. The
+cost is a one-sided ≤2^-13-relative blur on the ranking value (~0.1% of
+near-tie argmins move, all within the int8 quantization noise itself;
+top-1-vs-f32 agreement is unchanged — see tests), and the REPORTED
+distance carries the same masked bits (``pack_idx=False`` keeps the
+bit-exact two-pass form).
 
 Measured dead ends (do not retry without new Mosaic evidence):
   - TILE_M ∈ {4096, 8192}, TILE_N = 2048, and ≥4-way splits all FAIL to
@@ -183,15 +192,21 @@ def nearest_neighbor_tpu(probes: jnp.ndarray, gallery: jnp.ndarray,
     return jnp.maximum(min_d[:m, 0], 0.0), idx[:m, 0]
 
 
-def _pallas_nn_call(a, bt, a2, b2, tile_m, tile_n, splits, int8, interpret):
+def _pallas_nn_call(a, bt, a2, b2, tile_m, tile_n, splits, int8, interpret,
+                    packed=False):
     """Shared pallas_call plumbing for the f32/bf16 and int8 kernels.
     ``a`` is (MP, D) pre-padded, ``bt`` (D, NP), ``a2`` (MP, 1), ``b2``
-    (1, NP) with +inf on padded gallery rows."""
+    (1, NP) with +inf on padded gallery rows (``packed=True`` instead takes
+    the offset-shifted b2 with a large-FINITE pad sentinel — inf bit
+    patterns would turn into NaNs when the index is ORed in)."""
+    if packed:
+        assert int8 and tile_n <= 1024, "packed epilogue carries 10 index bits"
     mp, d = a.shape
     np_ = bt.shape[1]
     grid = (mp // tile_m, np_ // tile_n)
     return pl.pallas_call(
-        _make_kernel(tile_n, splits, int8=int8),
+        _make_kernel_packed(tile_n, splits) if packed
+        else _make_kernel(tile_n, splits, int8=int8),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_m, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -215,6 +230,66 @@ def _pallas_nn_call(a, bt, a2, b2, tile_m, tile_n, splits, int8, interpret):
     )(a, bt, a2, b2)
 
 
+def _make_kernel_packed(tile_n: int, splits: int):
+    """int8 kernel with an index-PACKED single-pass epilogue.
+
+    The plain int8 kernel's residual over the dot+min floor is the second
+    reduction pass (iota/where index selection) — exposed VPU time once the
+    int8 dot is half as long as bf16's. Here the ranking value is arranged
+    non-negative (the caller folds ``OFFSET >= max qa·qb`` into the b2
+    operand, Cauchy–Schwarz over the precomputed row norms), so its f32 bit
+    pattern is order-isomorphic to its value; the kernel masks the low 10
+    mantissa bits and ORs in the within-tile column index, and a SINGLE f32
+    ``min`` then yields value and argmin together (f32 min measured faster
+    than int32 min on this VPU — the r3 all-int32 ablation). Ties at equal
+    masked value resolve to the lowest index for free. Cost: ranking is on
+    the value quantized to 2^-13 of its own exponent — ~30× below the int8
+    quantization noise itself on the distances (verified in tests).
+    """
+    h = tile_n // splits
+
+    def kernel(a_ref, bt_ref, a2_ref, b2p_ref, min_ref, idx_ref,
+               state_min, state_idx):
+        j = pl.program_id(1)
+        nj = pl.num_programs(1)
+        a = a_ref[:]
+
+        packed = None
+        for k in range(splits):
+            ab = jnp.dot(a, bt_ref[:, k * h:(k + 1) * h],
+                         preferred_element_type=jnp.int32).astype(jnp.float32)
+            d = b2p_ref[:, k * h:(k + 1) * h] - ab     # >= 0 by construction
+            ki = jax.lax.bitcast_convert_type(d, jnp.int32)
+            cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1) + k * h
+            key = jax.lax.bitcast_convert_type((ki & -1024) | cols,
+                                               jnp.float32)
+            lm = jnp.min(key, axis=1, keepdims=True)   # one pass: value+index
+            packed = lm if packed is None else jnp.minimum(packed, lm)
+
+        # unpack on the (tile_m, 1) result — negligible next to the tile
+        pbits = jax.lax.bitcast_convert_type(packed, jnp.int32)
+        local_min = jax.lax.bitcast_convert_type(pbits & -1024, jnp.float32)
+        local_arg = (pbits & 1023) + j * tile_n
+
+        @pl.when(j == 0)
+        def _():
+            state_min[:] = local_min
+            state_idx[:] = local_arg
+
+        @pl.when(j > 0)
+        def _():
+            better = local_min < state_min[:]
+            state_min[:] = jnp.where(better, local_min, state_min[:])
+            state_idx[:] = jnp.where(better, local_arg, state_idx[:])
+
+        @pl.when(j == nj - 1)
+        def _():
+            min_ref[:] = state_min[:]
+            idx_ref[:] = state_idx[:]
+
+    return kernel
+
+
 def quantize_embeddings(x: jnp.ndarray):
     """Symmetric global int8 quantization for gallery/probe embeddings:
     ``q = round(x / s)`` with ``s = max|x| / 127`` (FAISS-SQ8-style; the
@@ -233,20 +308,21 @@ def quantize_embeddings(x: jnp.ndarray):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "tile_m", "tile_n", "splits"))
+                   static_argnames=("interpret", "tile_m", "tile_n", "splits",
+                                    "pack_idx"))
 def nearest_neighbor_tpu_int8q(probes: jnp.ndarray, q_gallery: jnp.ndarray,
                                g_scale: jnp.ndarray,
                                interpret: bool = False,
                                tile_m: int = TILE_M, tile_n: int = TILE_N,
                                splits: int = _SPLITS,
-                               valid_n=None,
+                               valid_n=None, pack_idx: bool = True,
                                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """int8 variant of ``nearest_neighbor_tpu`` against a PRE-quantized
     gallery (``quantize_embeddings`` at enrollment: 4× less gallery HBM than
     f32, 2× less than bf16 — and no per-query quantization pass). Probes are
-    quantized here. Distances are EXACT squared-L2 between the dequantized
-    vectors — the int32 MXU dot is exact, and the scales fold into the
-    precomputed norm terms: with ``s = 2·sa·sb``,
+    quantized here. The ranking math is EXACT squared-L2 between the
+    dequantized vectors — the int32 MXU dot is exact, and the scales fold
+    into the precomputed norm terms: with ``s = 2·sa·sb``,
 
         d(â, b̂) = s · (|â|²/s + |b̂|²/s − qa·qb)
 
@@ -263,6 +339,14 @@ def nearest_neighbor_tpu_int8q(probes: jnp.ndarray, q_gallery: jnp.ndarray,
     rows as real — rows beyond it get +inf distance. Used by the sharded
     path, whose zero-padded shard rows would otherwise be legitimate-looking
     dequantized vectors (int8 has no 1e4-magnitude always-loses pad row).
+
+    ``pack_idx=True`` (default) uses the single-pass index-packed epilogue
+    (28.6 vs 34.5 ms at the 8k×1M×512 design point, r4 measured — see
+    ``_make_kernel_packed``): the argmin rides in the low 10 mantissa bits,
+    so the reported distance is one-sidedly blurred by ≤2^-13 of
+    (d + offset) and near-tie argmins within that blur may move (both far
+    below the int8 quantization noise). ``pack_idx=False`` keeps the exact
+    two-pass epilogue.
     """
     m, d = probes.shape
     n, _ = q_gallery.shape
@@ -280,17 +364,46 @@ def nearest_neighbor_tpu_int8q(probes: jnp.ndarray, q_gallery: jnp.ndarray,
     qa_f = qa.astype(jnp.float32)
     qb_f = qb.astype(jnp.float32)
     # |â|²/s = sa²·Σqa² / (2·sa·sb) = Σqa² · sa/(2·sb); exact int sums
-    a2 = jnp.sum(qa_f * qa_f, axis=1, keepdims=True) * (sa / (2.0 * sb))
-    b2 = jnp.sum(qb_f * qb_f, axis=1) * (sb / (2.0 * sa))
+    a2raw = jnp.sum(qa_f * qa_f, axis=1, keepdims=True)
+    b2raw = jnp.sum(qb_f * qb_f, axis=1)
+    a2 = a2raw * (sa / (2.0 * sb))
+    b2 = b2raw * (sb / (2.0 * sa))
     lim = n if valid_n is None else jnp.minimum(valid_n, n)
-    b2 = jnp.where(jnp.arange(np_) < lim, b2, jnp.inf)[None, :]
 
+    if pack_idx:
+        offset, b2p = _packed_b2(a2raw, b2raw, b2,
+                                 jnp.arange(np_) < lim)
+        min_e, idx = _pallas_nn_call(qa, qb.T, a2, b2p, tile_m, tile_n,
+                                     splits, int8=True, interpret=interpret,
+                                     packed=True)
+        dmin = (min_e[:m, 0] - offset + a2[:m, 0]) * s
+        return jnp.maximum(dmin, 0.0), idx[:m, 0]
+
+    b2 = jnp.where(jnp.arange(np_) < lim, b2, jnp.inf)[None, :]
     # a2 rides along unused by the int8 kernel (same pallas_call plumbing);
     # its contribution is restored on the (M,) result below
     min_e, idx = _pallas_nn_call(qa, qb.T, a2, b2, tile_m, tile_n, splits,
                                  int8=True, interpret=interpret)
     dmin = (min_e[:m, 0] + a2[:m, 0]) * s
     return jnp.maximum(dmin, 0.0), idx[:m, 0]
+
+
+def _packed_b2(a2raw, b2raw, b2_scaled, valid_mask):
+    """Offset-shifted b2 operand for the packed-epilogue kernel.
+
+    The kernel ranks on ``d = (b2 + OFFSET) − qa·qb`` and needs d ≥ 0 for
+    the f32-bits/int ordering isomorphism. Cauchy–Schwarz over the already-
+    computed raw row norms gives a tight dynamic bound:
+    ``max qa·qb ≤ sqrt(max Σqa²)·sqrt(max Σqb²)``. Padded / invalid gallery
+    rows get a large FINITE sentinel (inf would turn NaN once index bits are
+    ORed into the mantissa): pad rows have qb = 0 so their d equals the
+    sentinel exactly, and ``3·OFFSET + max b2 + 1`` exceeds every real
+    ``d ≤ b2 + 2·OFFSET``. Returns ``(offset, b2p (1, NP))``."""
+    offset = (jnp.sqrt(jnp.max(a2raw)) * jnp.sqrt(jnp.max(
+        jnp.where(valid_mask, b2raw, 0.0))) * 1.01 + 1.0)
+    sentinel = 3.0 * offset + jnp.max(jnp.where(valid_mask, b2_scaled, 0.0)) + 1.0
+    b2p = jnp.where(valid_mask, b2_scaled + offset, sentinel)[None, :]
+    return offset, b2p
 
 
 def nearest_neighbor_tpu_int8(probes: jnp.ndarray, gallery: jnp.ndarray,
@@ -321,12 +434,13 @@ def pack_quantized_gallery(q_gallery: jnp.ndarray, g_scale: jnp.ndarray,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "tile_m", "tile_n", "splits"))
+                   static_argnames=("interpret", "tile_m", "tile_n", "splits",
+                                    "pack_idx"))
 def nearest_neighbor_tpu_int8p(probes: jnp.ndarray, qt: jnp.ndarray,
                                b2i: jnp.ndarray, g_scale: jnp.ndarray,
                                interpret: bool = False,
                                tile_m: int = TILE_M, tile_n: int = TILE_N,
-                               splits: int = _SPLITS,
+                               splits: int = _SPLITS, pack_idx: bool = True,
                                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """``nearest_neighbor_tpu_int8q`` against a ``pack_quantized_gallery``
     result: per query only the probes are quantized/padded and the raw Σq²
@@ -346,8 +460,19 @@ def nearest_neighbor_tpu_int8p(probes: jnp.ndarray, qt: jnp.ndarray,
     qa = jnp.zeros((mp, d), jnp.int8).at[:m].set(qa)
     s = 2.0 * sa * sb
     qa_f = qa.astype(jnp.float32)
-    a2 = jnp.sum(qa_f * qa_f, axis=1, keepdims=True) * (sa / (2.0 * sb))
+    a2raw = jnp.sum(qa_f * qa_f, axis=1, keepdims=True)
+    a2 = a2raw * (sa / (2.0 * sb))
     b2 = b2i * (sb / (2.0 * sa))     # +inf pad rows stay +inf
+
+    if pack_idx:
+        valid = jnp.isfinite(b2i[0])   # pack_quantized_gallery marks pads +inf
+        offset, b2p = _packed_b2(a2raw, jnp.where(valid, b2i[0], 0.0),
+                                 jnp.where(valid, b2[0], 0.0), valid)
+        min_e, idx = _pallas_nn_call(qa, qt, a2, b2p, tile_m, tile_n,
+                                     splits, int8=True, interpret=interpret,
+                                     packed=True)
+        dmin = (min_e[:m, 0] - offset + a2[:m, 0]) * s
+        return jnp.maximum(dmin, 0.0), idx[:m, 0]
 
     min_e, idx = _pallas_nn_call(qa, qt, a2, b2, tile_m, tile_n, splits,
                                  int8=True, interpret=interpret)

@@ -95,10 +95,14 @@ def test_sharded_knn_matches_single_device(rng):
 
 
 def test_int8_kernel_matches_dequantized_reference(rng):
-    """The int8 kernel's distances are EXACT squared-L2 between the
+    """The int8 kernel's ranking math is EXACT squared-L2 between the
     dequantized vectors (int32 MXU dot is exact; scales fold into the norm
     terms) — so it must agree with a float64 reference computed on the
-    dequantized values, including argmin, with ragged tiles on both axes."""
+    dequantized values, including argmin, with ragged tiles on both axes.
+    The default pack_idx epilogue reports the distance with its low 10
+    mantissa bits masked (where the argmin index rode through the single-min
+    pass) — a ≤2^-13-of-(d+offset) one-sided blur on the REPORTED value
+    only; pack_idx=False keeps the bit-exact two-pass epilogue."""
     from hse_facerec_tf_tpu.ops.pallas.knn import (nearest_neighbor_tpu_int8,
                                                    quantize_embeddings)
 
@@ -106,6 +110,8 @@ def test_int8_kernel_matches_dequantized_reference(rng):
     g = rng.randn(1025, 64).astype(np.float32)
     dmin, idx = nearest_neighbor_tpu_int8(jnp.asarray(p), jnp.asarray(g),
                                           interpret=True)
+    dmin_exact, idx_exact = nearest_neighbor_tpu_int8(
+        jnp.asarray(p), jnp.asarray(g), interpret=True, pack_idx=False)
 
     qa, sa = (np.asarray(t) for t in quantize_embeddings(jnp.asarray(p)))
     qb, sb = (np.asarray(t) for t in quantize_embeddings(jnp.asarray(g)))
@@ -113,7 +119,11 @@ def test_int8_kernel_matches_dequantized_reference(rng):
     gb = qb.astype(np.float64) * sb
     d = ((pa[:, None, :] - gb[None, :, :]) ** 2).sum(-1)
     np.testing.assert_array_equal(np.asarray(idx), d.argmin(1))
-    np.testing.assert_allclose(np.asarray(dmin), d.min(1), rtol=1e-4, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(idx_exact), d.argmin(1))
+    np.testing.assert_allclose(np.asarray(dmin_exact), d.min(1), rtol=1e-4,
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(dmin), d.min(1), rtol=2e-3,
+                               atol=1e-3)
 
 
 def test_int8_kernel_tie_breaking_lowest_index(rng):
@@ -168,7 +178,15 @@ def test_int8_xla_twin_matches_pallas_kernel(rng):
                                         tile_m=16, tile_n=32, splits=2)
     d2, i2 = nearest_neighbor_int8_xla(jnp.asarray(p), qb, sb)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
-    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-5,
+    # pack_idx=True reports d with 10 low mantissa bits masked (one-sided);
+    # the exact epilogue must match the twin bit-close
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=2e-3,
+                               atol=1e-4)
+    d1e, i1e = nearest_neighbor_tpu_int8q(jnp.asarray(p), qb, sb,
+                                          interpret=True, tile_m=16,
+                                          tile_n=32, splits=2, pack_idx=False)
+    np.testing.assert_array_equal(np.asarray(i1e), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1e), np.asarray(d2), rtol=1e-5,
                                atol=1e-4)
 
 
