@@ -44,31 +44,47 @@ def face_id_param_shardings(mesh: Mesh, params: Dict):
 
 def make_sharded_face_id_trainer(mesh: Mesh, n_classes: int,
                                  cfg: TrainConfig = None, seed: int = 0,
-                                 remat: bool = False):
+                                 remat: bool = False,
+                                 compute_dtype=None):
     """Returns (params, opt_state, step_fn) with dp×tp shardings applied.
 
     step_fn(params, opt_state, key, images, labels) -> (params, opt_state,
     metrics); images are sharded over 'data', the classifier over 'model'.
+    ``compute_dtype`` overrides the backbone activation dtype (default bf16;
+    the dryrun passes f32 for deterministic sharded-vs-single assertions).
     """
+    import jax.numpy as _jnp
+
     cfg = cfg or TrainConfig()
     params = init_mobilenet_params(jax.random.PRNGKey(seed), n_classes=n_classes)
     optimizer = make_optimizer(cfg)
     opt_state = optimizer.init(params)
-    step = make_train_step(cfg, optimizer, augment=None, remat=remat)
+    step = make_train_step(cfg, optimizer, augment=None, remat=remat,
+                           compute_dtype=compute_dtype or _jnp.bfloat16)
 
     p_shard = face_id_param_shardings(mesh, params)
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
-    # optimizer state mirrors the param tree structure per transform; shard the
-    # adam moments like their params, scalars replicated.
+
+    # Optimizer-state shardings STRUCTURALLY: any opt-state subtree shaped
+    # exactly like the param pytree (adam mu/nu) gets the param shardings;
+    # every other leaf (counts, schedule scalars) is replicated. The r3
+    # shape-matching heuristic ("any (·, n_classes) / (n_classes,) leaf is
+    # the classifier's moment") also caught the 64-channel BN params'
+    # moments at n_classes=64 and silently sharded them over 'model' —
+    # benign-but-unintended layout the r4 value-asserting dryrun surfaced.
+    p_struct = jax.tree.structure(params)
+
     def opt_shardings(state):
+        def is_param_tree(node):
+            try:
+                return jax.tree.structure(node) == p_struct
+            except Exception:
+                return False
+
         return jax.tree.map(
-            lambda leaf: (p_shard["classifier"]["kernel"]
-                          if getattr(leaf, "ndim", 0) == 2 and leaf.shape[-1] == n_classes
-                          else (p_shard["classifier"]["bias"]
-                                if getattr(leaf, "ndim", 0) == 1 and leaf.shape[0] == n_classes
-                                else repl)),
-            state)
+            lambda node: p_shard if is_param_tree(node) else repl,
+            state, is_leaf=is_param_tree)
 
     o_shard = opt_shardings(opt_state)
     params = jax.device_put(params, p_shard)
@@ -85,7 +101,8 @@ def make_sharded_face_id_trainer(mesh: Mesh, n_classes: int,
 
 def make_sharded_age_gender_trainer(mesh: Mesh, lr: float = 1e-3,
                                     freeze_backbone: bool = False,
-                                    seed: int = 0, width: float = 1.0):
+                                    seed: int = 0, width: float = 1.0,
+                                    compute_dtype=None):
     """Mesh-sharded alternating multi-task age/gender steps (the reference's
     ``train_age_gender`` loop, ``age_gender_train.py:194-232``, as SPMD).
 
@@ -109,7 +126,8 @@ def make_sharded_age_gender_trainer(mesh: Mesh, lr: float = 1e-3,
     gender_opt_state = gender_opt.init(params)
     age_step, gender_step = make_steps(age_opt, gender_opt,
                                        freeze_backbone=freeze_backbone,
-                                       jit=False)
+                                       jit=False,
+                                       compute_dtype=compute_dtype or jnp.bfloat16)
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(tuple(mesh.axis_names)))  # DP over all axes
@@ -128,13 +146,15 @@ def make_sharded_age_gender_trainer(mesh: Mesh, lr: float = 1e-3,
 
 
 def run_one_sharded_age_gender_pair(mesh: Mesh, batch: int = None,
-                                    image_size: int = 32, seed: int = 0):
+                                    image_size: int = 32, seed: int = 0,
+                                    compute_dtype=None):
     """One alternating (age, gender) sharded step pair on tiny shapes —
     driver dry run + tests."""
     n_dev = int(np.prod(list(mesh.shape.values())))
     batch = batch or 2 * n_dev
     params, age_os, gender_os, age_step, gender_step, _ = \
-        make_sharded_age_gender_trainer(mesh, width=0.25, seed=seed)
+        make_sharded_age_gender_trainer(mesh, width=0.25, seed=seed,
+                                        compute_dtype=compute_dtype)
     rng = np.random.RandomState(seed)
     images = jnp.asarray(rng.rand(batch, image_size, image_size, 3)
                          .astype(np.float32) * 2 - 1)
@@ -149,12 +169,14 @@ def run_one_sharded_age_gender_pair(mesh: Mesh, batch: int = None,
 
 
 def run_one_sharded_step(mesh: Mesh, n_classes: int = 64, batch: int = None,
-                         image_size: int = 32, seed: int = 0):
+                         image_size: int = 32, seed: int = 0,
+                         compute_dtype=None):
     """Initialize + execute exactly one sharded train step on tiny shapes.
     Used by the driver's multi-chip dry run and by tests."""
     dp = mesh.shape["data"]
     batch = batch or max(2 * dp, dp)
-    params, opt_state, step_fn = make_sharded_face_id_trainer(mesh, n_classes)
+    params, opt_state, step_fn = make_sharded_face_id_trainer(
+        mesh, n_classes, compute_dtype=compute_dtype)
     rng = np.random.RandomState(seed)
     images = jnp.asarray(rng.rand(batch, image_size, image_size, 3)
                          .astype(np.float32) * 2 - 1)

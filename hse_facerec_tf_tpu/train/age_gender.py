@@ -50,7 +50,7 @@ def init_head_params(rng: jax.Array, backbone_dim: int = 1024) -> Dict:
 
 def forward(params: Dict, images, *, train: bool = False, dropout_key=None,
             dropout_rate: float = 0.5, precision=jax.lax.Precision.DEFAULT,
-            backbone_train: bool = None):
+            backbone_train: bool = None, compute_dtype=jnp.bfloat16):
     """Shared trunk -> (age_logits, gender_logit, bn_stats).
 
     ``backbone_train`` decouples the trunk's BN mode from head training: in
@@ -61,7 +61,7 @@ def forward(params: Dict, images, *, train: bool = False, dropout_key=None,
         backbone_train = train
     stats: Dict = {}
     h = mobilenet_v1_backbone(params["backbone"], images, precision=precision,
-                              compute_dtype=jnp.bfloat16, train=backbone_train,
+                              compute_dtype=compute_dtype, train=backbone_train,
                               stats_out=stats if backbone_train else None)
     emb = global_avg_pool(h).astype(jnp.float32)
     if train and dropout_key is not None:
@@ -118,7 +118,8 @@ def _l2_penalty(params: Dict, heads) -> jnp.ndarray:
 def make_steps(age_optimizer: optax.GradientTransformation,
                gender_optimizer: Optional[optax.GradientTransformation] = None,
                bn_momentum: float = 0.99,
-               freeze_backbone: bool = False, jit: bool = True):
+               freeze_backbone: bool = False, jit: bool = True,
+               compute_dtype=jnp.bfloat16):
     """Two donated jitted steps sharing the param pytree, each with its OWN
     optimizer/state (the reference's separately-compiled age_model /
     gender_model, :243-245). ``jit=False`` returns the raw functions for
@@ -142,7 +143,8 @@ def make_steps(age_optimizer: optax.GradientTransformation,
     def age_step(params, opt_state, key, images, ages):
         def loss(p):
             age_logits, _, stats = forward(p, images, train=True, dropout_key=key,
-                                           backbone_train=backbone_train)
+                                           backbone_train=backbone_train,
+                                           compute_dtype=compute_dtype)
             ce = optax.softmax_cross_entropy_with_integer_labels(age_logits, ages).mean()
             ce = ce + _l2_penalty(p, ("feats", "age"))
             acc = jnp.mean(jnp.argmax(age_logits, -1) == ages)
@@ -157,7 +159,8 @@ def make_steps(age_optimizer: optax.GradientTransformation,
     def gender_step(params, opt_state, key, images, genders):
         def loss(p):
             _, gender_logit, stats = forward(p, images, train=True, dropout_key=key,
-                                             backbone_train=backbone_train)
+                                             backbone_train=backbone_train,
+                                             compute_dtype=compute_dtype)
             bce = optax.sigmoid_binary_cross_entropy(gender_logit,
                                                      genders.astype(jnp.float32)).mean()
             bce = bce + _l2_penalty(p, ("feats", "gender"))

@@ -29,13 +29,18 @@ from .augment import AugmentConfig, augment_batch
 
 
 def forward_train(params: Dict, images, *, precision=jax.lax.Precision.DEFAULT,
-                  remat: bool = False):
+                  remat: bool = False, compute_dtype=jnp.bfloat16):
     """Training forward: logits + collected BN batch stats. ``remat`` applies
     per-block rematerialization in the backbone (activation-memory headroom
-    for large batches at ~30% extra backward FLOPs)."""
+    for large batches at ~30% extra backward FLOPs). ``compute_dtype``
+    selects the backbone activation dtype — bf16 (default, the MXU path);
+    f32 is used by the multi-chip dryrun so sharded-vs-single value
+    assertions are not blurred by bf16 reduction-order chaos (at random
+    init, 13 BN layers amplify bf16 rounding to ~2%% loss differences
+    between equally-valid evaluation orders — measured r4)."""
     stats: Dict = {}
     h = mobilenet_v1_backbone(params, images, precision=precision,
-                              compute_dtype=jnp.bfloat16, train=True,
+                              compute_dtype=compute_dtype, train=True,
                               stats_out=stats, remat=remat)
     emb = global_avg_pool(h).astype(jnp.float32)
     logits = dense(emb, params["classifier"]["kernel"], params["classifier"]["bias"],
@@ -58,8 +63,10 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
 
 
 def loss_fn(params: Dict, images, labels, weight_decay: float,
-            precision=jax.lax.Precision.DEFAULT, remat: bool = False):
-    logits, stats = forward_train(params, images, precision=precision, remat=remat)
+            precision=jax.lax.Precision.DEFAULT, remat: bool = False,
+            compute_dtype=jnp.bfloat16):
+    logits, stats = forward_train(params, images, precision=precision,
+                                  remat=remat, compute_dtype=compute_dtype)
     ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
     l2 = weight_decay * jnp.sum(jnp.square(params["classifier"]["kernel"]))
     acc = jnp.mean(jnp.argmax(logits, axis=-1) == labels)
@@ -68,7 +75,8 @@ def loss_fn(params: Dict, images, labels, weight_decay: float,
 
 def make_train_step(cfg: TrainConfig, optimizer: optax.GradientTransformation,
                     augment: Optional[AugmentConfig] = AugmentConfig(),
-                    bn_momentum: float = 0.99, remat: bool = False):
+                    bn_momentum: float = 0.99, remat: bool = False,
+                    compute_dtype=jnp.bfloat16):
     """Returns jittable ``step(params, opt_state, key, images, labels) ->
     (params, opt_state, metrics)``. images: float32 preprocessed batch.
 
@@ -76,7 +84,8 @@ def make_train_step(cfg: TrainConfig, optimizer: optax.GradientTransformation,
     trading ~30% backward FLOPs for activation memory — the knob for
     large-batch training where backbone activations exceed HBM."""
     def fwd_loss(params, images, labels):
-        return loss_fn(params, images, labels, cfg.weight_decay, remat=remat)
+        return loss_fn(params, images, labels, cfg.weight_decay, remat=remat,
+                       compute_dtype=compute_dtype)
 
     def step(params, opt_state, key, images, labels):
         if augment is not None:
