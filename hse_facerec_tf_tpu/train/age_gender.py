@@ -26,6 +26,7 @@ from ..config import TrainConfig
 from ..models.layers import dense, global_avg_pool
 from ..models.mobilenet import (init_mobilenet_params, mobilenet_v1_backbone,
                                 update_bn_stats)
+from .augment import AugmentConfig, augment_batch
 
 N_AGE_BINS = 100
 FEATS_DIM = 256
@@ -119,7 +120,8 @@ def make_steps(age_optimizer: optax.GradientTransformation,
                gender_optimizer: Optional[optax.GradientTransformation] = None,
                bn_momentum: float = 0.99,
                freeze_backbone: bool = False, jit: bool = True,
-               compute_dtype=jnp.bfloat16):
+               compute_dtype=jnp.bfloat16,
+               augment: Optional["AugmentConfig"] = None):
     """Two donated jitted steps sharing the param pytree, each with its OWN
     optimizer/state (the reference's separately-compiled age_model /
     gender_model, :243-245). ``jit=False`` returns the raw functions for
@@ -129,10 +131,23 @@ def make_steps(age_optimizer: optax.GradientTransformation,
 
     With ``freeze_backbone`` the trunk runs inference-mode BN and its running
     statistics stay untouched (the reference's frozen Keras base — a frozen
-    TF2 layer does not update BN moments)."""
+    TF2 layer does not update BN moments).
+
+    ``augment`` applies the reference's ImageDataGenerator policy on device
+    before the forward — BOTH its training loops feed generator-augmented
+    batches through the same ``train_datagen`` (shear .3 / rot 10 / zoom .2 /
+    shift .1 / hflip, ``age_gender_train.py:127-133``), so the alternating
+    age/gender steps augment exactly like the face-id step. None (default)
+    keeps the raw batch."""
     if gender_optimizer is None:
         gender_optimizer = age_optimizer
     backbone_train = not freeze_backbone
+
+    def maybe_augment(key, images):
+        if augment is None:
+            return key, images
+        akey, key = jax.random.split(key)
+        return key, augment_batch(akey, images, augment)
 
     def maybe_update(params, stats):
         if freeze_backbone:
@@ -141,6 +156,8 @@ def make_steps(age_optimizer: optax.GradientTransformation,
                                                       bn_momentum)}
 
     def age_step(params, opt_state, key, images, ages):
+        key, images = maybe_augment(key, images)
+
         def loss(p):
             age_logits, _, stats = forward(p, images, train=True, dropout_key=key,
                                            backbone_train=backbone_train,
@@ -157,6 +174,8 @@ def make_steps(age_optimizer: optax.GradientTransformation,
         return params, opt_state, {"age_loss": l, "age_acc": acc}
 
     def gender_step(params, opt_state, key, images, genders):
+        key, images = maybe_augment(key, images)
+
         def loss(p):
             _, gender_logit, stats = forward(p, images, train=True, dropout_key=key,
                                              backbone_train=backbone_train,
@@ -181,8 +200,10 @@ def make_steps(age_optimizer: optax.GradientTransformation,
 
 class AgeGenderTrainer:
     def __init__(self, backbone_params: Optional[Dict] = None, seed: int = 0,
-                 cfg: Optional[TrainConfig] = None):
+                 cfg: Optional[TrainConfig] = None,
+                 augment: Optional[AugmentConfig] = AugmentConfig()):
         self.cfg = cfg or TrainConfig()
+        self.augment = augment
         key = jax.random.PRNGKey(seed)
         kb, kh = jax.random.split(key)
         if backbone_params is None:
@@ -204,7 +225,7 @@ class AgeGenderTrainer:
         self.gender_opt_state = self.gender_optimizer.init(self.params)
         self._age_step, self._gender_step = make_steps(
             self.age_optimizer, self.gender_optimizer,
-            freeze_backbone=freeze_backbone)
+            freeze_backbone=freeze_backbone, augment=self.augment)
 
     def unfreeze(self, lr: Optional[float] = None):
         """Phase 2: fine-tune the whole network (:249-269)."""

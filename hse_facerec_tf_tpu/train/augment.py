@@ -23,6 +23,11 @@ class AugmentConfig:
     shift: float = 0.1
     horizontal_flip: bool = True
     fill_value: float = 0.0
+    # warp backend: "auto" = Pallas kernel on TPU (ops/pallas/warp.py,
+    # 11.5x the einsum form — it regenerates the hat weights in VMEM
+    # instead of materializing ~5.75 GB/batch in HBM), einsum elsewhere;
+    # "einsum" / "pallas" force one.
+    backend: str = "auto"
 
 
 def _sample_affine(key, cfg: AugmentConfig, h: int, w: int) -> jnp.ndarray:
@@ -73,15 +78,17 @@ def _warp_one(img, mat, fill):
     |m00| bounded away from 0 — true for the reference's augmentation
     ranges (rotation <= 10 deg, zoom <= 1.2: |m00| >= 0.8).
 
-    Known cost ceiling (r3 profiling): the materialized per-image weight
-    tensors (~5.8 GB bf16 per pass at batch 256) bound the warp at ~40% of
-    the train step. Measured non-fixes: uint8-quantized weights with
-    in-einsum dequant are SLOWER (4.74 vs 4.12 ms per 64-img pass — XLA
-    materializes the dequantized operand anyway, so quantize+dequant is
-    pure overhead); banded/shift decompositions reduce to per-(image, row)
-    gathers, the 18x-slower form this code replaced. The weights are
-    2-sparse but dot operands must be dense — this is the fastest known
-    gather-free form.
+    Cost ceiling (r3 profiling): the materialized per-image weight tensors
+    (~5.8 GB bf16 per pass at batch 256) bound this form at ~40% of the
+    train step; it remains the CPU/mesh-test path and the golden for the
+    TPU path. On TPU, augment_batch dispatches to ops/pallas/warp.py
+    (ladder + selection-matmul kernel, 11.5x — it regenerates the weights
+    in VMEM). Measured non-fixes for THIS form: uint8-quantized weights
+    with in-einsum dequant are SLOWER (4.74 vs 4.12 ms per 64-img pass —
+    XLA materializes the dequantized operand anyway); banded/shift
+    decompositions reduce to per-(image, row) gathers, the 18x-slower form
+    this code replaced. The weights are 2-sparse but XLA dot operands must
+    be dense — this is the fastest known XLA-expressible form.
     """
     h, w, _ = img.shape
     m00, m01, m02 = mat[0, 0], mat[0, 1], mat[0, 2]
@@ -112,10 +119,24 @@ def _warp_one(img, mat, fill):
     return jnp.where(valid[..., None], out, fill)
 
 
+def _use_pallas(cfg: AugmentConfig, h: int, w: int) -> bool:
+    if cfg.backend == "pallas":
+        return True
+    if cfg.backend == "einsum":
+        return False
+    # trace-time decision: the Mosaic kernel exists for TPU only, and its
+    # roll/pad tiling assumes 8-aligned spatial dims (true for all training
+    # sizes here: 224, 160, 64)
+    return (jax.default_backend() == "tpu" and h % 8 == 0 and w % 8 == 0)
+
+
 def augment_batch(key: jax.Array, images: jnp.ndarray,
                   cfg: AugmentConfig = AugmentConfig()) -> jnp.ndarray:
     """(N, H, W, C) float images -> randomly warped batch (same shape)."""
     n, h, w, _ = images.shape
     keys = jax.random.split(key, n)
     mats = jax.vmap(lambda k: _sample_affine(k, cfg, h, w))(keys)
+    if _use_pallas(cfg, h, w):
+        from ..ops.pallas.warp import warp_batch_pallas
+        return warp_batch_pallas(images, mats, cfg.fill_value)
     return jax.vmap(lambda im, m: _warp_one(im, m, cfg.fill_value))(images, mats)

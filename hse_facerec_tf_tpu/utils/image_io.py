@@ -108,7 +108,12 @@ def video_rotation(path: str) -> int:
 
     Pure-Python replacement for the reference's ``exiftool`` subprocess
     (``facial_analysis.py:619-635``): walks the MP4 box structure and decodes
-    the track ``tkhd`` rotation matrix. Returns 0 / 90 / 180 / 270."""
+    the track ``tkhd`` rotation matrix. Returns 0 / 90 / 180 / 270.
+
+    Scope: MP4/MOV (ISO-BMFF) containers only — the reference's exiftool
+    shell-out handled any container, but rotation metadata effectively only
+    exists in phone-recorded MP4/MOV; AVI/MKV carry no standard rotation
+    tag, and for those this probe returns 0 (frames used as stored)."""
     try:
         with open(path, "rb") as f:
             data = f.read(4 * 1024 * 1024)

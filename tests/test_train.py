@@ -83,6 +83,34 @@ def test_augment_two_pass_matches_direct_warp(rng):
         np.testing.assert_allclose(got, warp_ref(img, mat), atol=0.02)
 
 
+def test_pallas_warp_matches_einsum_two_pass(rng):
+    """The TPU augment kernel (ops/pallas/warp.py, ladder + selection
+    matmul) must reproduce the einsum two-pass warp — same factorization,
+    same clip-to-edge + fill semantics — to within bf16 rounding of the
+    image operand (the einsum path rounds its hat WEIGHTS to bf16, the
+    kernel rounds the selected image values: same error class). Interpret
+    mode; flips, shears, and out-of-range fills all exercised."""
+    import jax.numpy as jnp
+
+    from hse_facerec_tf_tpu.ops.pallas.warp import warp_batch_pallas
+    from hse_facerec_tf_tpu.train.augment import _sample_affine, _warp_one
+
+    h = w = 64
+    n = 8
+    imgs = jnp.asarray(rng.rand(n, h, w, 3).astype(np.float32))
+    keys = jax.random.split(jax.random.PRNGKey(0), n)
+    cfg = AugmentConfig(shift=0.2)        # bigger shifts -> more fill area
+    mats = jax.vmap(lambda k: _sample_affine(k, cfg, h, w))(keys)
+    flips = np.asarray(mats)[:, 0, 0] < 0
+    assert flips.any() and (~flips).any()   # both branches exercised
+
+    got = np.asarray(warp_batch_pallas(imgs, mats, cfg.fill_value,
+                                       interpret=True))
+    want = np.asarray(jax.vmap(
+        lambda im, m: _warp_one(im, m, cfg.fill_value))(imgs, mats))
+    assert np.abs(got - want).max() < 0.02
+
+
 def test_face_id_training_learns(rng):
     images, labels = _toy_face_data(rng)
     cfg = TrainConfig(batch_size=8, learning_rate=3e-3)
@@ -170,6 +198,40 @@ def test_age_gender_per_task_optimizer_isolation(rng):
     np.testing.assert_array_equal(after["age"]["kernel"], before["age"]["kernel"])
     assert not np.allclose(after["gender"]["kernel"], before["gender"]["kernel"])
     assert np.isfinite(m["age_loss"]) and np.isfinite(m["gender_loss"])
+
+
+def test_age_gender_steps_augment_like_reference(rng):
+    """Both reference training loops feed generator-AUGMENTED batches
+    (``age_gender_train.py:127-133`` builds train_datagen with the same
+    shear/rot/zoom/shift/hflip policy as ``facerec_keras_train.py:164-168``);
+    the alternating steps must therefore warp their batch when an
+    AugmentConfig is passed: same params+key+batch give a different loss
+    than the un-augmented step, and the augmented step stays deterministic
+    in the key."""
+    from hse_facerec_tf_tpu.train.age_gender import (init_head_params,
+                                                     make_optimizer,
+                                                     make_steps)
+    from hse_facerec_tf_tpu.models.mobilenet import init_mobilenet_params
+    from hse_facerec_tf_tpu.train.augment import AugmentConfig
+
+    kb, kh = jax.random.split(jax.random.PRNGKey(0))
+    backbone = {k: v for k, v in init_mobilenet_params(kb).items()
+                if k != "classifier"}
+    params = {"backbone": backbone, **init_head_params(kh)}
+    opt = make_optimizer(1e-3, freeze_backbone=False, task="age")
+    imgs = jax.numpy.asarray(rng.rand(8, 64, 64, 3).astype(np.float32) * 2 - 1)
+    ages = jax.numpy.asarray(rng.randint(0, 100, 8))
+    key = jax.random.PRNGKey(3)
+
+    plain_step, _ = make_steps(opt, opt, jit=False)
+    aug_step, _ = make_steps(opt, opt, jit=False, augment=AugmentConfig())
+    _, _, m_plain = jax.jit(plain_step)(params, opt.init(params), key, imgs, ages)
+    _, _, m_aug = jax.jit(aug_step)(params, opt.init(params), key, imgs, ages)
+    _, _, m_aug2 = jax.jit(aug_step)(params, opt.init(params), key, imgs, ages)
+    assert np.isfinite(m_aug["age_loss"])
+    assert not np.isclose(float(m_plain["age_loss"]), float(m_aug["age_loss"]))
+    np.testing.assert_allclose(float(m_aug["age_loss"]),
+                               float(m_aug2["age_loss"]), rtol=1e-6)
 
 
 def test_checkpoint_save_best_early_stop(tmp_path):
