@@ -469,7 +469,199 @@ def bench_train_age_gender(chain=8, batch=256, size=224):
             for _ in range(iters)]
     np.asarray(outs[-1])
     # images/sec counting each image once per age+gender PAIR of steps
-    return batch * chain * iters / (time.perf_counter() - t0)
+    ips = batch * chain * iters / (time.perf_counter() - t0)
+    flops, bytes_ = _cost_analysis(
+        many.lower(params, age_os, gender_os, keys, images, ages,
+                   genders).compile())
+    roofline = _roofline_entry(flops / (batch * chain),
+                               bytes_ / (batch * chain), ips)
+    prof = profile_fusions(
+        lambda x: many(params, age_os, gender_os, keys, x, ages, genders),
+        images, "train_age_gender", top=6)
+    if prof is not None and prof["busy_ms"]:
+        prof["ms_per_pair"] = round(prof["busy_ms"] / chain, 2)
+        roofline["fusion_profile"] = prof
+    return ips, roofline
+
+
+def _make_synthetic_album(album_dir: str, n_photos: int = 64,
+                          video_frames: int = 40):
+    """Synthesize the reference's product input (``process_photos.py:
+    238-298``): a photo album of mixed camera resolutions built from the
+    shipped real-photo fixture (faces at several scales + pure-noise no-face
+    photos) plus one short video clip. Returns (n_photos, n_videos)."""
+    import cv2
+
+    from hse_facerec_tf_tpu.models.zoo import AGEGENDER_PB
+    from hse_facerec_tf_tpu.utils.image_io import imread_rgb
+
+    fixture = os.path.join(os.path.dirname(AGEGENDER_PB), "test_image.jpg")
+    base = imread_rgb(fixture)
+    rng = np.random.RandomState(0)
+    sizes = [(1024, 768), (800, 600), (640, 480)]   # (w, h) mixed "cameras"
+    for i in range(n_photos):
+        w, h = sizes[i % len(sizes)]
+        if i % 4 == 3:     # a quarter of the album has no faces (noise)
+            img = rng.randint(0, 255, (h, w, 3), np.uint8)
+        else:
+            img = cv2.resize(base, (w, h))
+            jitter = rng.randint(-12, 13, img.shape, np.int16)
+            img = np.clip(img.astype(np.int16) + jitter, 0, 255).astype(np.uint8)
+        cv2.imwrite(os.path.join(album_dir, f"photo_{i:03d}.jpg"),
+                    img[:, :, ::-1])
+    frame = cv2.resize(base, (640, 480))[:, :, ::-1]
+    vw = cv2.VideoWriter(os.path.join(album_dir, "clip.mp4"),
+                         cv2.VideoWriter_fourcc(*"mp4v"), 10.0, (640, 480))
+    for i in range(video_frames):
+        vw.write(np.roll(frame, i * 2, axis=1))
+    vw.release()
+    return n_photos, 1
+
+
+def bench_album():
+    """End-to-end album organize throughput — the reference's product loop
+    (``process_photos.py:219-370``): decode (DCT-bounded) → batched analyze
+    → cluster → Dempster-Shafer gender → cluster/public outputs, measured in
+    photos/sec over a 64-photo synthetic album + one video clip. This is the
+    number a user of the reference's organizer experiences, host work
+    included — the component benches above exclude decode/IO."""
+    import shutil
+    import tempfile
+
+    from hse_facerec_tf_tpu.config import AlbumConfig
+    from hse_facerec_tf_tpu.models import zoo
+    from hse_facerec_tf_tpu.pipelines.album import AlbumOrganizer
+    from hse_facerec_tf_tpu.pipelines.analyzer import FacialAnalyzer
+
+    album_dir = tempfile.mkdtemp(prefix="bench_album_")
+    try:
+        n_photos, n_videos = _make_synthetic_album(album_dir)
+        analyzer = FacialAnalyzer.from_reference_models(
+            zoo.MTCNN_PB, zoo.AGEGENDER_PB)
+        cfg = AlbumConfig(min_days_difference=0)
+        organizer = AlbumOrganizer(analyzer, cfg, analyze_batch=8,
+                                   downscale=(640, 480))
+        # warm the shape buckets (one compile-or-cache-hit pass), then time
+        # a COLD-cache scan: delete features.npz so decode+analyze all rerun
+        organizer.process_album(album_dir, use_cache=False, write_outputs=False)
+        t0 = time.perf_counter()
+        result = organizer.process_album(album_dir, use_cache=False,
+                                         write_outputs=True)
+        elapsed = time.perf_counter() - t0
+        return {
+            "album_photos_per_sec": round(n_photos / elapsed, 1),
+            "album_total_s": round(elapsed, 2),
+            "album_n_photos": n_photos,
+            "album_n_videos": n_videos,
+            "album_n_faces": result["n_faces"],
+            "album_n_clusters": len(result["clusters"]),
+        }
+    finally:
+        shutil.rmtree(album_dir, ignore_errors=True)
+
+
+def bench_serve(n_clients: int = 12, requests_per_client: int = 16):
+    """Serving-layer latency/throughput under concurrency: spin the real
+    HTTP server (embed worker + cross-request batching, serve.py) on a local
+    port and hammer /embed from ``n_clients`` threads. Reports p50/p95
+    request latency and coalesced throughput — the production pattern the
+    reference's per-image ``sess.run`` loop (``facerec_test.py:390-394``)
+    cannot express."""
+    import http.client
+    import io
+    import threading
+
+    from hse_facerec_tf_tpu.serve import build_server
+
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    buf = io.BytesIO()
+    Image.fromarray(rng.randint(0, 255, (224, 224, 3), np.uint8)).save(
+        buf, format="JPEG")
+    payload = buf.getvalue()
+
+    server = build_server(port=0, with_analyzer=False, prewarm=True)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        def one_request():
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+            t0 = time.perf_counter()
+            conn.request("POST", "/embed", body=payload,
+                         headers={"Content-Type": "image/jpeg"})
+            resp = conn.getresponse()
+            body = resp.read()
+            conn.close()
+            assert resp.status == 200, body[:200]
+            return time.perf_counter() - t0
+
+        one_request()   # warm the compile outside the timed region
+
+        lat = []
+        lock = threading.Lock()
+
+        def client():
+            for _ in range(requests_per_client):
+                dt = one_request()
+                with lock:
+                    lat.append(dt)
+
+        threads = [threading.Thread(target=client) for _ in range(n_clients)]
+        t0 = time.perf_counter()
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        elapsed = time.perf_counter() - t0
+        a = np.asarray(lat) * 1e3
+        return {
+            "serve_p50_ms": round(float(np.percentile(a, 50)), 1),
+            "serve_p95_ms": round(float(np.percentile(a, 95)), 1),
+            "serve_coalesced_ips": round(len(lat) / elapsed, 1),
+            "serve_clients": n_clients,
+        }
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def bench_pb_extractor(chain=10, batch=64):
+    # batch 64 (the extractor default), not 256: the generic compiled-pb
+    # program at HIGHEST is large and the batch-256 variant blew past a
+    # 10-minute compile budget over the tunnel
+    """The generic compiled-pb path's device cost — any user-supplied frozen
+    graph (the reference's FaceNet/insightface rows, ``facerec_test.py:
+    209-218``) runs through ``zoo.graph_extractor`` → core/graph_compiler;
+    this benches the shipped quantized age/gender pb through that generic
+    path at both precisions so the knob's cost is a known quantity (HIGHEST
+    = bit-close parity, HIGH = TPU-native ~equal numerics at bf16_3x speed;
+    the native-import path for the same net is the headline metric)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hse_facerec_tf_tpu.models.zoo import AGEGENDER_PB, graph_extractor
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(batch, 224, 224, 3).astype(np.float32) * 255)
+    out = {}
+    for label, precision in (("highest", jax.lax.Precision.HIGHEST),
+                             ("high", jax.lax.Precision.HIGH)):
+        ex = graph_extractor(AGEGENDER_PB, "input_1:0", "global_pooling/Mean:0",
+                             (224, 224), normalization="caffe",
+                             precision=precision)
+        fwd = ex.model_fn
+        params = jax.device_put(ex.params)
+
+        def step(eps, imgs, fwd=fwd, params=params):
+            return fwd(params, imgs + eps)[0, 0]
+
+        many = _chain_fori(step, chain)
+        ips = _time_chained(lambda v: many(v), x, chain, batch * chain,
+                            warmup=1, iters=2)
+        out[f"pb_extractor_{label}_ips"] = round(ips, 1)
+    return out
 
 
 def bench_knn(chain=6):
@@ -577,7 +769,10 @@ def main():
     analyze_ms, analyze_batch_ips, roof_analyze = bench_analyze(img640)
     knn_pallas_ms, knn_xla_ms, knn_int8_ms, roof_knn, roof_knn_i8 = bench_knn()
     train_ips, roof_train = bench_train()
-    ag_train_ips = bench_train_age_gender()
+    ag_train_ips, roof_ag_train = bench_train_age_gender()
+    album = bench_album()
+    serve = bench_serve()
+    pb_ex = bench_pb_extractor()
 
     try:
         cpu_ips = measure_cpu_baseline()
@@ -602,6 +797,9 @@ def main():
             "knn_8kx1M_pallas_ms": round(knn_pallas_ms, 1),
             "knn_8kx1M_chunked_xla_ms": round(knn_xla_ms, 1),
             "knn_8kx1M_int8_ms": round(knn_int8_ms, 1),
+            **album,
+            **serve,
+            **pb_ex,
             "roofline": {
                 "peaks": {"mxu_bf16_tflops": V5E_PEAK_BF16_TFLOPS,
                           "hbm_gbs": V5E_PEAK_HBM_GBS},
@@ -611,6 +809,7 @@ def main():
                 "detect_batch8": roof_detect,
                 "analyze": roof_analyze,
                 "train_bs256": roof_train,
+                "train_age_gender_bs256": roof_ag_train,
                 "knn_8kx1M": roof_knn,
                 "knn_8kx1M_int8": roof_knn_i8,
             },

@@ -79,7 +79,7 @@ def _fold_inference_affine(p: Dict, depthwise: bool) -> Dict:
                                        kernel.shape[3],)).copy()}
 
 
-def quantize_backbone_int8(params: Dict) -> Dict:
+def quantize_backbone_int8(params: Dict, bf16_blocks_below: int = 0) -> Dict:
     """MobileNet-V1 param pytree (any form) → int8 serving params.
 
     Host-side numpy (importers must return host arrays — see
@@ -88,16 +88,27 @@ def quantize_backbone_int8(params: Dict) -> Dict:
       "bias": (Cout,) f32}
     - ``dw{i}``: {"kernel": (3,3,C,1) f32 with s_act pre-folded, "bias"}
     - ``conv1``: f32 kernel/bias (first layer; input is not ReLU6-bounded).
-    """
+
+    ``bf16_blocks_below``: hybrid-dtype serving dial — blocks with index
+    < the cut keep folded f32 kernels and run the bf16 conv path (XLA's
+    int8 conv emitter sustains only 270-540 GB/s on the early
+    big-activation blocks where bf16's reaches 460-680, r3 fusion
+    profile); blocks at/after the cut quantize as above and ride the int8
+    MXU. Activations stay bf16 before the cut and int8 after (one requant
+    at the boundary)."""
     out: Dict = {}
     c1 = _fold_inference_affine(params["conv1"], depthwise=False)
     out["conv1"] = c1
     for i, _ in enumerate(MOBILENET_V1_BLOCKS, start=1):
         dw = _fold_inference_affine(params[f"dw{i}"], depthwise=True)
+        pw = _fold_inference_affine(params[f"pw{i}"], depthwise=False)
+        if i <= bf16_blocks_below:
+            out[f"dw{i}"] = dw          # bf16 path: no ACT_SCALE folding
+            out[f"pw{i}"] = pw
+            continue
         # int8 input decodes as q·s_act: fold s_act into the depthwise kernel
         out[f"dw{i}"] = {"kernel": dw["kernel"] * ACT_SCALE,
                          "bias": dw["bias"]}
-        pw = _fold_inference_affine(params[f"pw{i}"], depthwise=False)
         k = pw["kernel"][0, 0]                      # (Cin, Cout)
         s_w = np.maximum(np.abs(k).max(axis=0), 1e-12) / 127.0
         q = np.clip(np.round(k / s_w[None, :]), -127, 127).astype(np.int8)
@@ -151,35 +162,66 @@ def _pw_conv_int8(a_int8, q_kernel, scale, bias):
     return relu6(y)
 
 
+def _dw_conv_bf16(a, kernel, bias, stride: int):
+    """Depthwise conv on a bf16/f32 activation (hybrid prefix blocks)."""
+    h, w, c, m = kernel.shape
+    k = jnp.reshape(kernel.astype(jnp.bfloat16), (h, w, 1, c * m))
+    y = jax.lax.conv_general_dilated(
+        a.astype(jnp.bfloat16), k,
+        window_strides=(stride, stride), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+        preferred_element_type=jnp.float32)
+    return relu6(y + bias)
+
+
+def _pw_conv_bf16(a, kernel, bias):
+    """Pointwise conv on a bf16/f32 activation (hybrid prefix blocks)."""
+    y = jax.lax.conv_general_dilated(
+        a.astype(jnp.bfloat16), kernel.astype(jnp.bfloat16),
+        window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    return relu6(y + bias)
+
+
 def mobilenet_backbone_int8(qparams: Dict, x) -> jnp.ndarray:
     """(N, H, W, 3) f32 preprocessed → (N, H/32, W/32, 1024) f32 features.
 
-    conv1 runs bf16 (input is mean-subtracted, unbounded); every block
-    activation flows int8; the final block output skips requantization so
-    the GAP tap stays full-precision."""
+    conv1 runs bf16 (input is mean-subtracted, unbounded); block
+    activations flow bf16 through any hybrid prefix (params quantized with
+    ``bf16_blocks_below`` > 0, detected per block by the presence of a
+    float kernel) and int8 after it; the final block output skips
+    requantization so the GAP tap stays full-precision."""
     c1 = qparams["conv1"]
     y = jax.lax.conv_general_dilated(
         x.astype(jnp.bfloat16), c1["kernel"].astype(jnp.bfloat16),
         window_strides=(2, 2), padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32)
-    a = _requant(relu6(y + c1["bias"]))
+    y = relu6(y + c1["bias"])
+    a = None            # int8 activation once past the hybrid prefix
     last = len(MOBILENET_V1_BLOCKS)
     for i, (stride, _) in enumerate(MOBILENET_V1_BLOCKS, start=1):
-        dw = qparams[f"dw{i}"]
+        dw, pw = qparams[f"dw{i}"], qparams[f"pw{i}"]
+        if "q" not in pw:                       # bf16 prefix block
+            y = _dw_conv_bf16(y, dw["kernel"], dw["bias"], stride)
+            y = _pw_conv_bf16(y, pw["kernel"], pw["bias"])
+            continue
+        if a is None:                           # bf16 -> int8 boundary
+            a = _requant(y)
         y = _dw_conv_int8(a, dw["kernel"], dw["bias"], stride)
         a = _requant(y)
-        pw = qparams[f"pw{i}"]
         y = _pw_conv_int8(a, pw["q"], pw["scale"], pw["bias"])
-        if i < last:
-            a = _requant(y)
+        a = _requant(y) if i < last else None
     return y
 
 
-def quantize_multihead_int8(params: Dict) -> Dict:
+def quantize_multihead_int8(params: Dict, bf16_blocks_below: int = 0) -> Dict:
     """Multi-head param pytree → int8 serving pytree (heads stay f32)."""
     return {
-        "backbone": quantize_backbone_int8(params["backbone"]),
+        "backbone": quantize_backbone_int8(params["backbone"],
+                                           bf16_blocks_below),
         "feats": jax.tree.map(np.asarray, params["feats"]),
         "age": jax.tree.map(np.asarray, params["age"]),
         "gender": jax.tree.map(np.asarray, params["gender"]),

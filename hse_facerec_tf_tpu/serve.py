@@ -112,6 +112,12 @@ class _BatchingWorker:
                 by_size.setdefault(item[0].shape, []).append(item)
             for items in by_size.values():
                 try:
+                    # coalescing produces arbitrary batch sizes; the
+                    # processors own shape-bucketing (EmbeddingExtractor
+                    # pads tails to power-of-2 buckets, _analyze_batch_pow2
+                    # ditto) so each distinct size does NOT become a new
+                    # minutes-to-load XLA program (measured p50 630 ms
+                    # under 12 clients before bucketing existed)
                     imgs = np.stack([it[0] for it in items])
                     feats = self.process(imgs)
                     for (_, d, s), f in zip(items, feats):
@@ -354,7 +360,8 @@ def build_server(port: int = 8000, model: str = "agegender_identity",
                  request_timeout_s: float = 600.0,
                  gallery_path: Optional[str] = None,
                  identify_threshold: float = 0.82,
-                 data_parallel: bool = False):
+                 data_parallel: bool = False,
+                 prewarm: bool = False):
     from .models import zoo
     from .utils.compilation_cache import enable as _enable_cache
 
@@ -372,6 +379,18 @@ def build_server(port: int = 8000, model: str = "agegender_identity",
         else:
             print("serve: --data-parallel ignored (single device)")
     extractor = build_extractor(model, mesh=mesh)
+    if prewarm:
+        # compile-or-load every embed batch bucket BEFORE serving traffic:
+        # each bucket program takes ~1-3 min to materialize over the tunnel
+        # (even on a persistent-cache HIT the executable load is minutes —
+        # measured), and an in-band materialization stalls every queued
+        # request behind it (p95 was ~9 s under 12 clients without this)
+        h, w = extractor.input_size
+        b = 8
+        while b <= max_batch:
+            extractor.extract_batch(np.zeros((min(b, max_batch), h, w, 3),
+                                             np.uint8))
+            b *= 2
     worker = _BatchingWorker(extractor.extract_batch, max_batch=max_batch)
     analyze_worker = None
     if with_analyzer:
@@ -422,13 +441,19 @@ def main(argv=None):
                    help="shard coalesced request batches over all local "
                         "devices (1-D data mesh for the embed extractor and "
                         "the analyzer); no-op on a single device")
+    p.add_argument("--prewarm", action="store_true",
+                   help="compile/load every embed batch bucket before "
+                        "accepting traffic — each bucket otherwise "
+                        "materializes in-band on first use (~minutes over "
+                        "the device tunnel) and stalls queued requests")
     args = p.parse_args(argv)
     server = build_server(args.port, args.model, args.max_batch,
                           with_analyzer=not args.no_analyzer,
                           request_timeout_s=args.request_timeout,
                           gallery_path=args.gallery,
                           identify_threshold=args.identify_threshold,
-                          data_parallel=args.data_parallel)
+                          data_parallel=args.data_parallel,
+                          prewarm=args.prewarm)
     print(f"serving on :{args.port}")
     server.serve_forever()
 

@@ -175,6 +175,31 @@ def test_int8_multihead_fidelity_on_shipped_weights(real_multihead, face_crops):
     assert (g_f32 == g_q).all(), (f32.gender_prob, q.gender_prob)
 
 
+def test_hybrid_int8_prefix_blocks_run_bf16(real_multihead, face_crops):
+    """``bf16_blocks_below`` keeps a float prefix (XLA's int8 conv emitter
+    is slow on the early big-activation blocks — r3 fusion profile) and
+    must be at least as faithful as the all-int8 path: fewer quantized
+    layers, same contract."""
+    from hse_facerec_tf_tpu.models.multihead import multihead_apply
+
+    x = jnp.asarray(face_crops)
+    f32 = multihead_apply(real_multihead, x)
+    qp = jax.tree.map(jnp.asarray,
+                      quantize_multihead_int8(real_multihead,
+                                              bf16_blocks_below=4))
+    # prefix blocks keep float kernels, suffix blocks are quantized
+    assert "q" not in qp["backbone"]["pw4"]
+    assert "q" in qp["backbone"]["pw5"]
+    q = multihead_apply_int8(qp, x)
+    a, b = np.asarray(f32.identity), np.asarray(q.identity)
+    cos = np.sum(a * b, axis=1) / (
+        np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1))
+    assert cos.min() > 0.98, cos
+    g_f32 = np.asarray(f32.gender_prob) >= 0.6
+    g_q = np.asarray(q.gender_prob) >= 0.6
+    assert (g_f32 == g_q).all()
+
+
 def test_int8_zoo_extractor_matches_f32_extractor(tmp_path):
     """The *_int8 zoo variants plug into the full extraction pipeline
     (resize + normalize + batch) and track their f32 base closely."""
