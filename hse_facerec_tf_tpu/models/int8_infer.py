@@ -95,7 +95,15 @@ def quantize_backbone_int8(params: Dict, bf16_blocks_below: int = 0) -> Dict:
     big-activation blocks where bf16's reaches 460-680, r3 fusion
     profile); blocks at/after the cut quantize as above and ride the int8
     MXU. Activations stay bf16 before the cut and int8 after (one requant
-    at the boundary)."""
+    at the boundary).
+
+    Measured r4 (v5e-1, batch 256×224², chain-10 full multihead): the
+    emitter inefficiency never beats the 2× traffic saving — ALL-int8 is
+    fastest and every bf16 prefix loses monotonically:
+    cut=0: 46.1k img/s, cut=1: 41.9k, cut=2: 43.1k, cut=3: 41.3k,
+    cut=4: 40.0k, cut=6: 39.3k, cut=8: 39.6k. The int8 emitter cap is
+    emitter-wide, not early-block-local; serve all-int8 (the dial stays
+    for future backends)."""
     out: Dict = {}
     c1 = _fold_inference_affine(params["conv1"], depthwise=False)
     out["conv1"] = c1
