@@ -35,15 +35,49 @@ def _conv_block(x, p, *, padding="VALID", stride=1, precision):
     return x + p["bias"]
 
 
-def pnet(params: Params, x, *, precision=jax.lax.Precision.HIGHEST):
+def _im2col_conv_valid(x, p, *, precision):
+    """3x3 VALID conv as 9 shifted slices stacked on channels + one dot.
+
+    Raises MXU input-lane occupancy for P-Net's tiny channel counts
+    (3→27, 10→90, 16→144 of 128 lanes vs ≤16 in conv form). Measured r4 on
+    the 640×480 pyramid at HIGH precision, batch 8: wins 20% on the
+    largest level (1.69 → 1.36 ms at 144×192) but LOSES below ~20k px/level
+    (103×137: 1.01 → 1.04; 73×97: 0.71 → 0.80) — the slice concat costs a
+    fixed extra pass that small levels can't amortize. The detector picks
+    per level by area (PNET_IM2COL_MIN_PIXELS). Numerics: same dot order,
+    ≤2e-5 of the conv form at HIGH."""
+    kernel, bias = p["kernel"], p["bias"]
+    n, h, w, c = x.shape
+    kh, kw, ci, co = kernel.shape
+    cols = [x[:, dy:h - (kh - 1) + dy, dx:w - (kw - 1) + dx, :]
+            for dy in range(kh) for dx in range(kw)]
+    xc = jnp.concatenate(cols, axis=-1)          # (N, h-2, w-2, kh·kw·C)
+    k = jnp.reshape(kernel, (kh * kw * ci, co))
+    y = jax.lax.dot_general(xc, k, (((3,), (0,)), ((), ())),
+                            precision=precision)
+    return y + bias
+
+
+# level area (pixels) above which pnet(..., im2col=True) wins — r4 measured
+PNET_IM2COL_MIN_PIXELS = 20000
+
+
+def pnet(params: Params, x, *, precision=jax.lax.Precision.HIGHEST,
+         im2col: bool = False):
     """P-Net forward. x: (N, H, W, 3) normalized (x-127.5)/128, transposed
-    convention (see pipelines/detector.py). Returns (reg (N,h,w,4), prob (N,h,w,2))."""
-    x = _conv_block(x, params["conv1"], precision=precision)
+    convention (see pipelines/detector.py). Returns (reg (N,h,w,4), prob (N,h,w,2)).
+
+    ``im2col``: run the three 3x3 VALID convs as shifted-slice im2col dots
+    (see _im2col_conv_valid) — faster for large inputs, slower for small."""
+    conv = ((lambda v, p: _im2col_conv_valid(v, p, precision=precision))
+            if im2col else
+            (lambda v, p: _conv_block(v, p, precision=precision)))
+    x = conv(x, params["conv1"])
     x = prelu(x, params["prelu1"]["alpha"])
     x = max_pool(x, 2, 2, "SAME")
-    x = _conv_block(x, params["conv2"], precision=precision)
+    x = conv(x, params["conv2"])
     x = prelu(x, params["prelu2"]["alpha"])
-    x = _conv_block(x, params["conv3"], precision=precision)
+    x = conv(x, params["conv3"])
     x = prelu(x, params["prelu3"]["alpha"])
     cls = _conv_block(x, params["cls"], padding="SAME", precision=precision)
     reg = _conv_block(x, params["reg"], padding="SAME", precision=precision)

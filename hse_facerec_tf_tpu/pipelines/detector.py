@@ -160,8 +160,12 @@ class MTCNNDetector:
             level = (level - 127.5) * 0.0078125
             # transposed-feed convention: first spatial axis = image x
             level_t = jnp.transpose(level, (1, 0, 2))[None]
-            reg_map, prob_map = nets.pnet(self.params["pnet"], level_t,
-                                          precision=self.precision)
+            # big levels run the im2col P-Net form (3→27 input lanes on the
+            # MXU; r4 measured +20% at 144×192, a loss below ~20k px)
+            lvl_px = level_t.shape[1] * level_t.shape[2]
+            reg_map, prob_map = nets.pnet(
+                self.params["pnet"], level_t, precision=self.precision,
+                im2col=lvl_px >= nets.PNET_IM2COL_MIN_PIXELS)
             kmax = min(max_level, prob_map.shape[1] * prob_map.shape[2])
             truncated |= jnp.sum(prob_map[0, :, :, 1] > th1) > kmax
             boxes, scores, regs, valid = B.generate_boxes(
