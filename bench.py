@@ -442,7 +442,13 @@ def bench_train_age_gender(chain=8, batch=256, size=224):
     gender_opt = make_optimizer(1e-4, freeze_backbone=False, task="gender")
     age_os = age_opt.init(params)
     gender_os = gender_opt.init(params)
-    age_step, gender_step = make_steps(age_opt, gender_opt, jit=False)
+    # augmented steps (r4): the reference trains BOTH loops on
+    # generator-augmented batches (age_gender_train.py:127-133); with the
+    # Pallas warp the policy costs ~2.7 ms/batch so the bench now measures
+    # the reference's actual workload (r3's number was un-augmented)
+    from hse_facerec_tf_tpu.train.augment import AugmentConfig
+    age_step, gender_step = make_steps(age_opt, gender_opt, jit=False,
+                                       augment=AugmentConfig())
 
     @jax.jit
     def many(params, age_os, gender_os, keys, images, ages, genders):
