@@ -43,6 +43,7 @@ import numpy as np
 from .layers import relu6
 from .mobilenet import MOBILENET_V1_BLOCKS
 from .multihead import MultiHeadOutput
+from ..ops.pallas.pw_conv import pack_pw_weights, pw_conv_int8_pallas
 
 # Fixed activation quantization: post-ReLU6 tensors live in [0, 6].
 ACT_SCALE = 6.0 / 127.0
@@ -120,9 +121,16 @@ def quantize_backbone_int8(params: Dict, bf16_blocks_below: int = 0) -> Dict:
         k = pw["kernel"][0, 0]                      # (Cin, Cout)
         s_w = np.maximum(np.abs(k).max(axis=0), 1e-12) / 127.0
         q = np.clip(np.round(k / s_w[None, :]), -127, 127).astype(np.int8)
-        out[f"pw{i}"] = {"q": q,
-                         "scale": (s_w * ACT_SCALE).astype(np.float32),
-                         "bias": pw["bias"]}
+        scale = (s_w * ACT_SCALE).astype(np.float32)
+        # also pack for the Pallas matmul form (ops/pallas/pw_conv.py) —
+        # one-time host-side; the pack factor p is recovered from the
+        # shapes at apply time (ints in the pytree would get traced).
+        # None (lane-unalignable sub-width layer) → XLA conv fallback.
+        out[f"pw{i}"] = {"q": q, "scale": scale, "bias": pw["bias"]}
+        packed = pack_pw_weights(q, scale, pw["bias"])
+        if packed is not None:
+            wp, sp, bp, _ = packed
+            out[f"pw{i}"].update(wp=wp, scale_p=sp, bias_p=bp)
     return out
 
 
@@ -193,14 +201,29 @@ def _pw_conv_bf16(a, kernel, bias):
     return relu6(y + bias)
 
 
-def mobilenet_backbone_int8(qparams: Dict, x) -> jnp.ndarray:
+def _use_pallas_pw(pallas_pw) -> bool:
+    """None → False: the Pallas matmul form is a MEASURED LOSER on v5e
+    (ops/pallas/pw_conv.py — ties XLA per layer, 5× slower integrated via
+    reshape relayouts; the int8 cap is the platform's int8 dataflow, not
+    the conv emitter). Kept opt-in for future backends/experiments."""
+    return bool(pallas_pw)
+
+
+def mobilenet_backbone_int8(qparams: Dict, x, pallas_pw=None) -> jnp.ndarray:
     """(N, H, W, 3) f32 preprocessed → (N, H/32, W/32, 1024) f32 features.
 
     conv1 runs bf16 (input is mean-subtracted, unbounded); block
     activations flow bf16 through any hybrid prefix (params quantized with
     ``bf16_blocks_below`` > 0, detected per block by the presence of a
     float kernel) and int8 after it; the final block output skips
-    requantization so the GAP tap stays full-precision."""
+    requantization so the GAP tap stays full-precision.
+
+    ``pallas_pw`` (default off): run the pointwise convs as Pallas int8 MXU
+    matmuls with the requant fused into the kernel epilogue
+    (``ops/pallas/pw_conv.py``). MEASURED LOSER on v5e — ties XLA per
+    layer, 5× slower integrated (reshape relayouts); see the kernel's
+    docstring for the full ablation. Opt-in only."""
+    use_pallas = _use_pallas_pw(pallas_pw)
     c1 = qparams["conv1"]
     y = jax.lax.conv_general_dilated(
         x.astype(jnp.bfloat16), c1["kernel"].astype(jnp.bfloat16),
@@ -220,6 +243,16 @@ def mobilenet_backbone_int8(qparams: Dict, x) -> jnp.ndarray:
             a = _requant(y)
         y = _dw_conv_int8(a, dw["kernel"], dw["bias"], stride)
         a = _requant(y)
+        p = (pw["wp"].shape[0] // pw["q"].shape[0]) if "wp" in pw else 0
+        if (use_pallas and p
+                and (a.shape[0] * a.shape[1] * a.shape[2]) % p == 0):
+            if i < last:                        # requant fused in-kernel
+                a = pw_conv_int8_pallas(a, pw["wp"], pw["scale_p"],
+                                        pw["bias_p"], p, requant=True)
+            else:                               # f32 tap for the GAP head
+                y = pw_conv_int8_pallas(a, pw["wp"], pw["scale_p"],
+                                        pw["bias_p"], p, requant=False)
+            continue
         y = _pw_conv_int8(a, pw["q"], pw["scale"], pw["bias"])
         a = _requant(y) if i < last else None
     return y
@@ -236,13 +269,13 @@ def quantize_multihead_int8(params: Dict, bf16_blocks_below: int = 0) -> Dict:
     }
 
 
-def multihead_apply_int8(qparams: Dict, x) -> MultiHeadOutput:
+def multihead_apply_int8(qparams: Dict, x, pallas_pw=None) -> MultiHeadOutput:
     """int8 forward with the same output contract as ``multihead_apply``.
 
     x: (N, H, W, 3) preprocessed f32 (BGR, VGGFace2 mean-subtracted)."""
     from .layers import dense, global_avg_pool
 
-    h = mobilenet_backbone_int8(qparams["backbone"], x)
+    h = mobilenet_backbone_int8(qparams["backbone"], x, pallas_pw=pallas_pw)
     identity = global_avg_pool(h).astype(jnp.float32)
     f = jax.nn.relu(dense(identity, qparams["feats"]["kernel"],
                           qparams["feats"]["bias"]))
@@ -257,9 +290,9 @@ def multihead_apply_int8(qparams: Dict, x) -> MultiHeadOutput:
     )
 
 
-def mobilenet_embed_int8(qparams: Dict, x) -> jnp.ndarray:
+def mobilenet_embed_int8(qparams: Dict, x, pallas_pw=None) -> jnp.ndarray:
     """Face embedding on the int8 backbone: GAP → (N, 1024) f32."""
     from .layers import global_avg_pool
 
-    return global_avg_pool(mobilenet_backbone_int8(qparams, x)).astype(
-        jnp.float32)
+    return global_avg_pool(mobilenet_backbone_int8(
+        qparams, x, pallas_pw=pallas_pw)).astype(jnp.float32)
