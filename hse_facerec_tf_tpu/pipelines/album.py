@@ -356,6 +356,13 @@ class AlbumOrganizer:
 
         from ..utils.prefetch import bounded_thread_map
 
+        # photos the upright batch pass found no face in are NOT retried
+        # per-photo (a 90°+270° single-image pass each — two device round
+        # trips per no-face photo, the dominant cost of noise-heavy albums,
+        # r4 profile: 27 retry calls × ~117 ms); they collect here and the
+        # rotations batch through the same fused program after the sweep
+        no_face: List[Tuple[int, np.ndarray, Tuple[int, int]]] = []
+
         def flush(bucket):
             imgs = np.stack([im for _, im, _ in bucket])
             all_faces = self.analyzer.analyze_batch_padded(
@@ -364,7 +371,7 @@ class AlbumOrganizer:
                 if faces:
                     per_photo[i] = self._faces_to_outputs(im, faces, chw[1])
                 else:
-                    per_photo[i] = self._rotation_retry(im, chw)
+                    no_face.append((i, im, chw))
 
         buckets: Dict[Tuple[int, int], list] = {}
         # threaded decode, bounded in-flight (utils/prefetch): photo decode
@@ -391,7 +398,42 @@ class AlbumOrganizer:
         for bucket in buckets.values():
             if bucket:
                 flush(bucket)
+        self._batched_rotation_retry(no_face, per_photo)
         return per_photo
+
+    def _batched_rotation_retry(self, entries, per_photo) -> None:
+        """Batched form of ``_rotation_retry`` for the album sweep: same
+        per-photo policy (90° first, 270° only for photos still face-less,
+        reference ``process_photos.py:241-247``) but each rotation pass runs
+        as shape-bucketed fused batches instead of one single-image program
+        call per photo per rotation. ``entries``: (index, img, content_hw)
+        triples; fills ``per_photo`` in place."""
+        pending = entries
+        for rot in (90, 270):
+            if not pending:
+                return
+            k = 3 if rot == 90 else 1   # np.rot90 is counter-clockwise
+            still: List[Tuple[int, np.ndarray, Tuple[int, int]]] = []
+            buckets: Dict[Tuple[int, int], list] = {}
+            for (i, img, chw) in pending:
+                rotated = np.ascontiguousarray(np.rot90(img, k))
+                buckets.setdefault(rotated.shape[:2], []).append(
+                    (i, img, chw, rotated))
+            for bucket in buckets.values():
+                for s in range(0, len(bucket), self.analyze_batch):
+                    group = bucket[s:s + self.analyze_batch]
+                    imgs = np.stack([r for _, _, _, r in group])
+                    all_faces = self.analyzer.analyze_batch_padded(
+                        imgs, self.analyze_batch)
+                    for (i, img, chw, rotated), faces in zip(group, all_faces):
+                        if faces:
+                            per_photo[i] = self._faces_to_outputs(
+                                rotated, faces, chw and chw[::-1][1])
+                        else:
+                            still.append((i, img, chw))
+            pending = still
+        for (i, img, chw) in pending:
+            per_photo[i] = self._faces_to_outputs(img, [], chw and chw[1])
 
     def scan_album(self, album_dir: str, use_cache: bool = True) -> AlbumFaces:
         cache = os.path.join(album_dir, "features.npz")

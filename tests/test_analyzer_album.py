@@ -316,6 +316,31 @@ def test_album_batched_scan_matches_sequential(analyzer, fixture_img,
     assert fb.private_photo_indices == fs.private_photo_indices
 
 
+def test_album_batched_rotation_retry_matches_sequential(
+        analyzer, fixture_img, tmp_path_factory, rng):
+    """A rotated photo in a batched scan recovers its faces through the
+    BATCHED rotation retry (``_batched_rotation_retry`` — shape-bucketed
+    fused passes, 90° then 270°) with the same results as the sequential
+    per-photo ``analyze_with_rotations`` loop; face-less photos still end
+    empty after both rotations."""
+    album = tmp_path_factory.mktemp("album_rot_retry")
+    rotated = np.ascontiguousarray(np.rot90(fixture_img, 1))   # 90° cw photo
+    noise = (rng.rand(rotated.shape[0], rotated.shape[1], 3) * 255
+             ).astype(np.uint8)
+    cv2.imwrite(str(album / "a.jpg"), cv2.cvtColor(rotated, cv2.COLOR_RGB2BGR))
+    cv2.imwrite(str(album / "b.jpg"), cv2.cvtColor(fixture_img, cv2.COLOR_RGB2BGR))
+    cv2.imwrite(str(album / "c.jpg"), cv2.cvtColor(noise, cv2.COLOR_RGB2BGR))
+
+    batched = AlbumOrganizer(analyzer, AlbumConfig(minsize=40), analyze_batch=2)
+    seq = AlbumOrganizer(analyzer, AlbumConfig(minsize=40), analyze_batch=1)
+    fb = batched.scan_album(str(album), use_cache=False)
+    fs = seq.scan_album(str(album), use_cache=False)
+    assert fb.indices == fs.indices
+    assert len(fb.indices) >= 2          # the rotated photo's faces came back
+    np.testing.assert_allclose(fb.features, fs.features, atol=1e-3)
+    np.testing.assert_allclose(fb.born_years, fs.born_years, atol=1e-3)
+
+
 def test_album_downscale_buckets(analyzer, fixture_img, tmp_path_factory):
     """With ``downscale``, photos of mixed large resolutions (portrait AND
     landscape) collapse onto ONE letterboxed analysis shape — aspect
