@@ -82,7 +82,11 @@ def make_train_step(cfg: TrainConfig, optimizer: optax.GradientTransformation,
 
     ``remat=True`` applies per-block jax.checkpoint inside the backbone,
     trading ~30% backward FLOPs for activation memory — the knob for
-    large-batch training where backbone activations exceed HBM."""
+    large-batch training where backbone activations exceed HBM. It is NOT
+    a speed knob: measured r4 on v5e-1 at batch 256 the step is
+    conv-TRAFFIC bound (fusion tail at 590-760 GB/s), so re-running the
+    forward during the backward ADDS traffic — 4,661 img/s remat vs 6,191
+    without."""
     def fwd_loss(params, images, labels):
         return loss_fn(params, images, labels, cfg.weight_decay, remat=remat,
                        compute_dtype=compute_dtype)
