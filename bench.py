@@ -660,14 +660,22 @@ def bench_pb_extractor(chain=10, batch=64):
                              (224, 224), normalization="caffe",
                              precision=precision)
         fwd = ex.model_fn
-        params = jax.device_put(ex.params)
+        # params must be jit ARGUMENTS: EmbeddingExtractor device_puts them,
+        # and a jitted closure over DEVICE arrays re-fetches every captured
+        # leaf through the ~7 MB/s tunnel at lowering (the CLAUDE.md
+        # trace-constant hang)
+        params = ex.params
 
-        def step(eps, imgs, fwd=fwd, params=params):
-            return fwd(params, imgs + eps)[0, 0]
+        @jax.jit
+        def many(params, x, fwd=fwd):
+            def body(i, acc):
+                return acc + fwd(params, x + i.astype(jnp.float32)
+                                 * 1e-6)[0, 0]
+            return jax.lax.fori_loop(0, chain, body,
+                                     jnp.zeros((), jnp.float32))
 
-        many = _chain_fori(step, chain)
-        ips = _time_chained(lambda v: many(v), x, chain, batch * chain,
-                            warmup=1, iters=2)
+        ips = _time_chained(lambda v: many(params, v), x, chain,
+                            batch * chain, warmup=1, iters=2)
         out[f"pb_extractor_{label}_ips"] = round(ips, 1)
     return out
 

@@ -102,7 +102,7 @@ def make_sharded_face_id_trainer(mesh: Mesh, n_classes: int,
 def make_sharded_age_gender_trainer(mesh: Mesh, lr: float = 1e-3,
                                     freeze_backbone: bool = False,
                                     seed: int = 0, width: float = 1.0,
-                                    compute_dtype=None):
+                                    compute_dtype=None, augment="default"):
     """Mesh-sharded alternating multi-task age/gender steps (the reference's
     ``train_age_gender`` loop, ``age_gender_train.py:194-232``, as SPMD).
 
@@ -110,13 +110,20 @@ def make_sharded_age_gender_trainer(mesh: Mesh, lr: float = 1e-3,
     data parallelism over the WHOLE mesh (both axes), params replicated —
     GSPMD turns the gradient reductions into psums over ICI. Each task owns
     its own Adam state (the reference's separately-compiled age_model /
-    gender_model, ``age_gender_train.py:243-245``). Returns
+    gender_model, ``age_gender_train.py:243-245``). ``augment`` defaults to
+    the reference's generator policy (``age_gender_train.py:127-133``), the
+    same default as the single-device ``AgeGenderTrainer`` — pass None for
+    bare batches. GSPMD keeps the augmented step value-identical to a
+    single-device run with the same key. Returns
     (params, age_opt_state, gender_opt_state, age_step, gender_step,
     batch_sharding)."""
     from ..models.mobilenet import init_mobilenet_params
     from ..train.age_gender import (init_head_params, make_optimizer as
                                     make_ag_optimizer, make_steps)
+    from ..train.augment import AugmentConfig
 
+    if augment == "default":
+        augment = AugmentConfig()
     kb, kh = jax.random.split(jax.random.PRNGKey(seed))
     params = {"backbone": init_mobilenet_params(kb, width=width),
               **init_head_params(kh, backbone_dim=max(8, int(1024 * width)))}
@@ -126,7 +133,7 @@ def make_sharded_age_gender_trainer(mesh: Mesh, lr: float = 1e-3,
     gender_opt_state = gender_opt.init(params)
     age_step, gender_step = make_steps(age_opt, gender_opt,
                                        freeze_backbone=freeze_backbone,
-                                       jit=False,
+                                       jit=False, augment=augment,
                                        compute_dtype=compute_dtype or jnp.bfloat16)
 
     repl = NamedSharding(mesh, P())

@@ -191,19 +191,6 @@ class AlbumOrganizer:
         return self._faces_to_outputs(
             img, faces, content_hw and content_hw[1])
 
-    def _rotation_retry(self, img: np.ndarray, content_hw=None):
-        """Rotations-only retry for a photo the batch pass already analyzed
-        upright and found no face in: skip the redundant (and
-        per-shape-compile-costing) unrotated pass and go straight to the
-        90°/270° attempts (reference ``process_photos.py:241-247``)."""
-        for rot in (90, 270):
-            rotated = np.ascontiguousarray(np.rot90(img, 3 if rot == 90 else 1))
-            faces = self.analyzer.analyze(rotated)
-            if faces:
-                return self._faces_to_outputs(
-                    rotated, faces, content_hw and content_hw[::-1][1])
-        return self._faces_to_outputs(img, [], content_hw and content_hw[1])
-
     def _video_frames_sequential(self, video, rotation):
         """Reference frame loop: adaptive skip (delta 5, 3 once faces are
         found — ``process_photos.py:118``), one analyze per selected frame.

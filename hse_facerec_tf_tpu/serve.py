@@ -355,6 +355,24 @@ def make_handler(worker: _BatchingWorker, analyze_worker,
     return Handler
 
 
+def _prewarm_buckets(max_batch: int, cap: int):
+    """The exact batch-size bucket set coalesced traffic can reach — the
+    shapes ``--prewarm`` must compile ahead of time. Mirrors
+    ``EmbeddingExtractor.extract_batch``'s padding rule (tail of size
+    ``take`` pads to ``max(8, next_pow2(take))`` clamped to the chunk size
+    ``cap``): pow2 from 8 up to next_pow2(max_batch), each clamped to
+    ``cap``. Warming only pow2 ≤ max_batch misses the TOP bucket whenever
+    max_batch is not itself a power of two (e.g. --max-batch 48 → a
+    33-48-image batch pads to 64, stalling in-band for the minutes-long
+    program materialization prewarm exists to prevent)."""
+    warm, b = set(), 8
+    while True:
+        warm.add(min(b, cap))
+        if b >= min(max_batch, cap):
+            return sorted(warm)
+        b *= 2
+
+
 def build_server(port: int = 8000, model: str = "agegender_identity",
                  max_batch: int = 32, with_analyzer: bool = True,
                  request_timeout_s: float = 600.0,
@@ -386,11 +404,8 @@ def build_server(port: int = 8000, model: str = "agegender_identity",
         # measured), and an in-band materialization stalls every queued
         # request behind it (p95 was ~9 s under 12 clients without this)
         h, w = extractor.input_size
-        b = 8
-        while b <= max_batch:
-            extractor.extract_batch(np.zeros((min(b, max_batch), h, w, 3),
-                                             np.uint8))
-            b *= 2
+        for n in _prewarm_buckets(max_batch, extractor.batch_size):
+            extractor.extract_batch(np.zeros((n, h, w, 3), np.uint8))
     worker = _BatchingWorker(extractor.extract_batch, max_batch=max_batch)
     analyze_worker = None
     if with_analyzer:

@@ -70,6 +70,27 @@ def test_analyze_pow2_padding():
         assert out[-1][0][1] == imgs[-1].sum()
 
 
+def test_prewarm_buckets_cover_every_reachable_pad_shape():
+    """--prewarm must compile the exact bucket set extract_batch's pow2
+    padding rule can produce — including the NEXT pow2 above a non-pow2
+    max_batch (a 33-48-image batch under --max-batch 48 pads to 64)."""
+    from hse_facerec_tf_tpu.serve import _prewarm_buckets
+
+    def reachable(max_batch, cap):
+        out = set()
+        for take in range(1, max_batch + 1):
+            take = min(take, cap)               # chunking clamps first
+            out.add(min(max(8, 1 << max(0, (take - 1).bit_length())), cap))
+        return sorted(out)
+
+    for max_batch, cap in [(32, 64), (48, 64), (12, 64), (8, 64),
+                           (1, 64), (64, 64), (128, 64), (100, 48),
+                           (5, 4), (33, 64)]:
+        assert _prewarm_buckets(max_batch, cap) == reachable(max_batch, cap), \
+            (max_batch, cap, _prewarm_buckets(max_batch, cap),
+             reachable(max_batch, cap))
+
+
 def test_http_endpoints(rng):
     from http.server import ThreadingHTTPServer
 
