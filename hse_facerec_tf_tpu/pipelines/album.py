@@ -371,20 +371,33 @@ class AlbumOrganizer:
         decoded = bounded_thread_map(
             lambda f: self._maybe_downscale(self._read_photo(os.path.join(album_dir, f))),
             files, workers=4, depth=2 * self.analyze_batch)
-        for i, (img, chw) in enumerate(decoded):
-            shape = (img.shape[0], img.shape[1])
-            bucket = buckets.setdefault(shape, [])
-            bucket.append((i, img, chw))
-            if len(bucket) == self.analyze_batch:
-                flush(bucket)
-                buckets[shape] = []
-            elif sum(len(b) for b in buckets.values()) > max_retained:
-                fullest = max(buckets, key=lambda s: len(buckets[s]))
-                flush(buckets[fullest])
-                buckets[fullest] = []
-        for bucket in buckets.values():
-            if bucket:
-                flush(bucket)
+        # flushes run on a 2-thread executor so consecutive buckets PIPELINE
+        # over the tunnel: bucket k's result fetch overlaps bucket k+1's
+        # host->device upload and device pass (the device itself serializes;
+        # per-bucket host RTTs were the serial cost — r4). Each flush writes
+        # disjoint per_photo keys and appends to no_face (GIL-atomic);
+        # concurrent first-shape jit-cache misses at worst build the same
+        # program twice (dict races are benign, results identical).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            pending = []
+            for i, (img, chw) in enumerate(decoded):
+                shape = (img.shape[0], img.shape[1])
+                bucket = buckets.setdefault(shape, [])
+                bucket.append((i, img, chw))
+                if len(bucket) == self.analyze_batch:
+                    pending.append(pool.submit(flush, bucket))
+                    buckets[shape] = []
+                elif sum(len(b) for b in buckets.values()) > max_retained:
+                    fullest = max(buckets, key=lambda s: len(buckets[s]))
+                    pending.append(pool.submit(flush, buckets[fullest]))
+                    buckets[fullest] = []
+            for bucket in buckets.values():
+                if bucket:
+                    pending.append(pool.submit(flush, bucket))
+            for fut in pending:
+                fut.result()          # surface flush exceptions
         self._batched_rotation_retry(no_face, per_photo)
         return per_photo
 
