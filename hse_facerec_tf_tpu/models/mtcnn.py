@@ -84,15 +84,23 @@ def pnet(params: Params, x, *, precision=jax.lax.Precision.HIGHEST,
     return reg, jax.nn.softmax(cls, axis=-1)
 
 
-def rnet(params: Params, x, *, precision=jax.lax.Precision.HIGHEST):
-    """R-Net forward. x: (N, 24, 24, 3). Returns (reg (N,4), prob (N,2))."""
-    x = _conv_block(x, params["conv1"], precision=precision)
+def rnet(params: Params, x, *, precision=jax.lax.Precision.HIGHEST,
+         im2col: bool = False):
+    """R-Net forward. x: (N, 24, 24, 3). Returns (reg (N,4), prob (N,2)).
+
+    ``im2col``: run the VALID convs as shifted-slice dots (the P-Net trick);
+    spatial dims are tiny here but the candidate batch amortizes the slice
+    concat — see _im2col_conv_valid for where it wins."""
+    conv = ((lambda v, p: _im2col_conv_valid(v, p, precision=precision))
+            if im2col else
+            (lambda v, p: _conv_block(v, p, precision=precision)))
+    x = conv(x, params["conv1"])
     x = prelu(x, params["prelu1"]["alpha"])
     x = max_pool(x, 3, 2, "SAME")
-    x = _conv_block(x, params["conv2"], precision=precision)
+    x = conv(x, params["conv2"])
     x = prelu(x, params["prelu2"]["alpha"])
     x = max_pool(x, 3, 2, "VALID")
-    x = _conv_block(x, params["conv3"], precision=precision)
+    x = conv(x, params["conv3"])
     x = prelu(x, params["prelu3"]["alpha"])
     x = jnp.reshape(x, (x.shape[0], -1))
     x = dense(x, params["fc"]["kernel"], params["fc"]["bias"], precision=precision)
@@ -102,18 +110,24 @@ def rnet(params: Params, x, *, precision=jax.lax.Precision.HIGHEST):
     return reg, jax.nn.softmax(cls, axis=-1)
 
 
-def onet(params: Params, x, *, precision=jax.lax.Precision.HIGHEST):
-    """O-Net forward. x: (N, 48, 48, 3). Returns (reg (N,4), landmarks (N,10), prob (N,2))."""
-    x = _conv_block(x, params["conv1"], precision=precision)
+def onet(params: Params, x, *, precision=jax.lax.Precision.HIGHEST,
+         im2col: bool = False):
+    """O-Net forward. x: (N, 48, 48, 3). Returns (reg (N,4), landmarks (N,10), prob (N,2)).
+
+    ``im2col``: shifted-slice dot form for the VALID convs (see rnet)."""
+    conv = ((lambda v, p: _im2col_conv_valid(v, p, precision=precision))
+            if im2col else
+            (lambda v, p: _conv_block(v, p, precision=precision)))
+    x = conv(x, params["conv1"])
     x = prelu(x, params["prelu1"]["alpha"])
     x = max_pool(x, 3, 2, "SAME")
-    x = _conv_block(x, params["conv2"], precision=precision)
+    x = conv(x, params["conv2"])
     x = prelu(x, params["prelu2"]["alpha"])
     x = max_pool(x, 3, 2, "VALID")
-    x = _conv_block(x, params["conv3"], precision=precision)
+    x = conv(x, params["conv3"])
     x = prelu(x, params["prelu3"]["alpha"])
     x = max_pool(x, 2, 2, "SAME")
-    x = _conv_block(x, params["conv4"], precision=precision)
+    x = conv(x, params["conv4"])
     x = prelu(x, params["prelu4"]["alpha"])
     x = jnp.reshape(x, (x.shape[0], -1))
     x = dense(x, params["fc"]["kernel"], params["fc"]["bias"], precision=precision)
