@@ -88,9 +88,10 @@ def rnet(params: Params, x, *, precision=jax.lax.Precision.HIGHEST,
          im2col: bool = False):
     """R-Net forward. x: (N, 24, 24, 3). Returns (reg (N,4), prob (N,2)).
 
-    ``im2col``: run the VALID convs as shifted-slice dots (the P-Net trick);
-    spatial dims are tiny here but the candidate batch amortizes the slice
-    concat — see _im2col_conv_valid for where it wins."""
+    ``im2col``: run the VALID convs as shifted-slice dots (the P-Net trick).
+    UNMEASURED for R-Net: no benchmark exists (only the P-Net stage-1 form
+    has a recorded win, BENCH r4); kept as an option pinned exact by
+    tests/test_models.py, not as a verified speedup."""
     conv = ((lambda v, p: _im2col_conv_valid(v, p, precision=precision))
             if im2col else
             (lambda v, p: _conv_block(v, p, precision=precision)))
@@ -114,7 +115,8 @@ def onet(params: Params, x, *, precision=jax.lax.Precision.HIGHEST,
          im2col: bool = False):
     """O-Net forward. x: (N, 48, 48, 3). Returns (reg (N,4), landmarks (N,10), prob (N,2)).
 
-    ``im2col``: shifted-slice dot form for the VALID convs (see rnet)."""
+    ``im2col``: shifted-slice dot form for the VALID convs (see rnet —
+    same caveat: unmeasured for O-Net, parity-pinned only)."""
     conv = ((lambda v, p: _im2col_conv_valid(v, p, precision=precision))
             if im2col else
             (lambda v, p: _conv_block(v, p, precision=precision)))

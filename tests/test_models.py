@@ -52,6 +52,22 @@ def test_onet_native_vs_graph(mtcnn_params, rng):
     np.testing.assert_allclose(np.asarray(prob_n), np.asarray(prob_g), atol=1e-5)
 
 
+def test_rnet_onet_im2col_matches_conv(mtcnn_params, rng):
+    """The shifted-slice im2col form of the R/O-Net VALID convs is a pure
+    reformulation: pinned exactly against the conv form (ADVICE r4 — the
+    option is unmeasured on TPU for R/O, so parity is what keeps it)."""
+    x24 = (rng.rand(6, 24, 24, 3).astype(np.float32) - 0.5) * 2
+    for a, b in zip(jax.jit(lambda p, v: m.rnet(p, v, im2col=True))(
+                        mtcnn_params["rnet"], x24),
+                    jax.jit(m.rnet)(mtcnn_params["rnet"], x24)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    x48 = (rng.rand(6, 48, 48, 3).astype(np.float32) - 0.5) * 2
+    for a, b in zip(jax.jit(lambda p, v: m.onet(p, v, im2col=True))(
+                        mtcnn_params["onet"], x48),
+                    jax.jit(m.onet)(mtcnn_params["onet"], x48)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_multihead_native_vs_graph(rng):
     params = import_multihead_params(str(AGEGENDER_PB))
     cg = compile_pb(str(AGEGENDER_PB),
