@@ -12,9 +12,14 @@ perf story:
   - analyze_ms_per_image    — fused detect+crop+3-heads program @640x480
   - analyze_batch8_ips      — vmapped fused analyze, batch 8 (album scan)
   - train_face_id_ips       — fused face-ID train step, batch 256, 9131-way
-  - roofline                — per-path FLOPs / bytes (XLA cost analysis),
-                              achieved TFLOP/s and GB/s, % of v5e peak, and
-                              the implied bound (HBM vs MXU)
+  - roofline                — per-path FLOPs / bytes, achieved TFLOP/s and
+                              GB/s vs v5e peaks in TWO accountings: *_model
+                              (whole-program XLA cost analysis over wall
+                              throughput) and *_busy (trace bytes over
+                              device-busy time); ``bound`` derives from the
+                              busy fraction when a profile exists. Both are
+                              cost-MODEL bytes, not DMA counters — see
+                              BYTES_MODEL_NOTE.
 
 All device timings chain CHAIN iterations inside one jit program (the
 host<->device tunnel costs ~32 ms per round trip; production pipelines stream
@@ -170,29 +175,60 @@ def _cost_analysis(compiled):
     return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
 
 
-def _roofline_entry(flops_per_unit, bytes_per_unit, units_per_sec):
-    """Achieved rates vs v5e peaks; the bound is whichever resource the path
-    uses the larger fraction of. When NEITHER fraction is substantial the
-    label is "vpu/other": the time goes to work the MXU-FLOPs/HBM-bytes
-    model can't see (elementwise VPU ops — e.g. the train step's bilinear
-    augment warp — or transposes/reductions), so naming the larger of two
-    small fractions would be misleading."""
+# Both byte figures below are XLA COST-MODEL estimates, not DMA counters
+# (r5 finding, VERDICT-4 #2): ``bytes_accessed`` charges every fusion
+# operand/output at full size, including re-reads that physically come from
+# VMEM — single detect fusions measure 1,020 "GB/s" against the 819 GB/s
+# physical HBM roof. So busy-GB/s is an at-the-roof INDICATOR (≥~90% ≈
+# traffic-bound; can read >100%), never a physical bandwidth measurement.
+BYTES_MODEL_NOTE = (
+    "bytes are XLA cost-model bytes_accessed (operands+outputs at full "
+    "size, VMEM-resident re-reads included), not DMA counters; per-fusion "
+    "GB/s can exceed the physical 819 GB/s peak (detect fusion.1443 "
+    "measures 1,020), so pct_hbm_peak_* >= ~90 means traffic-bound at the "
+    "roof, not a utilization percentage")
+
+
+def _roofline_entry(flops_per_unit, bytes_per_unit, units_per_sec,
+                    prof=None):
+    """Achieved rates vs v5e peaks, from two byte accountings:
+
+    - ``*_model``: whole-program XLA cost analysis over measured WALL
+      throughput (scan/while bodies counted per their static structure —
+      callers of scanned programs must divide by ONE body execution, see
+      bench_train).
+    - ``*_busy``: the fusion profile's trace bytes over device-BUSY time —
+      the per-executed-fusion accounting (present when a profile was
+      captured).
+
+    ``bound`` derives from the BUSY traffic fraction when available
+    (VERDICT-4 #2: the model/wall number under-counted scanned steps and
+    mislabeled the roofed train step "vpu/other"), else from the model.
+    "vpu/other" means neither the MXU-FLOPs nor the HBM-bytes fraction is
+    substantial: time goes to work this model can't see (elementwise VPU
+    ops, transposes/reductions)."""
     tflops = flops_per_unit * units_per_sec / 1e12
     gbs = bytes_per_unit * units_per_sec / 1e9
     mxu_frac = tflops / V5E_PEAK_BF16_TFLOPS
     hbm_frac = gbs / V5E_PEAK_HBM_GBS
+    entry = {
+        "flops_per_image": round(flops_per_unit / 1e9, 2),       # GFLOP
+        "bytes_per_image_model": round(bytes_per_unit / 1e6, 2),  # MB
+        "achieved_tflops": round(tflops, 2),
+        "achieved_hbm_gbs_model": round(gbs, 1),
+        "pct_mxu_peak_bf16": round(100 * mxu_frac, 1),
+        "pct_hbm_peak_model": round(100 * hbm_frac, 1),
+    }
+    if prof is not None and prof.get("busy_ms"):
+        busy_gbs = prof["hbm_gbs_busy"]
+        entry["achieved_hbm_gbs_busy"] = busy_gbs
+        entry["pct_hbm_peak_busy"] = round(100 * busy_gbs / V5E_PEAK_HBM_GBS, 1)
+        hbm_frac = busy_gbs / V5E_PEAK_HBM_GBS
     bound = "hbm" if hbm_frac >= mxu_frac else "mxu"
     if max(mxu_frac, hbm_frac) < 0.25:
         bound = "vpu/other"
-    return {
-        "flops_per_image": round(flops_per_unit / 1e9, 2),       # GFLOP
-        "bytes_per_image": round(bytes_per_unit / 1e6, 2),       # MB
-        "achieved_tflops": round(tflops, 2),
-        "achieved_hbm_gbs": round(gbs, 1),
-        "pct_mxu_peak_bf16": round(100 * mxu_frac, 1),
-        "pct_hbm_peak": round(100 * hbm_frac, 1),
-        "bound": bound,
-    }
+    entry["bound"] = bound
+    return entry
 
 
 def profile_fusions(many, x, label, top: int = 8):
@@ -219,8 +255,8 @@ def bench_embed(precision, compute_dtype, chain=10):
     x = jnp.asarray(rng.rand(BATCH, 224, 224, 3).astype(np.float32) * 255)
     ips = _time_chained(many, x, chain, BATCH * chain)
     flops, bytes_ = _cost_analysis(jax.jit(forward).lower(x).compile())
-    roofline = _roofline_entry(flops / BATCH, bytes_ / BATCH, ips)
     prof = profile_fusions(many, x, f"embed_{compute_dtype.__name__}")
+    roofline = _roofline_entry(flops / BATCH, bytes_ / BATCH, ips, prof)
     if prof is not None and prof["busy_ms"]:
         # device-busy rate: what the chip itself sustains, excluding the
         # host-side dispatch/fetch overhead still in the wall number
@@ -255,10 +291,10 @@ def bench_embed_int8(chain=10):
     x = jnp.asarray(rng.rand(BATCH, 224, 224, 3).astype(np.float32) * 255)
     ips = _time_chained(many, x, chain, BATCH * chain)
     flops, bytes_ = _cost_analysis(jax.jit(forward).lower(x).compile())
-    roofline = _roofline_entry(flops / BATCH, bytes_ / BATCH, ips)
+    prof = profile_fusions(many, x, "embed_int8")
+    roofline = _roofline_entry(flops / BATCH, bytes_ / BATCH, ips, prof)
     # int8 MXU peak is 2x the bf16 figure: report the int8 fraction too
     roofline["pct_mxu_peak_int8"] = round(roofline["pct_mxu_peak_bf16"] / 2.0, 1)
-    prof = profile_fusions(many, x, "embed_int8")
     if prof is not None and prof["busy_ms"]:
         prof["busy_ms_per_forward"] = round(prof["busy_ms"] / chain, 2)
         prof["device_ips_busy"] = round(BATCH * chain / (prof["busy_ms"] / 1e3), 1)
@@ -309,10 +345,10 @@ def bench_detection(chain=40):
     batch_ips = _time_chained(many_batch, xb, chain, nb * chain)
 
     flops, bytes_ = _cost_analysis(jax.jit(lambda a: batch_fn(a)).lower(xb).compile())
-    roofline = _roofline_entry(flops / nb, bytes_ / nb, batch_ips)
-    # detect is the furthest-from-roof major path (~73% of HBM peak):
+    # detect is the furthest-from-roof major path:
     # decompose it per fusion like the embed paths
     prof = profile_fusions(many_batch, xb, "detect_batch8")
+    roofline = _roofline_entry(flops / nb, bytes_ / nb, batch_ips, prof)
     if prof is not None and prof["busy_ms"]:
         prof["busy_ms_per_forward"] = round(prof["busy_ms"] / chain, 2)
         prof["device_ips_busy"] = round(nb * chain / (prof["busy_ms"] / 1e3), 1)
@@ -404,11 +440,15 @@ def bench_train(chain=8, batch=256, size=224, n_classes=9131):
     ips = batch * chain * iters / (time.perf_counter() - t0)
     flops, bytes_ = _cost_analysis(
         many.lower(params, opt_state, keys, images, labels).compile())
-    roofline = _roofline_entry(flops / (batch * chain),
-                               bytes_ / (batch * chain), ips)
+    # XLA cost analysis counts the lax.scan BODY ONCE regardless of trip
+    # count (verified r5: the chain-8 program reported exactly 1/8 of the
+    # step's flops), so the lowered cost IS one step's cost — divide by
+    # batch only. r4's /(batch*chain) under-counted 8x and mislabeled the
+    # roofed step "vpu/other" (VERDICT-4 #2).
     prof = profile_fusions(
         lambda x: many(params, opt_state, keys, x, labels), images, "train",
         top=6)
+    roofline = _roofline_entry(flops / batch, bytes_ / batch, ips, prof)
     if prof is not None and prof["busy_ms"]:
         # r3 finding: ~40% of the step is the augmentation warp — the
         # Catmull-Smith per-line matmuls materialize dense (N,224,224,224)
@@ -479,11 +519,12 @@ def bench_train_age_gender(chain=8, batch=256, size=224):
     flops, bytes_ = _cost_analysis(
         many.lower(params, age_os, gender_os, keys, images, ages,
                    genders).compile())
-    roofline = _roofline_entry(flops / (batch * chain),
-                               bytes_ / (batch * chain), ips)
+    # scan body (one age+gender PAIR) counted once by the cost model — see
+    # bench_train; divide by batch only
     prof = profile_fusions(
         lambda x: many(params, age_os, gender_os, keys, x, ages, genders),
         images, "train_age_gender", top=6)
+    roofline = _roofline_entry(flops / batch, bytes_ / batch, ips, prof)
     if prof is not None and prof["busy_ms"]:
         prof["ms_per_pair"] = round(prof["busy_ms"] / chain, 2)
         roofline["fusion_profile"] = prof
@@ -552,6 +593,7 @@ def bench_album():
         # then time a COLD-cache scan: use_cache=False so decode+analyze
         # all rerun
         organizer.process_album(album_dir, use_cache=False, write_outputs=True)
+        organizer.timer.reset()     # drop warm-run samples from the split
         t0 = time.perf_counter()
         result = organizer.process_album(album_dir, use_cache=False,
                                          write_outputs=True)
@@ -563,6 +605,9 @@ def bench_album():
             "album_n_videos": n_videos,
             "album_n_faces": result["n_faces"],
             "album_n_clusters": len(result["clusters"]),
+            # wall-phase + per-stage split (VERDICT-4 #3): which host cost
+            # dominates the 99%-host-bound product loop
+            "album_timings": result.get("timings", {}),
         }
     finally:
         shutil.rmtree(album_dir, ignore_errors=True)
@@ -624,11 +669,28 @@ def bench_serve(n_clients: int = 12, requests_per_client: int = 16):
             th.join()
         elapsed = time.perf_counter() - t0
         a = np.asarray(lat) * 1e3
+
+        # worker-side decomposition from GET /stats (VERDICT-4 #5): where a
+        # request's latency goes — coalesce queue wait vs batch assembly
+        # window vs device process (upload+compute+fetch)
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("GET", "/stats")
+        stats = json.loads(conn.getresponse().read())
+        conn.close()
+        decomp = {}
+        for k in ("embed_worker.queue_wait", "embed_worker.assemble",
+                  "embed_worker.process"):
+            if k in stats:
+                decomp[k.split(".", 1)[1]] = {
+                    "p50_ms": round(stats[k]["p50_ms"], 1),
+                    "p95_ms": round(stats[k]["p95_ms"], 1),
+                    "count": stats[k]["count"]}
         return {
             "serve_p50_ms": round(float(np.percentile(a, 50)), 1),
             "serve_p95_ms": round(float(np.percentile(a, 95)), 1),
             "serve_coalesced_ips": round(len(lat) / elapsed, 1),
             "serve_clients": n_clients,
+            "serve_decomposition": decomp,
         }
     finally:
         server.shutdown()
@@ -645,7 +707,12 @@ def bench_pb_extractor(chain=10, batch=64):
     this benches the shipped quantized age/gender pb through that generic
     path at both precisions so the knob's cost is a known quantity (HIGHEST
     = bit-close parity, HIGH = TPU-native ~equal numerics at bf16_3x speed;
-    the native-import path for the same net is the headline metric)."""
+    the native-import path for the same net is the headline metric).
+
+    Apples-to-apples (VERDICT-4 #1): the NATIVE import of the same net runs
+    at the same batch/precision alongside (``native_high_b64_ips``), and a
+    fusion profile of the compiled-pb HIGH program is captured so any gap
+    vs native has a named cause rather than a batch confound."""
     import jax
     import jax.numpy as jnp
 
@@ -654,6 +721,7 @@ def bench_pb_extractor(chain=10, batch=64):
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(batch, 224, 224, 3).astype(np.float32) * 255)
     out = {}
+    prof_pb = None
     for label, precision in (("highest", jax.lax.Precision.HIGHEST),
                              ("high", jax.lax.Precision.HIGH)):
         ex = graph_extractor(AGEGENDER_PB, "input_1:0", "global_pooling/Mean:0",
@@ -677,7 +745,22 @@ def bench_pb_extractor(chain=10, batch=64):
         ips = _time_chained(lambda v: many(params, v), x, chain,
                             batch * chain, warmup=1, iters=2)
         out[f"pb_extractor_{label}_ips"] = round(ips, 1)
-    return out
+        if label == "high":
+            prof_pb = profile_fusions(lambda v: np.asarray(many(params, v)),
+                                      x, "pb_extractor_high")
+            if prof_pb is not None and prof_pb["busy_ms"]:
+                prof_pb["busy_ms_per_forward"] = round(
+                    prof_pb["busy_ms"] / chain, 2)
+                prof_pb["device_ips_busy"] = round(
+                    batch * chain / (prof_pb["busy_ms"] / 1e3), 1)
+
+    # the native import of the SAME net at the SAME batch/precision
+    fwd_n, _ = build_forward(jax.lax.Precision.HIGH, jnp.float32)
+    many_n = _chain_unrolled(
+        lambda v: fwd_n(v)[0, 0].astype(jnp.float32), chain)
+    out["native_high_b64_ips"] = round(
+        _time_chained(many_n, x, chain, batch * chain, warmup=1, iters=2), 1)
+    return out, prof_pb
 
 
 def bench_knn(chain=6):
@@ -788,7 +871,7 @@ def main():
     ag_train_ips, roof_ag_train = bench_train_age_gender()
     album = bench_album()
     serve = bench_serve()
-    pb_ex = bench_pb_extractor()
+    pb_ex, pb_prof = bench_pb_extractor()
 
     try:
         cpu_ips = measure_cpu_baseline()
@@ -818,7 +901,8 @@ def main():
             **pb_ex,
             "roofline": {
                 "peaks": {"mxu_bf16_tflops": V5E_PEAK_BF16_TFLOPS,
-                          "hbm_gbs": V5E_PEAK_HBM_GBS},
+                          "hbm_gbs": V5E_PEAK_HBM_GBS,
+                          "bytes_model_note": BYTES_MODEL_NOTE},
                 "embed_f32": roof_f32,
                 "embed_bf16": roof_bf16,
                 "embed_int8": roof_int8,
@@ -828,6 +912,8 @@ def main():
                 "train_age_gender_bs256": roof_ag_train,
                 "knn_8kx1M": roof_knn,
                 "knn_8kx1M_int8": roof_knn_i8,
+                **({"pb_extractor_high": {"fusion_profile": pb_prof}}
+                   if pb_prof else {}),
             },
         },
     }

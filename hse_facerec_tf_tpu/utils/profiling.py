@@ -173,6 +173,11 @@ def fusion_profile(run, top: int = 8) -> Optional[Dict]:
             "category": args.get("hlo_category", "?"),
             "ms": 0.0, "bytes": 0.0, "calls": 0,
         })
+        ln = args.get("long_name")
+        if ln and "long_name" not in row:
+            # the HLO expression behind the opaque fusion.NNNN label — what
+            # names a slow fusion (e.g. which pyramid level's conv it is)
+            row["long_name"] = ln[:300]
         row["ms"] += e["dur"] / 1e3
         row["bytes"] += float(args.get("bytes_accessed", 0))
         row["calls"] += 1
