@@ -32,6 +32,7 @@ import numpy as np
 from ..config import AlbumConfig
 from ..ops.distance import pairwise_sqeuclidean
 from ..utils.image_io import imread_rgb, rotate_image, video_rotation
+from ..utils.profiling import StageTimer
 from .analyzer import FacialAnalyzer
 from .clustering import get_facial_clusters
 from .fusion import dempster_shafer_gender
@@ -107,6 +108,12 @@ class AlbumOrganizer:
         self.analyze_batch = max(1, int(analyze_batch))
         self.downscale = downscale
         self.gallery = gallery
+        # per-stage wall-time split of the product loop (VERDICT-4 #3: the
+        # scan was "99% host-bound" with no attribution); ``process_album``
+        # returns the aggregate under result["timings"]. Stage samples from
+        # concurrent decode/flush threads OVERLAP, so per-stage totals can
+        # exceed the phase wall time — compare shapes, not sums.
+        self.timer = StageTimer()
         det_minsize = getattr(getattr(analyzer, "detector", None),
                               "minsize", None)
         if det_minsize is not None and det_minsize != self.config.minsize:
@@ -232,8 +239,9 @@ class AlbumOrganizer:
 
         def flush():
             frames = np.stack([f for _, f in pending])
-            all_faces = self.analyzer.analyze_batch_padded(
-                frames, self.analyze_batch)
+            with self.timer.stage("video.analyze_batch"):
+                all_faces = self.analyzer.analyze_batch_padded(
+                    frames, self.analyze_batch)
             for (c, fr), faces in zip(pending, all_faces):
                 results[c] = (fr, faces)
             pending.clear()
@@ -352,8 +360,9 @@ class AlbumOrganizer:
 
         def flush(bucket):
             imgs = np.stack([im for _, im, _ in bucket])
-            all_faces = self.analyzer.analyze_batch_padded(
-                imgs, self.analyze_batch)
+            with self.timer.stage("photo.analyze_batch"):
+                all_faces = self.analyzer.analyze_batch_padded(
+                    imgs, self.analyze_batch)
             for (i, im, chw), faces in zip(bucket, all_faces):
                 if faces:
                     per_photo[i] = self._faces_to_outputs(im, faces, chw[1])
@@ -368,9 +377,13 @@ class AlbumOrganizer:
         # retention is capped — past it the fullest bucket flushes early
         # (a partial batch pads to the same lane count, costing nothing new)
         max_retained = 4 * self.analyze_batch
-        decoded = bounded_thread_map(
-            lambda f: self._maybe_downscale(self._read_photo(os.path.join(album_dir, f))),
-            files, workers=4, depth=2 * self.analyze_batch)
+        def _decode(f):
+            with self.timer.stage("photo.decode"):
+                return self._maybe_downscale(
+                    self._read_photo(os.path.join(album_dir, f)))
+
+        decoded = bounded_thread_map(_decode, files, workers=4,
+                                     depth=2 * self.analyze_batch)
         # flushes run on a 2-thread executor so consecutive buckets PIPELINE
         # over the tunnel: bucket k's result fetch overlaps bucket k+1's
         # host->device upload and device pass (the device itself serializes;
@@ -423,8 +436,9 @@ class AlbumOrganizer:
                 for s in range(0, len(bucket), self.analyze_batch):
                     group = bucket[s:s + self.analyze_batch]
                     imgs = np.stack([r for _, _, _, r in group])
-                    all_faces = self.analyzer.analyze_batch_padded(
-                        imgs, self.analyze_batch)
+                    with self.timer.stage("photo.rotation_retry"):
+                        all_faces = self.analyzer.analyze_batch_padded(
+                            imgs, self.analyze_batch)
                     for (i, img, chw, rotated), faces in zip(group, all_faces):
                         if faces:
                             per_photo[i] = self._faces_to_outputs(
@@ -518,11 +532,16 @@ class AlbumOrganizer:
 
     def process_album(self, album_dir: str, use_cache: bool = True,
                       write_outputs: bool = True) -> Dict:
-        """Full pipeline; returns a summary dict and (optionally) writes the
-        cluster/public directories."""
+        """Full pipeline; returns a summary dict (with a per-phase wall-time
+        split under ``timings``) and (optionally) writes the cluster/public
+        directories."""
+        walls: Dict[str, float] = {}
+        t0 = time.perf_counter()
         faces = self.scan_album(album_dir, use_cache=use_cache)
+        walls["scan_photos_s"] = time.perf_counter() - t0
         n_image_files = len(faces.files)
 
+        t0 = time.perf_counter()
         video_files = sorted(f for f in next(os.walk(album_dir))[2] if is_video(f))
         for vi, vf in enumerate(video_files):
             path = os.path.join(album_dir, vf)
@@ -542,8 +561,11 @@ class AlbumOrganizer:
                 [faces.born_years, [year - (a - 0.5) for a in ages]])
             faces.files.append(vf)
             faces.mdates.append(mdate)
+        walls["videos_s"] = time.perf_counter() - t0
 
+        t0 = time.perf_counter()
         clusters = self.perform_clustering(faces, self.config.min_no_photos)
+        walls["cluster_s"] = time.perf_counter() - t0
 
         cluster_genders, cluster_ages = [], []
         for cluster in clusters:
@@ -563,9 +585,23 @@ class AlbumOrganizer:
             "cluster_labels": cluster_labels,
         }
         if write_outputs:
+            t0 = time.perf_counter()
             self._write_outputs(album_dir, faces, clusters, cluster_genders,
                                 cluster_ages, n_image_files, cluster_labels)
+            walls["write_outputs_s"] = time.perf_counter() - t0
+            t0 = time.perf_counter()
             self.write_montage(album_dir, faces, clusters)
+            walls["montage_s"] = time.perf_counter() - t0
+        result["timings"] = {
+            "phases": {k: round(v, 3) for k, v in walls.items()},
+            # finer-grain stage stats (decode / device batches / rotation
+            # retries); concurrent samples overlap, so totals are occupancy
+            # per stage, not additive wall time
+            "stages": {k: {"count": s["count"],
+                           "total_s": round(s["total_s"], 3),
+                           "p50_ms": round(s["p50_ms"], 1)}
+                       for k, s in self.timer.stats().items()},
+        }
         return result
 
     def write_montage(self, album_dir: str, faces: AlbumFaces,

@@ -33,6 +33,9 @@ Endpoints:
   GET  /gallery  -> enrollment stats {n_enrolled, n_labels, dim, ...}
   GET  /healthz  -> {"ok": true, "device": ...}
   GET  /stats    -> per-endpoint latency {count, mean_ms, p50_ms, p95_ms}
+                    plus the batching workers' per-request decomposition
+                    (``embed_worker.queue_wait`` / ``.assemble`` /
+                    ``.process``) — where a request's latency goes
   GET  /profile  -> on-demand per-fusion device-time/bandwidth table for the
                     embed program (utils.profiling.fusion_profile)
 
@@ -61,12 +64,26 @@ class _BatchingWorker:
     """Coalesces concurrent requests into batched device calls.
 
     ``process``: (stacked same-shape images (N, H, W, 3)) -> sequence of N
-    per-image results (one array / FaceResult list per image)."""
+    per-image results (one array / FaceResult list per image).
 
-    def __init__(self, process, max_batch: int = 32, max_wait_ms: float = 5.0):
+    ``timer``/``name``: when given, every request's latency decomposes into
+    three stages in the shared StageTimer (VERDICT-4 #5 — show where a
+    served request's time goes instead of asserting "RTT-bound"):
+      ``{name}.queue_wait`` — enqueue until the worker picks it into a batch
+                              (device busy with earlier generations);
+      ``{name}.assemble``   — picked until its batch dispatches (the
+                              coalescing window / later same-batch arrivals);
+      ``{name}.process``    — the batched device call itself (host stack +
+                              upload + compute + fetch), one sample per
+                              same-shape group."""
+
+    def __init__(self, process, max_batch: int = 32, max_wait_ms: float = 5.0,
+                 name: str = "worker", timer=None):
         self.process = process
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1e3
+        self.name = name
+        self.timer = timer
         self.queue: "queue.Queue" = queue.Queue()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
@@ -80,7 +97,7 @@ class _BatchingWorker:
         timed-out request is marked abandoned so a recovered worker drops
         it instead of burning device time on clients that already left."""
         done = threading.Event()
-        slot: dict = {}
+        slot: dict = {"t_enqueue": time.perf_counter()}
         self.queue.put((image, done, slot))
         if not done.wait(timeout_s):
             slot["abandoned"] = True
@@ -90,9 +107,15 @@ class _BatchingWorker:
             raise RuntimeError(slot["error"])
         return slot["result"]
 
+    def _sample(self, stage: str, dt: float):
+        if self.timer is not None:
+            with self.timer._lock:
+                self.timer.samples[f"{self.name}.{stage}"].append(dt)
+
     def _run(self):
         while True:
             image, done, slot = self.queue.get()
+            slot["t_picked"] = time.perf_counter()
             batch = [(image, done, slot)]
             deadline = time.monotonic() + self.max_wait
             while len(batch) < self.max_batch:
@@ -100,7 +123,9 @@ class _BatchingWorker:
                 if timeout <= 0:
                     break
                 try:
-                    batch.append(self.queue.get(timeout=timeout))
+                    item = self.queue.get(timeout=timeout)
+                    item[2]["t_picked"] = time.perf_counter()
+                    batch.append(item)
                 except queue.Empty:
                     break
             # drop requests whose clients already got a 504 (post-outage
@@ -111,6 +136,10 @@ class _BatchingWorker:
             for item in batch:
                 by_size.setdefault(item[0].shape, []).append(item)
             for items in by_size.values():
+                t_dispatch = time.perf_counter()
+                for _, _, s in items:
+                    self._sample("queue_wait", s["t_picked"] - s["t_enqueue"])
+                    self._sample("assemble", t_dispatch - s["t_picked"])
                 try:
                     # coalescing produces arbitrary batch sizes; the
                     # processors own shape-bucketing (EmbeddingExtractor
@@ -120,6 +149,7 @@ class _BatchingWorker:
                     # under 12 clients before bucketing existed)
                     imgs = np.stack([it[0] for it in items])
                     feats = self.process(imgs)
+                    self._sample("process", time.perf_counter() - t_dispatch)
                     for (_, d, s), f in zip(items, feats):
                         s["result"] = f
                         d.set()
@@ -140,7 +170,8 @@ def _analyze_batch_pow2(analyzer, imgs: np.ndarray):
 def make_handler(worker: _BatchingWorker, analyze_worker,
                  profile_input_hw: Tuple[int, int] = (224, 224),
                  request_timeout_s: float = 600.0,
-                 gallery=None, identify_threshold: float = 0.82):
+                 gallery=None, identify_threshold: float = 0.82,
+                 timer=None):
     import cv2
 
     from .utils.profiling import StageTimer
@@ -149,7 +180,10 @@ def make_handler(worker: _BatchingWorker, analyze_worker,
         from .pipelines.gallery import EnrollmentGallery
 
         gallery = EnrollmentGallery()
-    timer = StageTimer()
+    # shared with the batching workers so GET /stats carries both the
+    # per-endpoint request latencies AND the worker-side decomposition
+    # (queue_wait / assemble / process)
+    timer = timer if timer is not None else StageTimer()
     profile_lock = threading.Lock()
 
     # Gallery RANKING is device work and must honor the same per-request
@@ -406,7 +440,11 @@ def build_server(port: int = 8000, model: str = "agegender_identity",
         h, w = extractor.input_size
         for n in _prewarm_buckets(max_batch, extractor.batch_size):
             extractor.extract_batch(np.zeros((n, h, w, 3), np.uint8))
-    worker = _BatchingWorker(extractor.extract_batch, max_batch=max_batch)
+    from .utils.profiling import StageTimer
+
+    timer = StageTimer()
+    worker = _BatchingWorker(extractor.extract_batch, max_batch=max_batch,
+                             name="embed_worker", timer=timer)
     analyze_worker = None
     if with_analyzer:
         import functools
@@ -417,7 +455,8 @@ def build_server(port: int = 8000, model: str = "agegender_identity",
                                                         zoo.AGEGENDER_PB,
                                                         mesh=mesh)
         analyze_worker = _BatchingWorker(
-            functools.partial(_analyze_batch_pow2, analyzer), max_batch=8)
+            functools.partial(_analyze_batch_pow2, analyzer), max_batch=8,
+            name="analyze_worker", timer=timer)
     from .pipelines.gallery import EnrollmentGallery
 
     # under --data-parallel the gallery's ranking state is sharded over the
@@ -429,7 +468,8 @@ def build_server(port: int = 8000, model: str = "agegender_identity",
                      profile_input_hw=extractor.input_size,
                      request_timeout_s=request_timeout_s,
                      gallery=gallery,
-                     identify_threshold=identify_threshold))
+                     identify_threshold=identify_threshold,
+                     timer=timer))
 
 
 def main(argv=None):

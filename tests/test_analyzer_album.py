@@ -945,6 +945,9 @@ def test_video_frames_no_rotation_retry(tmp_path, monkeypatch):
         org.config = AlbumConfig()
         org.analyze_batch = analyze_batch
         org.downscale = None
+        from hse_facerec_tf_tpu.utils.profiling import StageTimer
+
+        org.timer = StageTimer()
         out = org.process_video(path, time.gmtime(0))
         assert out[:4] == ([], [], [], [])
         # delta stays 5 -> 4 selected frames; batch mode pre-analyzes the
