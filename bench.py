@@ -709,10 +709,23 @@ def bench_pb_extractor(chain=10, batch=64):
     = bit-close parity, HIGH = TPU-native ~equal numerics at bf16_3x speed;
     the native-import path for the same net is the headline metric).
 
-    Apples-to-apples (VERDICT-4 #1): the NATIVE import of the same net runs
-    at the same batch/precision alongside (``native_high_b64_ips``), and a
-    fusion profile of the compiled-pb HIGH program is captured so any gap
-    vs native has a named cause rather than a batch confound."""
+    Apples-to-apples (VERDICT-4 #1, RESOLVED r5): the NATIVE import of the
+    same net runs alongside at the same batch/precision AND the same
+    fori-loop chain form (``native_high_b64_ips`` + ``native_high_b64_
+    device_ips_busy``). Measured on-device: the two programs are EQUAL —
+    pb 46.22 ms busy vs native 46.58 ms for the chain-10 batch-64 program
+    (device ~13.8k img/s both). r4's "1.5x gap" was a batch confound
+    (pb@64 vs the batch-1024 native headline; batch 64 under-fills the
+    chip for BOTH paths). Two form caveats the comparison surfaced:
+      - the PYTHON-UNROLLED chain at batch 64 is a measured LOSER for this
+        net (+40% device busy, 65.2 ms): XLA compiles the stride-2
+        depthwise convs of the 10x-unrolled graph into a 48 GB/s form
+        (fusion.1243/1663: 14x14x256 and 7x7x512 dw at 20.5%/10.3% busy)
+        that the fori body does not hit. The unrolled form's +8% win
+        (bench docstring above) is batch-1024-specific — don't generalize
+        it down-batch.
+      - wall-clock ips at iters<=2 swing ~15% from RTT accounting; the
+        busy-ms figures are the comparable numbers."""
     import jax
     import jax.numpy as jnp
 
@@ -743,7 +756,7 @@ def bench_pb_extractor(chain=10, batch=64):
                                      jnp.zeros((), jnp.float32))
 
         ips = _time_chained(lambda v: many(params, v), x, chain,
-                            batch * chain, warmup=1, iters=2)
+                            batch * chain, warmup=1, iters=4)
         out[f"pb_extractor_{label}_ips"] = round(ips, 1)
         if label == "high":
             prof_pb = profile_fusions(lambda v: np.asarray(many(params, v)),
@@ -754,12 +767,24 @@ def bench_pb_extractor(chain=10, batch=64):
                 prof_pb["device_ips_busy"] = round(
                     batch * chain / (prof_pb["busy_ms"] / 1e3), 1)
 
-    # the native import of the SAME net at the SAME batch/precision
+    # the native import of the SAME net at the SAME batch/precision and the
+    # SAME fori chain form (the unrolled form miscompiles at this batch —
+    # see docstring)
     fwd_n, _ = build_forward(jax.lax.Precision.HIGH, jnp.float32)
-    many_n = _chain_unrolled(
-        lambda v: fwd_n(v)[0, 0].astype(jnp.float32), chain)
+
+    @jax.jit
+    def many_n(v):
+        def body(i, acc):
+            return acc + fwd_n(v + i.astype(jnp.float32) * 1e-6)[0, 0]
+        return jax.lax.fori_loop(0, chain, body, jnp.zeros((), jnp.float32))
+
     out["native_high_b64_ips"] = round(
-        _time_chained(many_n, x, chain, batch * chain, warmup=1, iters=2), 1)
+        _time_chained(many_n, x, chain, batch * chain, warmup=1, iters=4), 1)
+    prof_n = profile_fusions(lambda v: np.asarray(many_n(v)), x,
+                             "native_high_b64", top=4)
+    if prof_n is not None and prof_n["busy_ms"]:
+        out["native_high_b64_device_ips_busy"] = round(
+            batch * chain / (prof_n["busy_ms"] / 1e3), 1)
     return out, prof_pb
 
 
