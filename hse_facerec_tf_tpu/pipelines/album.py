@@ -417,37 +417,37 @@ class AlbumOrganizer:
     def _batched_rotation_retry(self, entries, per_photo) -> None:
         """Batched form of ``_rotation_retry`` for the album sweep: same
         per-photo policy (90° first, 270° only for photos still face-less,
-        reference ``process_photos.py:241-247``) but each rotation pass runs
-        as shape-bucketed fused batches instead of one single-image program
-        call per photo per rotation. ``entries``: (index, img, content_hw)
-        triples; fills ``per_photo`` in place."""
-        pending = entries
-        for rot in (90, 270):
-            if not pending:
-                return
-            k = 3 if rot == 90 else 1   # np.rot90 is counter-clockwise
-            still: List[Tuple[int, np.ndarray, Tuple[int, int]]] = []
-            buckets: Dict[Tuple[int, int], list] = {}
-            for (i, img, chw) in pending:
-                rotated = np.ascontiguousarray(np.rot90(img, k))
-                buckets.setdefault(rotated.shape[:2], []).append(
-                    (i, img, chw, rotated))
-            for bucket in buckets.values():
-                for s in range(0, len(bucket), self.analyze_batch):
-                    group = bucket[s:s + self.analyze_batch]
-                    imgs = np.stack([r for _, _, _, r in group])
-                    with self.timer.stage("photo.rotation_retry"):
-                        all_faces = self.analyzer.analyze_batch_padded(
-                            imgs, self.analyze_batch)
-                    for (i, img, chw, rotated), faces in zip(group, all_faces):
-                        if faces:
-                            per_photo[i] = self._faces_to_outputs(
-                                rotated, faces, chw and chw[::-1][1])
-                        else:
-                            still.append((i, img, chw))
-            pending = still
-        for (i, img, chw) in pending:
-            per_photo[i] = self._faces_to_outputs(img, [], chw and chw[1])
+        reference ``process_photos.py:241-247``) but both rotations of a
+        shape bucket run from ONE upright upload — the device rotates
+        in-program and returns both analyses
+        (``analyzer.analyze_batch_rotations_padded``). The host→device link
+        is the album scan's measured bottleneck (~40 ms + ~15-35 MB/s per
+        transfer, serialized), and the old two-pass form re-uploaded
+        host-rotated copies per rotation. ``entries``: (index, img,
+        content_hw) triples; fills ``per_photo`` in place."""
+        buckets: Dict[Tuple[int, int], list] = {}
+        for (i, img, chw) in entries:
+            buckets.setdefault(img.shape[:2], []).append((i, img, chw))
+        for bucket in buckets.values():
+            for s in range(0, len(bucket), self.analyze_batch):
+                group = bucket[s:s + self.analyze_batch]
+                imgs = np.stack([im for _, im, _ in group])
+                with self.timer.stage("photo.rotation_retry"):
+                    pairs = self.analyzer.analyze_batch_rotations_padded(
+                        imgs, self.analyze_batch)
+                for (i, img, chw), (f90, f270) in zip(group, pairs):
+                    # reference order: 90° wins if it found anything (:243)
+                    if f90:
+                        per_photo[i] = self._faces_to_outputs(
+                            np.ascontiguousarray(np.rot90(img, 3)), f90,
+                            chw and chw[::-1][1])
+                    elif f270:
+                        per_photo[i] = self._faces_to_outputs(
+                            np.ascontiguousarray(np.rot90(img, 1)), f270,
+                            chw and chw[::-1][1])
+                    else:
+                        per_photo[i] = self._faces_to_outputs(
+                            img, [], chw and chw[1])
 
     def scan_album(self, album_dir: str, use_cache: bool = True) -> AlbumFaces:
         cache = os.path.join(album_dir, "features.npz")

@@ -460,6 +460,86 @@ class FacialAnalyzer:
                     [a[i] for a in out[:7]], identity[i]))
         return results
 
+    def _finish_compact(self, out, fallback_img, n_valid: int,
+                        can_fallback: bool,
+                        only=None) -> List[List[FaceResult]]:
+        """Host assembly for one single-device COMPACT-program output tuple:
+        scatter the compact identity rows, build per-lane FaceResult lists,
+        and re-run truncated lanes through the single-image path.
+        ``fallback_img``: callable lane-index -> the image the single-image
+        re-run should see (the rotation-pair path hands the HOST-rotated
+        photo here). ``only``: lane indices to assemble — others return []
+        without fallback work (the 270° pass only matters for lanes still
+        faceless at 90°; a discarded lane must not spend an upload-costing
+        single-image re-run)."""
+        det_esc = self.detector.max_escalations > 0
+        identity_k, sel = out[7], out[8]
+        lanes, width = out[4].shape
+        identity = self._scatter_identity(
+            identity_k, sel, lanes * width).reshape(lanes, width, -1)
+        results = []
+        for i in range(n_valid):
+            if only is not None and i not in only:
+                results.append([])
+                continue
+            if (bool(out[10][i]) and can_fallback) or \
+                    (bool(out[9][i]) and det_esc):
+                results.append(self.analyze(fallback_img(i)))
+            else:
+                results.append(self._assemble_results(
+                    [a[i] for a in out[:7]], identity[i]))
+        return results
+
+    def analyze_batch_rotations_padded(
+            self, images: np.ndarray,
+            lanes: int) -> List[Tuple[List[FaceResult], List[FaceResult]]]:
+        """Both 90° and 270° analyses of UPRIGHT images from ONE upload.
+
+        The rotation retry (reference ``process_photos.py:241-247``: photos
+        with no upright face re-analyze at 90°, then 270°) previously ran as
+        two passes that each re-uploaded host-rotated copies — and the
+        host→device link is the product loop's bottleneck (~40 ms + ~15-35
+        MB/s per transfer, serialized process-wide; r5 measurement). This
+        uploads the pending photos ONCE, rotates ON DEVICE (a relayout
+        inside the program, not a transfer), runs the cross-lane-compacted
+        cascade on both rotations in one jit program, and fetches both
+        output tuples in one transfer. Returns ``(faces_90, faces_270)``
+        per real image, in the ROTATED images' coordinates (host callers
+        crop from ``np.rot90(img, 3)`` / ``np.rot90(img, 1)`` exactly as
+        before — device and host rot90 are the same exact reindexing).
+        The caller applies the reference's 90-first policy."""
+        images = np.asarray(images)
+        n, h, w = images.shape[0], images.shape[1], images.shape[2]
+        if n < lanes:
+            images = np.concatenate(
+                [images, np.zeros((lanes - n,) + images.shape[1:],
+                                  images.dtype)])
+        total = self.batch_head_total or max(16, 2 * lanes)
+        key = ("cbatch_rot", lanes, h, w, total)
+        if key not in self._jitted:
+            # the rotated tensors are (lanes, w, h, 3): ONE compact program
+            # built for the rotated dims serves both rotations
+            cfn = self._build_batch_compact_fn(w, h, total)
+
+            def pair(params, x):
+                # device k values mirror the host convention
+                # (np.rot90(img, 3) == rotate 90° clockwise)
+                r90 = jnp.rot90(x, k=3, axes=(1, 2))
+                r270 = jnp.rot90(x, k=1, axes=(1, 2))
+                return cfn(params, r90), cfn(params, r270)
+
+            self._jitted[key] = jax.jit(pair)
+        fn = self._jitted[key]
+        out90, out270 = jax.device_get(fn(self.mh_params, jnp.asarray(images)))
+        can_fallback = total < lanes * self.detector.caps_for(w, h)[2]
+        res90 = self._finish_compact(
+            out90, lambda i: np.ascontiguousarray(np.rot90(images[i], 3)),
+            n, can_fallback)
+        res270 = self._finish_compact(
+            out270, lambda i: np.ascontiguousarray(np.rot90(images[i], 1)),
+            n, can_fallback, only={i for i in range(n) if not res90[i]})
+        return list(zip(res90, res270))
+
     def with_minsize(self, minsize: int) -> "FacialAnalyzer":
         """Shallow clone detecting at a different minimum face size: shares
         heads/params (no re-import, no device transfer) but gets a fresh

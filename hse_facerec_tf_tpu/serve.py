@@ -75,15 +75,37 @@ class _BatchingWorker:
                               coalescing window / later same-batch arrivals);
       ``{name}.process``    — the batched device call itself (host stack +
                               upload + compute + fetch), one sample per
-                              same-shape group."""
+                              same-shape group.
+
+    ``pipeline_depth``: batched device calls run on a small pool so
+    consecutive generations PIPELINE over the host<->device link. The r5
+    decomposition measured ``process`` p50 at ~65 ms — two tunnel round
+    trips (upload + result fetch) around ~1 ms of device compute — and the
+    serial worker made every queued request wait a full process behind the
+    in-flight one (queue_wait p50 ~58 ms ≈ one process). With two
+    generations in flight, batch k+1's upload rides under batch k's result
+    fetch (the device itself serializes; the RTTs were the serial cost —
+    same lesson as the album flush pool). Depth 2 is the sweet spot: the
+    tunnel has one upload and one download lane to overlap; deeper just
+    queues. Set 1 to restore the strictly serial worker."""
 
     def __init__(self, process, max_batch: int = 32, max_wait_ms: float = 5.0,
-                 name: str = "worker", timer=None):
+                 name: str = "worker", timer=None, pipeline_depth: int = 2):
         self.process = process
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1e3
         self.name = name
         self.timer = timer
+        import concurrent.futures as _futures
+
+        self._pool = _futures.ThreadPoolExecutor(
+            max_workers=max(1, pipeline_depth),
+            thread_name_prefix=f"{name}-process")
+        # bounds in-flight device generations: when full, the dispatch loop
+        # blocks HERE (not in the pool's unbounded queue), so arriving
+        # requests keep coalescing into the NEXT batch instead of splitting
+        # into many tiny ones
+        self._slots = threading.Semaphore(max(1, pipeline_depth))
         self.queue: "queue.Queue" = queue.Queue()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
@@ -136,27 +158,33 @@ class _BatchingWorker:
             for item in batch:
                 by_size.setdefault(item[0].shape, []).append(item)
             for items in by_size.values():
-                t_dispatch = time.perf_counter()
-                for _, _, s in items:
-                    self._sample("queue_wait", s["t_picked"] - s["t_enqueue"])
-                    self._sample("assemble", t_dispatch - s["t_picked"])
-                try:
-                    # coalescing produces arbitrary batch sizes; the
-                    # processors own shape-bucketing (EmbeddingExtractor
-                    # pads tails to power-of-2 buckets, _analyze_batch_pow2
-                    # ditto) so each distinct size does NOT become a new
-                    # minutes-to-load XLA program (measured p50 630 ms
-                    # under 12 clients before bucketing existed)
-                    imgs = np.stack([it[0] for it in items])
-                    feats = self.process(imgs)
-                    self._sample("process", time.perf_counter() - t_dispatch)
-                    for (_, d, s), f in zip(items, feats):
-                        s["result"] = f
-                        d.set()
-                except Exception as e:  # noqa: BLE001 — report to the caller
-                    for _, d, s in items:
-                        s["error"] = str(e)
-                        d.set()
+                self._slots.acquire()
+                self._pool.submit(self._process_group, items)
+
+    def _process_group(self, items):
+        t_dispatch = time.perf_counter()
+        for _, _, s in items:
+            self._sample("queue_wait", s["t_picked"] - s["t_enqueue"])
+            self._sample("assemble", t_dispatch - s["t_picked"])
+        try:
+            # coalescing produces arbitrary batch sizes; the
+            # processors own shape-bucketing (EmbeddingExtractor
+            # pads tails to power-of-2 buckets, _analyze_batch_pow2
+            # ditto) so each distinct size does NOT become a new
+            # minutes-to-load XLA program (measured p50 630 ms
+            # under 12 clients before bucketing existed)
+            imgs = np.stack([it[0] for it in items])
+            feats = self.process(imgs)
+            self._sample("process", time.perf_counter() - t_dispatch)
+            for (_, d, s), f in zip(items, feats):
+                s["result"] = f
+                d.set()
+        except Exception as e:  # noqa: BLE001 — report to the caller
+            for _, d, s in items:
+                s["error"] = str(e)
+                d.set()
+        finally:
+            self._slots.release()
 
 
 def _analyze_batch_pow2(analyzer, imgs: np.ndarray):

@@ -341,6 +341,34 @@ def test_album_batched_rotation_retry_matches_sequential(
     np.testing.assert_allclose(fb.born_years, fs.born_years, atol=1e-3)
 
 
+def test_analyze_batch_rotations_pair_matches_two_pass(analyzer, fixture_img,
+                                                       rng):
+    """``analyze_batch_rotations_padded`` (ONE upright upload, device-side
+    rot90/rot270, both cascades in one program) must reproduce the two-pass
+    form it replaces: ``analyze_batch_padded`` over host-rotated copies per
+    rotation. Device and host rot90 are the same exact reindexing, so
+    results must agree to numerical noise."""
+    rotated = np.ascontiguousarray(np.rot90(fixture_img, 1))   # 90° cw photo
+    noise = (rng.rand(*rotated.shape) * 255).astype(np.uint8)
+    imgs = np.stack([rotated, noise])
+
+    pairs = analyzer.analyze_batch_rotations_padded(imgs, 2)
+    ref90 = analyzer.analyze_batch_padded(
+        np.stack([np.ascontiguousarray(np.rot90(im, 3)) for im in imgs]), 2)
+    ref270 = analyzer.analyze_batch_padded(
+        np.stack([np.ascontiguousarray(np.rot90(im, 1)) for im in imgs]), 2)
+
+    assert len(pairs) == 2
+    # the rotated fixture photo recovers its faces in the 90° view
+    assert len(pairs[0][0]) == len(ref90[0]) > 0
+    for got, want in zip(pairs[0][0], ref90[0]):
+        assert got.bbox == want.bbox
+        np.testing.assert_allclose(got.age, want.age, atol=1e-3)
+        np.testing.assert_allclose(got.identity, want.identity, atol=1e-3)
+    # the noise lane stays empty at 90°; its 270° view matches the two-pass
+    assert pairs[1][0] == [] and len(pairs[1][1]) == len(ref270[1])
+
+
 def test_album_downscale_buckets(analyzer, fixture_img, tmp_path_factory):
     """With ``downscale``, photos of mixed large resolutions (portrait AND
     landscape) collapse onto ONE letterboxed analysis shape — aspect
