@@ -238,6 +238,17 @@ def crop_resize_bilinear(img: jnp.ndarray, boxes: jnp.ndarray, out_size: int,
     matmuls than as the equivalent gather), and the gather form anti-scales
     under vmap. Accumulation-order float differences vs a direct gather are
     ≤2e-3 pixel units.
+
+    Contraction order (r5 negative result, measured on the 640×480 batch-8
+    detect profile): the row-first form's (N, out, 640, C) intermediate is
+    the detector's single largest HBM cost (the two stage-2/3 crop row
+    passes move 189 MB/batch at 24% of device busy, 341 GB/s), and
+    column-first (contract the larger axis first) shrinks the intermediate
+    and the second pass by W/H = 25% ON PAPER — but measured SLOWER
+    (device busy 258.3 → 269.8 ms): XLA's layout for the (N, H, out, C)
+    intermediate sustains only ~297 GB/s and it inserts a 17 ms relayout
+    copy, eating the byte saving. Keep row-first; don't retry without a
+    layout-level reason.
     """
     img = jnp.asarray(img, jnp.float32)
     R, C = _crop_weights(boxes, img.shape[0], img.shape[1], out_size,

@@ -136,6 +136,13 @@ class _BatchingWorker:
 
     def _run(self):
         while True:
+            # acquire the dispatch slot BEFORE collecting: while every slot
+            # is busy, arriving requests stay in the queue and coalesce into
+            # ONE bigger next batch (acquiring after collection left picked
+            # requests stalled mid-assembly at the semaphore — measured
+            # assemble p50 5.4 -> 40.9 ms — and split traffic into smaller
+            # generations)
+            self._slots.acquire()
             image, done, slot = self.queue.get()
             slot["t_picked"] = time.perf_counter()
             batch = [(image, done, slot)]
@@ -157,8 +164,12 @@ class _BatchingWorker:
             by_size = {}
             for item in batch:
                 by_size.setdefault(item[0].shape, []).append(item)
-            for items in by_size.values():
-                self._slots.acquire()
+            if not by_size:
+                self._slots.release()
+                continue
+            for gi, items in enumerate(by_size.values()):
+                if gi:      # first group uses the pre-acquired slot
+                    self._slots.acquire()
                 self._pool.submit(self._process_group, items)
 
     def _process_group(self, items):

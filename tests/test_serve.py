@@ -187,7 +187,9 @@ def test_request_deadline_returns_504(rng):
 
 def test_abandoned_requests_dropped_after_recovery():
     """Requests that timed out while the device was wedged must NOT be
-    processed once the worker recovers — only live requests run."""
+    processed once the worker recovers — only live requests run.
+    ``pipeline_depth=1`` pins the strictly serial worker's contract: only
+    ONE request can be irrevocably in flight behind a wedge."""
     block = threading.Event()
     processed = []
 
@@ -196,7 +198,8 @@ def test_abandoned_requests_dropped_after_recovery():
         processed.append(len(imgs))
         return [im.reshape(-1)[:4] for im in imgs]
 
-    worker = _BatchingWorker(process, max_batch=1, max_wait_ms=1.0)
+    worker = _BatchingWorker(process, max_batch=1, max_wait_ms=1.0,
+                             pipeline_depth=1)
     imgs = [np.full((4, 4, 3), i, np.uint8) for i in range(3)]
     # request 0 goes in-flight and wedges; 1 and 2 queue behind it
     t0 = threading.Thread(target=lambda: worker.submit(imgs[0]), daemon=True)
@@ -211,6 +214,41 @@ def test_abandoned_requests_dropped_after_recovery():
     # batches processed: the wedged request 0 and live request 2 — the
     # abandoned request 1 was dropped, so only TWO process() calls ran
     assert len(processed) == 2
+
+
+def test_abandoned_requests_dropped_pipelined():
+    """Depth-2 pipelined worker: up to ``pipeline_depth`` requests can be
+    irrevocably in flight behind a wedge (the device call cannot be
+    cancelled), but requests still in the QUEUE when they time out are
+    dropped on recovery — the post-outage backlog never delays live
+    traffic by more than the in-flight depth."""
+    block = threading.Event()
+    processed = []
+
+    def process(imgs):
+        block.wait(30)
+        processed.append(len(imgs))
+        return [im.reshape(-1)[:4] for im in imgs]
+
+    worker = _BatchingWorker(process, max_batch=1, max_wait_ms=1.0,
+                             pipeline_depth=2)
+    imgs = [np.full((4, 4, 3), i, np.uint8) for i in range(4)]
+    # requests 0 and 1 occupy both slots and wedge; 2 queues behind them
+    threads = [threading.Thread(target=lambda i=i: worker.submit(imgs[i]),
+                                daemon=True) for i in range(2)]
+    for t in threads:
+        t.start()
+    time.sleep(0.3)
+    with pytest.raises(TimeoutError):
+        worker.submit(imgs[2], timeout_s=0.3)      # QUEUED -> abandoned
+    block.set()                                    # device recovers
+    out = worker.submit(imgs[3], timeout_s=10)     # live request succeeds
+    np.testing.assert_array_equal(out, imgs[3].reshape(-1)[:4])
+    for t in threads:
+        t.join(timeout=5)
+    # processed: the two wedged in-flight requests + the live one; the
+    # queued-and-abandoned request 2 was dropped
+    assert len(processed) == 3
 
 
 def test_enrollment_gallery_roundtrip(tmp_path, rng):
