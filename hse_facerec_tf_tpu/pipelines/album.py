@@ -351,15 +351,29 @@ class AlbumOrganizer:
 
         from ..utils.prefetch import bounded_thread_map
 
-        # photos the upright batch pass found no face in are NOT retried
-        # per-photo (a 90°+270° single-image pass each — two device round
-        # trips per no-face photo, the dominant cost of noise-heavy albums,
-        # r4 profile: 27 retry calls × ~117 ms); they collect here and the
-        # rotations batch through the same fused program after the sweep
+        # single-device analyzers retry rotations IN the flush on the
+        # device-RESIDENT batch (one upload per photo total,
+        # ``analyze_batch_retry_padded`` — the host→device link is the scan's
+        # measured bottleneck); mesh/oversample analyzers keep the deferred
+        # no_face collection + batched retry after the sweep
+        resident_retry = (self.analyzer.mesh is None
+                          and not self.analyzer.oversample)
         no_face: List[Tuple[int, np.ndarray, Tuple[int, int]]] = []
 
         def flush(bucket):
             imgs = np.stack([im for _, im, _ in bucket])
+            if resident_retry:
+                with self.timer.stage("photo.analyze_batch"):
+                    pairs = self.analyzer.analyze_batch_retry_padded(
+                        imgs, self.analyze_batch)
+                for (i, im, chw), (faces, rot) in zip(bucket, pairs):
+                    if rot:   # crop from the orientation the detector saw
+                        im = np.ascontiguousarray(
+                            np.rot90(im, 3 if rot == 90 else 1))
+                        chw = chw and chw[::-1]
+                    per_photo[i] = self._faces_to_outputs(
+                        im, faces, chw and chw[1])
+                return
             with self.timer.stage("photo.analyze_batch"):
                 all_faces = self.analyzer.analyze_batch_padded(
                     imgs, self.analyze_batch)
@@ -415,39 +429,71 @@ class AlbumOrganizer:
         return per_photo
 
     def _batched_rotation_retry(self, entries, per_photo) -> None:
-        """Batched form of ``_rotation_retry`` for the album sweep: same
+        """Deferred batched rotation retry — only reached by analyzers whose
+        flush path can't retry on the resident batch (mesh/oversample; the
+        single-device scan retries inside ``flush`` via
+        ``analyze_batch_retry_padded`` with zero extra uploads). Same
         per-photo policy (90° first, 270° only for photos still face-less,
-        reference ``process_photos.py:241-247``) but both rotations of a
-        shape bucket run from ONE upright upload — the device rotates
-        in-program and returns both analyses
-        (``analyzer.analyze_batch_rotations_padded``). The host→device link
-        is the album scan's measured bottleneck (~40 ms + ~15-35 MB/s per
-        transfer, serialized), and the old two-pass form re-uploaded
-        host-rotated copies per rotation. ``entries``: (index, img,
-        content_hw) triples; fills ``per_photo`` in place."""
-        buckets: Dict[Tuple[int, int], list] = {}
-        for (i, img, chw) in entries:
-            buckets.setdefault(img.shape[:2], []).append((i, img, chw))
-        for bucket in buckets.values():
-            for s in range(0, len(bucket), self.analyze_batch):
-                group = bucket[s:s + self.analyze_batch]
-                imgs = np.stack([im for _, im, _ in group])
-                with self.timer.stage("photo.rotation_retry"):
-                    pairs = self.analyzer.analyze_batch_rotations_padded(
-                        imgs, self.analyze_batch)
-                for (i, img, chw), (f90, f270) in zip(group, pairs):
-                    # reference order: 90° wins if it found anything (:243)
-                    if f90:
-                        per_photo[i] = self._faces_to_outputs(
-                            np.ascontiguousarray(np.rot90(img, 3)), f90,
-                            chw and chw[::-1][1])
-                    elif f270:
-                        per_photo[i] = self._faces_to_outputs(
-                            np.ascontiguousarray(np.rot90(img, 1)), f270,
-                            chw and chw[::-1][1])
-                    else:
-                        per_photo[i] = self._faces_to_outputs(
-                            img, [], chw and chw[1])
+        reference ``process_photos.py:241-247``); single-device analyzers
+        that DO land here (direct callers) still batch both rotations from
+        one upright upload (``analyze_batch_rotations_padded``).
+        ``entries``: (index, img, content_hw) triples; fills ``per_photo``
+        in place."""
+        if self.analyzer.mesh is None and not self.analyzer.oversample:
+            buckets: Dict[Tuple[int, int], list] = {}
+            for (i, img, chw) in entries:
+                buckets.setdefault(img.shape[:2], []).append((i, img, chw))
+            for bucket in buckets.values():
+                for s in range(0, len(bucket), self.analyze_batch):
+                    group = bucket[s:s + self.analyze_batch]
+                    imgs = np.stack([im for _, im, _ in group])
+                    with self.timer.stage("photo.rotation_retry"):
+                        pairs = self.analyzer.analyze_batch_rotations_padded(
+                            imgs, self.analyze_batch)
+                    for (i, img, chw), (f90, f270) in zip(group, pairs):
+                        # reference order: 90° wins if it found anything (:243)
+                        if f90:
+                            per_photo[i] = self._faces_to_outputs(
+                                np.ascontiguousarray(np.rot90(img, 3)), f90,
+                                chw and chw[::-1][1])
+                        elif f270:
+                            per_photo[i] = self._faces_to_outputs(
+                                np.ascontiguousarray(np.rot90(img, 1)), f270,
+                                chw and chw[::-1][1])
+                        else:
+                            per_photo[i] = self._faces_to_outputs(
+                                img, [], chw and chw[1])
+            return
+        # mesh/oversample analyzers: the pair program is single-device
+        # compact-path only — keep the two-pass shape-bucketed retry
+        # through the mode-aware analyze_batch_padded
+        pending = entries
+        for rot in (90, 270):
+            if not pending:
+                return
+            k = 3 if rot == 90 else 1   # np.rot90 is counter-clockwise
+            still: List[Tuple[int, np.ndarray, Tuple[int, int]]] = []
+            buckets2: Dict[Tuple[int, int], list] = {}
+            for (i, img, chw) in pending:
+                rotated = np.ascontiguousarray(np.rot90(img, k))
+                buckets2.setdefault(rotated.shape[:2], []).append(
+                    (i, img, chw, rotated))
+            for bucket in buckets2.values():
+                for s in range(0, len(bucket), self.analyze_batch):
+                    group = bucket[s:s + self.analyze_batch]
+                    imgs = np.stack([r for _, _, _, r in group])
+                    with self.timer.stage("photo.rotation_retry"):
+                        all_faces = self.analyzer.analyze_batch_padded(
+                            imgs, self.analyze_batch)
+                    for (i, img, chw, rotated), faces in zip(group, all_faces):
+                        if faces:
+                            per_photo[i] = self._faces_to_outputs(
+                                rotated, faces, chw and chw[::-1][1])
+                        else:
+                            still.append((i, img, chw))
+            pending = still
+        for (i, img, chw) in pending:
+            per_photo[i] = self._faces_to_outputs(img, [], chw and chw[1])
 
     def scan_album(self, album_dir: str, use_cache: bool = True) -> AlbumFaces:
         cache = os.path.join(album_dir, "features.npz")

@@ -540,6 +540,78 @@ class FacialAnalyzer:
             n, can_fallback, only={i for i in range(n) if not res90[i]})
         return list(zip(res90, res270))
 
+    def analyze_batch_retry_padded(
+            self, images: np.ndarray,
+            lanes: int) -> List[Tuple[List[FaceResult], int]]:
+        """``analyze_batch_padded`` + the reference's 90°/270° rotation
+        retry (``process_photos.py:241-247``) from a SINGLE upload.
+
+        The photos go to the device ONCE; the upright compact cascade runs
+        on the resident array, and only when some lane finds no face does
+        the rotation-pair program run — on the SAME device array, zero new
+        transfer (the host→device link is the album scan's bottleneck; the
+        deferred retry used to re-upload already-uploaded photos). Returns
+        ``(faces, rotation)`` per real image with rotation ∈ {0, 90, 270};
+        for rotated results the boxes live in the rotated image's
+        coordinates, exactly like ``analyze_with_rotations``.
+
+        Single-device compact path only (the mesh/oversample album flow
+        keeps the deferred ``_batched_rotation_retry``)."""
+        if self.mesh is not None or self.oversample:
+            raise ValueError("analyze_batch_retry_padded is single-device "
+                             "compact-path only")
+        images = np.asarray(images)
+        n, h, w = images.shape[0], images.shape[1], images.shape[2]
+        if n < lanes:
+            images = np.concatenate(
+                [images, np.zeros((lanes - n,) + images.shape[1:],
+                                  images.dtype)])
+        total = self.batch_head_total or max(16, 2 * lanes)
+        key = ("cbatch", lanes, h, w, total)
+        if key not in self._jitted:
+            self._jitted[key] = jax.jit(
+                self._build_batch_compact_fn(h, w, total))
+        dev = jnp.asarray(images)                       # the ONE upload
+        out = jax.device_get(self._jitted[key](self.mh_params, dev))
+        det_esc = self.detector.max_escalations > 0
+        self.detector._warn_truncated(
+            bool(out[9][:n].any()) and not det_esc,
+            self.detector.caps_for(h, w))
+        can_fallback = total < lanes * self.detector.caps_for(h, w)[2]
+        res_up = self._finish_compact(out, lambda i: images[i], n,
+                                      can_fallback)
+        pending = {i for i in range(n) if not res_up[i]}
+        if not pending:
+            return [(r, 0) for r in res_up]
+        rkey = ("cbatch_rot", lanes, h, w, total)
+        if rkey not in self._jitted:
+            cfn = self._build_batch_compact_fn(w, h, total)
+
+            def pair(params, x):
+                r90 = jnp.rot90(x, k=3, axes=(1, 2))
+                r270 = jnp.rot90(x, k=1, axes=(1, 2))
+                return cfn(params, r90), cfn(params, r270)
+
+            self._jitted[rkey] = jax.jit(pair)
+        out90, out270 = jax.device_get(
+            self._jitted[rkey](self.mh_params, dev))   # dev: no re-upload
+        can_fb_rot = total < lanes * self.detector.caps_for(w, h)[2]
+        res90 = self._finish_compact(
+            out90, lambda i: np.ascontiguousarray(np.rot90(images[i], 3)),
+            n, can_fb_rot, only=pending)
+        res270 = self._finish_compact(
+            out270, lambda i: np.ascontiguousarray(np.rot90(images[i], 1)),
+            n, can_fb_rot, only={i for i in pending if not res90[i]})
+        results = []
+        for i in range(n):
+            if res_up[i]:
+                results.append((res_up[i], 0))
+            elif res90[i]:
+                results.append((res90[i], 90))
+            else:
+                results.append((res270[i], 270))  # [] when nothing anywhere
+        return results
+
     def with_minsize(self, minsize: int) -> "FacialAnalyzer":
         """Shallow clone detecting at a different minimum face size: shares
         heads/params (no re-import, no device transfer) but gets a fresh

@@ -369,6 +369,32 @@ def test_analyze_batch_rotations_pair_matches_two_pass(analyzer, fixture_img,
     assert pairs[1][0] == [] and len(pairs[1][1]) == len(ref270[1])
 
 
+def test_analyze_batch_retry_padded_policy(analyzer, fixture_img, rng):
+    """``analyze_batch_retry_padded`` (one upload; upright pass on the
+    resident array; rotation pair only when some lane is faceless) must
+    reproduce the reference retry policy per photo: upright faces win with
+    rotation 0; a 90°-rotated photo comes back with rotation in {90, 270}
+    and the same faces ``analyze_with_rotations`` finds; a noise photo
+    ends empty."""
+    rotated = np.ascontiguousarray(np.rot90(fixture_img, 1))
+    noise = (rng.rand(*rotated.shape) * 255).astype(np.uint8)
+    jit2 = np.clip(rotated.astype(np.int16)
+                   + rng.randint(-8, 9, rotated.shape), 0, 255).astype(np.uint8)
+    imgs = np.stack([rotated, noise, jit2])
+
+    got = analyzer.analyze_batch_retry_padded(imgs, 4)
+    assert len(got) == 3
+    for lane in (0, 2):
+        faces, rot = got[lane]
+        ref_faces, ref_rot = analyzer.analyze_with_rotations(imgs[lane])
+        assert rot == ref_rot and rot in (90, 270)
+        assert len(faces) == len(ref_faces) > 0
+        for a, b in zip(faces, ref_faces):
+            assert a.bbox == b.bbox
+            np.testing.assert_allclose(a.identity, b.identity, atol=1e-3)
+    assert got[1] == ([], 270)     # nothing anywhere -> empty after 270
+
+
 def test_album_downscale_buckets(analyzer, fixture_img, tmp_path_factory):
     """With ``downscale``, photos of mixed large resolutions (portrait AND
     landscape) collapse onto ONE letterboxed analysis shape — aspect
