@@ -34,7 +34,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-CHUNK = 8     # crops per grid step: bounds VMEM (weights + tmp per chunk)
+CHUNK = 8     # crops per grid step: bounds VMEM (weights + tmp per chunk).
+# r5 sweep at the stage-2/3 design point: chunk 16 TIES 8 (1.11 ms both,
+# grid-step overhead is not the cost), chunk 32 fails Mosaic compile
+# (tpu_compile_helper exit 1). 8 stays the default.
 
 
 def _row_weights(y1, dy, out_size: int, supersample: int, size: int,
@@ -59,49 +62,50 @@ def _row_weights(y1, dy, out_size: int, supersample: int, size: int,
 
 
 def _crop_kernel(boxes_ref, img_ref, out_ref, *, out_size: int,
-                 supersample: int):
+                 supersample: int, chunk: int):
     C, H, W = img_ref.shape
     g = pl.program_id(0)
-    # per-chunk row weights, stacked (CHUNK*out, H): sublane concat
+    # per-chunk row weights, stacked (chunk*out, H): sublane concat
     r_blocks = []
     ct_blocks = []
-    for k in range(CHUNK):
-        y1 = boxes_ref[g * CHUNK + k, 0]
-        x1 = boxes_ref[g * CHUNK + k, 1]
-        dy = boxes_ref[g * CHUNK + k, 2] - y1
-        dx = boxes_ref[g * CHUNK + k, 3] - x1
+    for k in range(chunk):
+        y1 = boxes_ref[g * chunk + k, 0]
+        x1 = boxes_ref[g * chunk + k, 1]
+        dy = boxes_ref[g * chunk + k, 2] - y1
+        dx = boxes_ref[g * chunk + k, 3] - x1
         r_blocks.append(_row_weights(y1, dy, out_size, supersample, H,
                                      transposed=False))
         # column weights generated pre-transposed (W, out): Mosaic
         # transposes are relayout copies, iota math is free
         ct_blocks.append(_row_weights(x1, dx, out_size, supersample, W,
                                       transposed=True))
-    r_stack = jnp.concatenate(r_blocks, axis=0)          # (CHUNK*out, H)
+    r_stack = jnp.concatenate(r_blocks, axis=0)          # (chunk*out, H)
     for c in range(C):
         tmp = jax.lax.dot(r_stack, img_ref[c],
                           preferred_element_type=jnp.float32)
-        for k in range(CHUNK):
+        for k in range(chunk):
             out_ref[k, c] = jax.lax.dot(
                 tmp[k * out_size:(k + 1) * out_size, :], ct_blocks[k],
                 preferred_element_type=jnp.float32)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("out_size", "supersample", "interpret"))
+                   static_argnames=("out_size", "supersample", "interpret",
+                                    "chunk"))
 def crop_resize_zero_pallas(img, boxes, out_size: int, supersample: int = 2,
-                            interpret: bool = False):
+                            interpret: bool = False, chunk: int = CHUNK):
     """(H, W, C) f32 image + (K, 4) [y1, x1, y2, x2] boxes ->
     (K, out, out, C) crops; outside='zero' semantics only (the detector's
-    stage-2/3 contract). K must be a multiple of CHUNK (the detector's
+    stage-2/3 contract). K must be a multiple of ``chunk`` (the detector's
     static caps are powers of two); vmap adds a leading batch dim."""
     H, W, C = img.shape
     K = boxes.shape[0]
-    assert K % CHUNK == 0, f"K={K} must be a multiple of {CHUNK}"
+    assert K % chunk == 0, f"K={K} must be a multiple of {chunk}"
     x = jnp.transpose(img, (2, 0, 1))                    # (C, H, W)
     out = pl.pallas_call(
         functools.partial(_crop_kernel, out_size=out_size,
-                          supersample=supersample),
-        grid=(K // CHUNK,),
+                          supersample=supersample, chunk=chunk),
+        grid=(K // chunk,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             # whole image resident across all crop chunks (index map is
@@ -109,7 +113,7 @@ def crop_resize_zero_pallas(img, boxes, out_size: int, supersample: int = 2,
             pl.BlockSpec((C, H, W), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((CHUNK, C, out_size, out_size),
+        out_specs=pl.BlockSpec((chunk, C, out_size, out_size),
                                lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((K, C, out_size, out_size),
