@@ -23,6 +23,14 @@ Measured (r5, v5e, batch-8 640x480, stage-2 128 crops @24 + stage-3
 64 @48, supersample 2, CHAIN=40): 1.125 ms/pass vs 2.521 for the einsum
 form (2.24x), value drift 4.2e-5 relative. Wired as the detector's
 default TPU crop path (``pipelines/detector.py::_use_pallas_crop``).
+
+Measured losers at the same design point, do not retry: chunk 16 TIES 8
+(1.11 ms both — grid-step overhead is not the cost) and chunk 32 fails
+Mosaic compile; replacing the per-crop second-pass dots with ONE
+(chunk*out, W)x(W, chunk*out) dot per channel + diagonal-block
+extraction is bit-exact but SLOWER (1.29 vs 1.12 ms) — the extra
+chunk-squared MXU work plus non-128-aligned lane slices cost more than
+the tiny dots' launch overhead ever did.
 """
 
 from __future__ import annotations
