@@ -60,6 +60,15 @@ def _im2col_conv_valid(x, p, *, precision):
 
 # level area (pixels) above which pnet(..., im2col=True) wins — r4 measured
 PNET_IM2COL_MIN_PIXELS = 20000
+# VMAPPED (batch) cascade threshold: the batch amortizes the slice-concat
+# pass, and the integrated batch-8 profile shows the conv-form 137x103
+# level's first conv stuck in a 21 GB/s layout-copy fusion
+# (convolution_add_fusion.22, 5.6% of device busy). r5 measured at 640x480
+# batch 8: lowering the cutoff to cover that level (14.1k px) lifts
+# batch-8 detect 1,575 -> 1,597 img/s and removes the fusion from the
+# profile, while the SINGLE-image program regresses 1.226 -> 1.283 ms with
+# the same cutoff — so only detect_batch_fn builds with this value.
+PNET_IM2COL_MIN_PIXELS_BATCHED = 12000
 
 
 def pnet(params: Params, x, *, precision=jax.lax.Precision.HIGHEST,

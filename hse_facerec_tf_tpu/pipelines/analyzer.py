@@ -253,7 +253,7 @@ class FacialAnalyzer:
         typical album batch carries a handful of faces across 8 photos, so
         this replaces lanes×budget padded head forwards (the dominant cost
         of the vmapped form — ~6 of its 14 ms at batch 8) with ~2·lanes."""
-        detect = self.detector.detect_fn(h, w)
+        detect = self.detector.detect_core(h, w, batched=True)
         heads = self.heads
         k_total = total
 

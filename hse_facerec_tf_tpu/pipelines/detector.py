@@ -144,7 +144,8 @@ class MTCNNDetector:
 
     # ---------- stage 1 ----------
 
-    def _stage1(self, img_f, h, w, scales, max_level, max_s2):
+    def _stage1(self, img_f, h, w, scales, max_level, max_s2,
+                im2col_min_px: int = nets.PNET_IM2COL_MIN_PIXELS):
         """All pyramid levels + per-level NMS + global NMS + refine.
 
         Also returns a scalar ``truncated`` flag: True whenever a static box
@@ -171,7 +172,7 @@ class MTCNNDetector:
             lvl_px = level_t.shape[1] * level_t.shape[2]
             reg_map, prob_map = nets.pnet(
                 self.params["pnet"], level_t, precision=self.precision,
-                im2col=lvl_px >= nets.PNET_IM2COL_MIN_PIXELS)
+                im2col=lvl_px >= im2col_min_px)
             kmax = min(max_level, prob_map.shape[1] * prob_map.shape[2])
             truncated |= jnp.sum(prob_map[0, :, :, 1] > th1) > kmax
             boxes, scores, regs, valid = B.generate_boxes(
@@ -270,9 +271,13 @@ class MTCNNDetector:
 
     # ---------- full pipeline ----------
 
-    def _pipeline_one(self, img, h: int, w: int, scales, tier: int = 0):
+    def _pipeline_one(self, img, h: int, w: int, scales, tier: int = 0,
+                      batched: bool = False):
         """The full (un-jitted) cascade for one image. Returns
-        (boxes, scores, points, valid, truncated)."""
+        (boxes, scores, points, valid, truncated). ``batched``: built for
+        the vmapped batch program — P-Net's im2col cutoff drops to
+        ``PNET_IM2COL_MIN_PIXELS_BATCHED`` (the batch amortizes the slice
+        concat; see that constant's measurement note)."""
         img_f = img.astype(jnp.float32)
         max_level, max_s2, max_s3 = self.caps_for(h, w, tier)
         if not scales:
@@ -280,15 +285,28 @@ class MTCNNDetector:
             return (z((max_s3, 4)), z((max_s3,)),
                     z((max_s3, 10)), jnp.zeros((max_s3,), bool),
                     jnp.zeros((), bool))
+        im2col_px = (nets.PNET_IM2COL_MIN_PIXELS_BATCHED if batched
+                     else nets.PNET_IM2COL_MIN_PIXELS)
         boxes, scores, valid, trunc1 = self._stage1(img_f, h, w, scales,
-                                                    max_level, max_s2)
+                                                    max_level, max_s2,
+                                                    im2col_px)
         boxes, scores, valid, trunc2 = self._stage2(img_f, boxes, valid, max_s3)
         boxes, scores, points, valid = self._stage3(img_f, boxes, valid)
         return boxes, scores, points, valid, trunc1 | trunc2
 
     def _build(self, h: int, w: int, tier: int = 0):
+        return jax.jit(self.detect_core(h, w, tier))
+
+    def detect_core(self, h: int, w: int, tier: int = 0,
+                    batched: bool = False):
+        """UNJITTED single-image cascade for shape (h, w) — the building
+        block callers vmap into batch programs (analyzer batch paths,
+        ``detect_batch_fn``). Pass ``batched=True`` when the result runs
+        under vmap so batch-tuned trace-time choices (the P-Net im2col
+        cutoff) apply."""
         scales = pyramid_scales(h, w, self.minsize, self.factor)
-        return jax.jit(lambda img: self._pipeline_one(img, h, w, scales, tier))
+        return lambda img: self._pipeline_one(img, h, w, scales, tier,
+                                              batched=batched)
 
     def detect_fn(self, h: int, w: int, tier: int = 0):
         """The jitted (boxes, scores, points, valid) pipeline for shape (h, w)."""
@@ -304,10 +322,8 @@ class MTCNNDetector:
         ``process_photos.py:238-261``)."""
         key = ("batch", h, w, tier)
         if key not in self._jitted:
-            scales = pyramid_scales(h, w, self.minsize, self.factor)
             self._jitted[key] = jax.jit(
-                jax.vmap(lambda img: self._pipeline_one(img, h, w, scales,
-                                                        tier)))
+                jax.vmap(self.detect_core(h, w, tier, batched=True)))
         return self._jitted[key]
 
     def detect_batch(self, images: np.ndarray):
